@@ -1,0 +1,51 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geodesic math as native Catalyst column expressions (whole-stage
+  * codegen'd — no UDFs in the kernel hot path).
+  *
+  * Reference semantics: `backend/app/utils/geo_utils.py:12-99` (haversine with
+  * R=6371 km, initial bearing normalized to [0, 360)), vectorized twin at
+  * `backend/app/services/safety_algorithm_vectorized.py:44-77`.
+  */
+object GeoExprs {
+
+  /** Earth radius in km (`backend/app/services/algorithm_config.py:262`). */
+  val EarthRadiusKm = 6371.0
+
+  /** Great-circle distance in km between two (lat, lon) points in degrees.
+    * `haversine = 2R·asin(√(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2)))`
+    * (ref: `backend/app/utils/geo_utils.py:12-52`).
+    */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2.0 * EarthRadiusKm) * asin(sqrt(a))
+  }
+
+  /** Initial great-circle bearing in degrees [0, 360)
+    * (ref: `backend/app/utils/geo_utils.py:55-99`).
+    */
+  def bearingDeg(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val phi1 = radians(lat1)
+    val phi2 = radians(lat2)
+    val dLon = radians(lon2 - lon1)
+    val y = sin(dLon) * cos(phi2)
+    val x = cos(phi1) * sin(phi2) - sin(phi1) * cos(phi2) * cos(dLon)
+    pmod(degrees(atan2(y, x)), lit(360.0))
+  }
+
+  /** Degrees-latitude half-height of a bounding box for a radius in km
+    * (ref: `backend/app/utils/geo_utils.py:102-139`). Used only as a cheap
+    * prefilter; the exact Gaussian weight is always applied afterwards.
+    */
+  def bboxLatDelta(radiusKm: Column): Column = radiusKm / lit(111.0)
+
+  /** Degrees-longitude half-width at a given latitude. */
+  def bboxLonDelta(radiusKm: Column, lat: Column): Column =
+    radiusKm / (lit(111.0) * cos(radians(lat)))
+}

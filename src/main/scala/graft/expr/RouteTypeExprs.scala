@@ -1,0 +1,114 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Route-type inference and normalization as native `when` chains — the rule
+  * cascades stay visible to Catalyst (constant-foldable, codegen'd), unlike
+  * an opaque UDF.
+  */
+object RouteTypeExprs {
+
+  /** Infer canonical route type from an accident's (activity, accident_type,
+    * tags) with the reference's priority cascade
+    * (ref: `backend/app/services/route_type_mapper.py:13-165`):
+    * tags (most specific) → accident_type → activity → "default".
+    */
+  def inferFromAccident(activity: Column, accidentType: Column, tags: Column): Column = {
+    val t = lower(coalesce(tags, lit("")))
+    val at = lower(coalesce(accidentType, lit("")))
+    val act = lower(coalesce(activity, lit("")))
+
+    val highGrade = (11 to 15).map(i => t.contains(s"5.$i")).reduce(_ || _)
+    val lowGrade = (1 to 10).map(i => t.contains(s"5.$i")).reduce(_ || _)
+
+    // Priority 1: tags (route_type_mapper.py:56-110)
+    val fromTags =
+      when(t.contains("ice climbing") || t.contains("ice climb"), "ice")
+        .when(t.contains("mixed climbing") || t.contains("mixed climb"), "mixed")
+        .when(t.contains("alpine") || t.contains("mountaineering"), "alpine")
+        .when(t.contains("sport climbing") || t.contains("sport climb"), "sport")
+        .when(t.contains("trad") || t.contains("traditional climbing"), "trad")
+        .when(t.contains("aid climbing") || t.contains("aid climb"), "aid")
+        .when(t.contains("boulder"), "boulder")
+        // grade heuristics inside tags (py:83-96). NB: python checks 5.11-5.15
+        // first; "5.1" containment in the low range also matches "5.1x", which
+        // we reproduce faithfully by mirroring the same containment test.
+        .when(t.contains("grade:") && highGrade && !t.contains("trad"), "sport")
+        .when(t.contains("grade:") && lowGrade && !t.contains("sport"), "trad")
+        .when(t.contains("roped") && !t.contains("unroped"), "trad")
+        .when(t.contains("unroped") && t.contains("solo"), "alpine")
+
+    // Priority 2: accident_type (py:112-135)
+    val fromType =
+      when(at.contains("ice_climbing") || at.contains("ice"), "ice")
+        .when(at.contains("avalanche"), "alpine")
+        .when(at.contains("rockfall"), "alpine")
+        .when(at.contains("roped_climbing"), "trad")
+        .when(at.contains("rappel"), "trad")
+        .when(at.contains("solo"), "alpine")
+
+    // Priority 3: activity (py:137-162)
+    val fromActivity =
+      when(act.contains("backcountry"), "alpine")
+        .when(act.contains("climber") || act.contains("climbing"), "trad")
+        .when(act.contains("mountaineer"), "alpine")
+        .when(act.contains("canyoneering"), "trad")
+        .when(act.contains("ski"), "alpine")
+        .when(Seq("hiker", "motorist", "rescuer", "rider").map(act.contains)
+          .reduce(_ || _), "default")
+
+    coalesce(fromTags, fromType, fromActivity, lit("default"))
+  }
+
+  /** Python's `"roped" in tags` also matches "unroped"; the cascade above
+    * orders `roped` before the unroped-solo rule exactly like the reference
+    * — except the reference's `roped` check fires for "unroped" too
+    * (`route_type_mapper.py:98-106`), so expose the faithful variant for
+    * oracle comparisons.
+    */
+  def inferFromAccidentFaithfulRoped(activity: Column, accidentType: Column, tags: Column): Column = {
+    val t = lower(coalesce(tags, lit("")))
+    // Only the roped rule differs: substring containment without the
+    // unroped guard (matches python's `"roped" in tags_lower`).
+    val base = inferFromAccident(activity, accidentType, tags)
+    when(t.contains("roped") &&
+      !Seq("ice climbing", "ice climb", "mixed climbing", "mixed climb", "alpine",
+        "mountaineering", "sport climbing", "sport climb", "trad",
+        "traditional climbing", "aid climbing", "aid climb", "boulder")
+        .map(t.contains).reduce(_ || _) &&
+      !(t.contains("grade:")), "trad")
+      .otherwise(base)
+  }
+
+  /** Normalize a raw Mountain-Project style `type` string to the canonical
+    * 7 types, default "trad"
+    * (ref: `backend/app/api/v1/mp_routes.py:109-150`; simpler batch variant
+    * `safety_computation_optimized.py:375-398`).
+    */
+  def normalizeMpType(rawType: Column): Column = {
+    val s = lower(coalesce(rawType, lit("")))
+    when(s.contains("ice"), "ice")
+      .when(s.contains("mixed"), "mixed")
+      .when(s.contains("alpine") || s.contains("snow"), "alpine")
+      .when(s.contains("boulder"), "boulder")
+      .when(s.contains("aid") || s.contains("big wall"), "aid")
+      .when(s.contains("sport") || s.contains("toprope") || s.contains("top rope"), "sport")
+      .when(s.contains("trad"), "trad")
+      .otherwise("trad")
+  }
+
+  /** Season filter used by map serving (ref: `mp_routes.py:312-333`):
+    * winter = type contains ice/mixed; rock = neither; both exclude unknown.
+    */
+  def seasonFilter(rawType: Column, season: String): Column = {
+    val s = lower(coalesce(rawType, lit("")))
+    val isWinter = s.contains("ice") || s.contains("mixed")
+    val notUnknown = s =!= "unknown"
+    season match {
+      case "winter" => isWinter && notUnknown
+      case "rock" => !isWinter && notUnknown
+      case _ => notUnknown
+    }
+  }
+}
