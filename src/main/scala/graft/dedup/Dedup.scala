@@ -1,0 +1,119 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextExprs
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard. Designed for the 100 TB shape:
+  *
+  *  - exact dedup is one hash-aggregate (map-side partial, shuffle only the
+  *    digest+key);
+  *  - MinHash signatures are computed map-side per row (no shuffle), and the
+  *    ONLY shuffle is the LSH band-bucket exchange whose key cardinality is
+  *    #docs × #bands — candidate pairs are then generated per bucket,
+  *    never via an all-pairs cross join;
+  *  - SimHash is map-side; near-dup candidates come from banding the 64-bit
+  *    space (e.g. 4×16-bit bands) — again no cross join.
+  */
+object Dedup {
+
+  /** Exact dedup inventory: one row per distinct digest with multiplicity
+    * and the keeper (minimum) id.
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(idCol).as("keeper_id"))
+
+  /** Drop duplicate rows, keeping the min-id row per digest — the
+    * shuffle-once (digest-keyed) form of `dropDuplicates`.
+    */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature column: `numHashes` minima over seeded xxhash64 of
+    * w-token shingles. Pure map-side arithmetic.
+    */
+  def minhashSignature(text: Column, numHashes: Int, shingleWidth: Int): Column = {
+    val shingles = TextExprs.shingleHashes(text, shingleWidth)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, sh => xxhash64(i, sh))))
+  }
+
+  /** Estimated Jaccard from two signatures: fraction of agreeing minima. */
+  def minhashEstimate(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
+      .cast("double") / size(sigA)
+
+  /** LSH candidate pairs: split each signature into `bands` bands, bucket on
+    * (band index, band hash), emit distinct (idA < idB) pairs sharing ≥1
+    * bucket, with their estimated Jaccard.
+    *
+    * Input df must have columns (`idCol`, `sig`). The band exchange is the
+    * only shuffle; per-bucket fan-out is bounded by bucket size, not corpus
+    * size.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, bands: Int): DataFrame = {
+    val sigLen = // rows per band derived lazily from the first row's signature
+      df.select(size(col("sig"))).head().getInt(0)
+    require(sigLen % bands == 0, s"signature length $sigLen not divisible by $bands bands")
+    val r = sigLen / bands
+    val banded = df.select(
+      col(idCol), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, concat_ws(",", slice(col("sig"), b * r + 1, lit(r)))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        minhashEstimate(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** 63-bit SimHash over token hashes: bit j of the result is the sign of
+    * Σ_tokens (±1 by bit j of xxhash64(token)). 63 bits so the Horner
+    * packing never overflows a long (ANSI-safe).
+    */
+  def simhash63(text: Column): Column = {
+    val toks = TextExprs.tokens(text)
+    val bitVotes = transform(sequence(lit(0), lit(62)), j =>
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + when(
+          xxhash64(t).bitwiseAND(pow(lit(2.0), j).cast("long")) =!= 0L, 1L)
+          .otherwise(-1L)))
+    // MSB = bit 62; acc stays < 2^63 throughout.
+    aggregate(reverse(bitVotes), lit(0L),
+      (acc, v) => acc * 2L + when(v > 0, 1L).otherwise(0L))
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact n-gram (token w-shingle) Jaccard for all pairs sharing ≥1
+    * shingle. For bounded candidate sets (or post-LSH verification).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(TextExprs.shingleHashes(col(textCol), w)).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+      col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+  }
+}

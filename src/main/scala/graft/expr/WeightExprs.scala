@@ -108,10 +108,23 @@ object WeightExprs {
   //           config algorithm_config.py:237-245)
   // -------------------------------------------------------------------------
 
+  /** Canonical severity → multiplier (`algorithm_config.py:237-245`). */
+  val SeverityWeights: Map[String, Double] =
+    Map("fatal" -> 1.3, "serious" -> 1.1, "minor" -> 1.0, "unknown" -> 1.0)
+
+  /** Term-containment sets for severity normalization, in match-priority
+    * order (`severity_weighting.py:93-148`). Public so the DuckDB oracle SQL
+    * is generated from the same constants (graft.queries.Sql).
+    */
+  val SeverityTerms: Seq[(String, Seq[String])] = Seq(
+    "fatal" -> Seq("fatal", "death", "fatality", "died", "killed"),
+    "serious" -> Seq("serious", "severe", "critical", "injured", "injury", "hospitalized"),
+    "minor" -> Seq("minor", "slight", "light", "uninjured", "no injury"))
+
   /** Multiplier for a severity already normalized to fatal/serious/minor/unknown. */
   def severityWeight(severity: Column): Column =
-    when(lower(severity) === "fatal", 1.3)
-      .when(lower(severity) === "serious", 1.1)
+    when(lower(severity) === "fatal", SeverityWeights("fatal"))
+      .when(lower(severity) === "serious", SeverityWeights("serious"))
       .otherwise(1.0) // minor / unknown / unrecognized all 1.0
 
   /** Raw free-text severity → canonical level via term containment
@@ -121,11 +134,9 @@ object WeightExprs {
     val s = lower(trim(raw))
     val containsAny = (terms: Seq[String]) =>
       terms.map(t => s.contains(t)).reduce(_ || _)
-    when(raw.isNull || s === "", "unknown")
-      .when(containsAny(Seq("fatal", "death", "fatality", "died", "killed")), "fatal")
-      .when(containsAny(Seq("serious", "severe", "critical", "injured", "injury", "hospitalized")), "serious")
-      .when(containsAny(Seq("minor", "slight", "light", "uninjured", "no injury")), "minor")
-      .otherwise("unknown")
+    SeverityTerms.foldLeft(when(raw.isNull || s === "", "unknown")) {
+      case (acc, (level, terms)) => acc.when(containsAny(terms), level)
+    }.otherwise("unknown")
   }
 
   // -------------------------------------------------------------------------

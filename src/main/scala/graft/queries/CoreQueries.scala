@@ -1,0 +1,443 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The relational operator suite (SURVEY §2.1-2.5 generic classes) over the
+  * driver's synthetic TPC-H-ish tables, each with a DuckDB oracle.
+  *
+  * Float determinism policy: money aggregates are summed as exact integer
+  * cents (`round(x·scale)::long`) and divided back at the end — the sum is
+  * then order-independent and bit-identical to DuckDB regardless of Spark's
+  * partial-aggregation order. Averages of large groups are rounded to 4
+  * decimals (double-sum associativity error ≪ rounding unit).
+  */
+object CoreQueries {
+
+  /** Order-independent exact money sum: Σ round(e·scale) as long, ÷ scale. */
+  private def moneySum(e: Column, scale: Long): Column =
+    coalesce(sum(round(e * scale).cast("long")), lit(0L)).cast("double") / scale.toDouble
+
+  private def moneySumSql(e: String, scale: Long): String =
+    s"CAST(coalesce(sum(CAST(round(($e) * $scale) AS BIGINT)), 0) AS DOUBLE) / $scale.0"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- S1/P1/P2: scan + filter + projection (pushdown-friendly) ---------
+    "q02_scan_filter" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz") &&
+          col("l_quantity") >= 45)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // --- A1-class: TPC-H Q1 pricing summary (partial+final agg) -----------
+    "q01_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          moneySum(col("l_extendedprice"), 100L).as("sum_base_price"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L)
+            .as("sum_disc_price"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax")), 1000000L).as("sum_charge"),
+          (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+          (moneySum(col("l_extendedprice"), 100L) / count(lit(1))).as("avg_price"),
+          (moneySum(col("l_discount"), 100L) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // --- J1+J2-class: 3-way join, top revenue orders (TPC-H Q3 shape) -----
+    "q03_top_orders" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      val l = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") > lit("1997-01-01").cast("timestamp_ntz"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // --- J1 broadcast dim chain: region ⋈ nation ⋈ customer ---------------
+    "q04_region_rollup" -> ((s, dir) => {
+      Tables.region(s, dir)
+        .join(Tables.nation(s, dir), col("r_regionkey") === col("n_regionkey"))
+        .join(Tables.customer(s, dir), col("n_nationkey") === col("c_nationkey"))
+        .groupBy("r_name")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          moneySum(col("c_acctbal"), 100L).as("total_acctbal"),
+          (moneySum(col("c_acctbal"), 100L) / count(lit(1))).as("avg_acctbal"))
+        .orderBy("r_name")
+    }),
+
+    // --- J6: left outer join + per-key counts (zero-order customers kept) -
+    "q05_cust_orders" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          moneySum(col("o_totalprice"), 100L).as("total_spent"),
+          coalesce(max("o_totalprice"), lit(0.0)).as("max_order"))
+        .orderBy("c_custkey")
+    }),
+
+    // --- semi join (EXISTS) ------------------------------------------------
+    "q06_semi_join" -> ((s, dir) => {
+      Tables.supplier(s, dir)
+        .join(Tables.lineitem(s, dir).where(col("l_quantity") === 50),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
+    // --- anti join (NOT EXISTS) -------------------------------------------
+    "q07_anti_join" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // --- J3-class interval join: purchases within 1h of a signup ----------
+    "q08_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts_us").as("s_ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_us").as("p_ts"))
+      signups.join(purchases,
+        col("s_user") === col("p_user") &&
+          col("p_ts") > col("s_ts") &&
+          col("p_ts") <= col("s_ts") + lit(3600000000L))
+        .groupBy(col("s_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
+    // --- W1-class: per-group top-k via row_number -------------------------
+    "q09_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+      Tables.lineitem(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .select("l_orderkey", "rn", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "rn")
+    }),
+
+    // --- W4: gaps-and-islands sessionization (30-min inactivity gap) ------
+    "q10_sessionize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val cum = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev
+        .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(byUser))
+        .withColumn("is_new",
+          when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum("is_new").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+          min("ts_us").as("session_start_us"),
+          count(lit(1)).as("n_events"),
+          moneySum(col("value"), 100L).as("session_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // --- A8-class: daily grouped agg with severity-cased scoring ----------
+    "q11_daily_type_agg" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          moneySum(col("value"), 100L).as("total_value"),
+          (moneySum(col("value"), 100L) / count(lit(1))).as("avg_value"))
+        .orderBy("day", "event_type")
+    }),
+
+    // --- A11: per-group mode (most common segment per nation) -------------
+    "q12_mode_segment" -> ((s, dir) => {
+      val counts = Tables.customer(s, dir)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("n").desc, col("c_mktsegment").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("c_nationkey", "c_mktsegment", "n")
+        .orderBy("c_nationkey")
+    }),
+
+    // --- A10/W5: trend = first-7-days avg vs last-7-days avg ±5 -----------
+    "q13_trend" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val agged = daily.agg(
+        avg(when(col("day") < "2024-01-08", col("cnt"))).as("first7_avg"),
+        avg(when(col("day") >= "2024-01-24", col("cnt"))).as("last7_avg"))
+      agged.select(
+        round(col("first7_avg"), 4).as("first7_avg"),
+        round(col("last7_avg"), 4).as("last7_avg"),
+        when(col("last7_avg") - col("first7_avg") > 5.0, "increasing")
+          .when(col("last7_avg") - col("first7_avg") < -5.0, "decreasing")
+          .otherwise("stable").as("trend"))
+    }),
+
+    // --- W6: pagination via row_number range ------------------------------
+    "q14_pagination" -> ((s, dir) => {
+      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") >= 101 && col("rn") <= 150)
+        .select("rn", "c_custkey", "c_name", "c_acctbal")
+        .orderBy("rn")
+    }),
+
+    // --- J4 (2-level hierarchy): breadcrumb concat ------------------------
+    "q15_breadcrumb" -> ((s, dir) => {
+      Tables.nation(s, dir)
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .select(
+          col("n_nationkey"),
+          concat(col("r_name"), lit(" > "), col("n_name")).as("breadcrumb"))
+        .orderBy("n_nationkey")
+    }),
+
+    // --- J5: fuzzy containment join (token ⋈ documents.text) --------------
+    "q16_contains_join" -> ((s, dir) => {
+      import s.implicits._
+      val tokens = Seq("spark", "hash", "merge", "window", "stream").toDF("token")
+      tokens.crossJoin(Tables.documents(s, dir))
+        .where(col("text").contains(col("token")))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .orderBy("token")
+    }),
+
+    // --- A9-class: per-user activity rates --------------------------------
+    "q17_user_rates" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+        .withColumn("purchase_per_1k_views",
+          col("n_purchases") * 1000.0 / nullif(col("n_views").cast("double"), lit(0.0)))
+        .orderBy("user_id")
+    }),
+
+    // --- tumbling 1-hour windows (batch twin of the streaming window) -----
+    "q18_hourly_windows" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(
+          unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value"), 100L).as("total_value"))
+        .orderBy("hour_us", "event_type")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q02_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  AND l_quantity >= 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       sum(l_quantity) AS sum_qty,
+         |       ${moneySumSql("l_extendedprice", 100L)} AS sum_base_price,
+         |       ${moneySumSql("l_extendedprice * (1.0 - l_discount)", 10000L)} AS sum_disc_price,
+         |       ${moneySumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 1000000L)} AS sum_charge,
+         |       sum(l_quantity) / count(*) AS avg_qty,
+         |       (${moneySumSql("l_extendedprice", 100L)}) / count(*) AS avg_price,
+         |       (${moneySumSql("l_discount", 100L)}) / count(*) AS avg_disc,
+         |       count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_top_orders" ->
+      s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         |       ${moneySumSql("l_extendedprice * (1.0 - l_discount)", 10000L)} AS revenue
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         |  AND o_orderkey = l_orderkey
+         |  AND o_orderdate < TIMESTAMP '1997-01-01' AND l_shipdate > TIMESTAMP '1997-01-01'
+         |GROUP BY o_orderkey, order_date
+         |ORDER BY revenue DESC, o_orderkey ASC
+         |LIMIT 10""".stripMargin,
+
+    "q04_region_rollup" ->
+      s"""SELECT r_name, count(*) AS n_customers,
+         |       ${moneySumSql("c_acctbal", 100L)} AS total_acctbal,
+         |       (${moneySumSql("c_acctbal", 100L)}) / count(*) AS avg_acctbal
+         |FROM region
+         |JOIN nation ON r_regionkey = n_regionkey
+         |JOIN customer ON n_nationkey = c_nationkey
+         |GROUP BY r_name
+         |ORDER BY r_name""".stripMargin,
+
+    "q05_cust_orders" ->
+      s"""SELECT c_custkey,
+         |       count(o_orderkey) AS n_orders,
+         |       ${moneySumSql("o_totalprice", 100L)} AS total_spent,
+         |       coalesce(max(o_totalprice), 0.0) AS max_order
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q06_semi_join" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_quantity = 50)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_interval_join" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events)
+        |SELECT s.user_id AS user_id, count(*) AS n_pairs
+        |FROM (SELECT user_id, ts_us FROM ev WHERE event_type = 'signup') s
+        |JOIN (SELECT user_id, ts_us FROM ev WHERE event_type = 'purchase') p
+        |  ON s.user_id = p.user_id
+        | AND p.ts_us > s.ts_us AND p.ts_us <= s.ts_us + 3600000000
+        |GROUP BY s.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q09_window_topk" ->
+      """SELECT l_orderkey, rn, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 2
+        |ORDER BY l_orderkey, rn""".stripMargin,
+
+    "q10_sessionize" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
+         |flagged AS (
+         |  SELECT user_id, event_id, value, ts_us,
+         |         CASE WHEN lag(ts_us) OVER w IS NULL
+         |                OR ts_us - lag(ts_us) OVER w > 1800000000
+         |              THEN 1 ELSE 0 END AS is_new
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |sessions AS (
+         |  SELECT user_id, event_id, value, ts_us,
+         |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, session_id,
+         |       min(ts_us) AS session_start_us,
+         |       count(*) AS n_events,
+         |       ${moneySumSql("value", 100L)} AS session_value
+         |FROM sessions
+         |GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q11_daily_type_agg" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+         |       count(*) AS n_events,
+         |       ${moneySumSql("value", 100L)} AS total_value,
+         |       (${moneySumSql("value", 100L)}) / count(*) AS avg_value
+         |FROM events
+         |GROUP BY day, event_type
+         |ORDER BY day, event_type""".stripMargin,
+
+    "q12_mode_segment" ->
+      """SELECT c_nationkey, c_mktsegment, n FROM (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY count(*) DESC, c_mktsegment ASC) AS rn
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment)
+        |WHERE rn = 1
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q13_trend" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM events GROUP BY day),
+        |agged AS (
+        |  SELECT avg(CASE WHEN day < '2024-01-08' THEN cnt END) AS first7_avg,
+        |         avg(CASE WHEN day >= '2024-01-24' THEN cnt END) AS last7_avg
+        |  FROM daily)
+        |SELECT round(first7_avg, 4) AS first7_avg,
+        |       round(last7_avg, 4) AS last7_avg,
+        |       CASE WHEN last7_avg - first7_avg > 5.0 THEN 'increasing'
+        |            WHEN last7_avg - first7_avg < -5.0 THEN 'decreasing'
+        |            ELSE 'stable' END AS trend
+        |FROM agged""".stripMargin,
+
+    "q14_pagination" ->
+      """SELECT rn, c_custkey, c_name, c_acctbal FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rn,
+        |         c_custkey, c_name, c_acctbal
+        |  FROM customer)
+        |WHERE rn BETWEEN 101 AND 150
+        |ORDER BY rn""".stripMargin,
+
+    "q15_breadcrumb" ->
+      """SELECT n_nationkey, r_name || ' > ' || n_name AS breadcrumb
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q16_contains_join" ->
+      """SELECT token, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM (VALUES ('spark'), ('hash'), ('merge'), ('window'), ('stream')) t(token)
+        |CROSS JOIN documents
+        |WHERE contains(text, token)
+        |GROUP BY token
+        |ORDER BY token""".stripMargin,
+
+    "q17_user_rates" ->
+      """WITH agged AS (
+        |  SELECT user_id,
+        |         CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_views,
+        |         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
+        |         CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_views, n_purchases, n_errors,
+        |       n_purchases * 1000.0 / nullif(CAST(n_views AS DOUBLE), 0.0)
+        |         AS purchase_per_1k_views
+        |FROM agged
+        |ORDER BY user_id""".stripMargin,
+
+    "q18_hourly_windows" ->
+      s"""SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+         |       count(*) AS n_events,
+         |       ${moneySumSql("value", 100L)} AS total_value
+         |FROM events
+         |GROUP BY hour_us, event_type
+         |ORDER BY hour_us, event_type""".stripMargin)
+}

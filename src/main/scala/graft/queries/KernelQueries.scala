@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expr.{GeoExprs, WeightExprs}
+import graft.kernel.SafetyKernel
+
+/** The safety-scoring kernel (SURVEY §2.6-2.7), oracle-checked against
+  * DuckDB on the deterministically derived routes/accidents tables
+  * ([[Derived]] / [[Sql]]). Each query isolates one scalar factor (F1-F16);
+  * k08-k10 run the full composed kernel end-to-end.
+  */
+object KernelQueries {
+
+  private val CanonicalTypes = Seq("alpine", "ice", "mixed", "trad", "sport", "aid", "boulder")
+
+  private def typesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    CanonicalTypes.toDF("route_type")
+  }
+
+  private val typesValues =
+    "(VALUES " + CanonicalTypes.map(t => s"('$t')").mkString(", ") + ") t(route_type)"
+
+  private def withDomain(body: String): String =
+    s"WITH ${Sql.RoutesCte},\n${Sql.AccidentsCte}\n$body"
+
+  /** Small route subset for per-pair factor dumps (200 × 100 pairs). */
+  private def routeSubset(s: SparkSession, dir: String): DataFrame =
+    Derived.routes(s, dir).where(col("route_id") <= 200)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k01_haversine" -> ((s, dir) => {
+      routeSubset(s, dir).crossJoin(broadcast(Derived.accidents(s, dir)))
+        .select(
+          col("route_id"), col("accident_id"),
+          round(GeoExprs.haversineKm(col("lat"), col("lon"), col("a_lat"), col("a_lon")), 6)
+            .as("dist_km"),
+          round(GeoExprs.bearingDeg(col("lat"), col("lon"), col("a_lat"), col("a_lon")), 6)
+            .as("bearing_deg"))
+        .orderBy("route_id", "accident_id")
+    }),
+
+    "k02_spatial_weight" -> ((s, dir) => {
+      routeSubset(s, dir).crossJoin(broadcast(Derived.accidents(s, dir)))
+        .withColumn("dist_km",
+          GeoExprs.haversineKm(col("lat"), col("lon"), col("a_lat"), col("a_lon")))
+        .select(
+          col("route_id"), col("accident_id"),
+          round(WeightExprs.spatialWeight(col("dist_km"), col("route_type")), 6)
+            .as("spatial_w"))
+        .orderBy("route_id", "accident_id")
+    }),
+
+    "k03_temporal_weight" -> ((s, dir) => {
+      typesDf(s).crossJoin(broadcast(Derived.accidents(s, dir)))
+        .select(
+          col("route_type"), col("accident_id"),
+          round(WeightExprs.temporalWeight(Derived.planDate, col("a_date"), col("route_type")), 6)
+            .as("temporal_w"))
+        .orderBy("route_type", "accident_id")
+    }),
+
+    "k04_severity_weight" -> ((s, dir) => {
+      Derived.accidents(s, dir)
+        .select(
+          col("accident_id"), col("severity_raw"),
+          WeightExprs.normalizeSeverity(col("severity_raw")).as("severity_level"),
+          WeightExprs.severityWeight(WeightExprs.normalizeSeverity(col("severity_raw")))
+            .as("severity_w"))
+        .orderBy("accident_id")
+    }),
+
+    "k05_elevation_weight" -> ((s, dir) => {
+      routeSubset(s, dir).crossJoin(broadcast(Derived.accidents(s, dir)))
+        .select(
+          col("route_id"), col("accident_id"),
+          round(WeightExprs.elevationWeight(col("elev"), col("a_elev"), col("route_type")), 6)
+            .as("elevation_w"))
+        .orderBy("route_id", "accident_id")
+    }),
+
+    "k06_grade_weight" -> ((s, dir) => {
+      routeSubset(s, dir).crossJoin(broadcast(Derived.accidents(s, dir)))
+        .select(
+          col("route_id"), col("accident_id"),
+          round(WeightExprs.gradeWeight(col("difficulty"), col("a_difficulty")), 6)
+            .as("grade_w"))
+        .orderBy("route_id", "accident_id")
+    }),
+
+    "k07_route_type_weight" -> ((s, dir) => {
+      typesDf(s).crossJoin(broadcast(
+        Derived.accidents(s, dir).select("accident_id", "acc_type")))
+        .select(
+          col("route_type"), col("accident_id"), col("acc_type"),
+          WeightExprs.routeTypeWeight(col("route_type"), col("acc_type")).as("route_type_w"))
+        .orderBy("route_type", "accident_id")
+    }),
+
+    // The full kernel: ~2K routes × 100 accidents broadcast cross join →
+    // per-route risk. The flagship operator (SURVEY §2.7 / J2 / A1 / F16).
+    "k08_kernel_risk" -> ((s, dir) => {
+      SafetyKernel.scoreRoutes(
+        Derived.routes(s, dir), Derived.accidents(s, dir), Derived.planDate)
+        .select(
+          col("route_id"),
+          round(col("risk_score"), 4).as("risk_score"),
+          col("n_contributing"))
+        .orderBy("route_id")
+    }),
+
+    // W1 top-k contributing accidents, rank-filtered before any collect.
+    "k09_kernel_topk" -> ((s, dir) => {
+      val pairs = SafetyKernel.pairInfluence(
+        Derived.routes(s, dir).where(col("route_id") <= 300),
+        Derived.accidents(s, dir), Derived.planDate)
+      SafetyKernel.topContributors(pairs, 5)
+        .select(
+          col("route_id"), col("rank"), col("accident_id"),
+          round(col("influence"), 6).as("influence"))
+        .orderBy("route_id", "rank")
+    }),
+
+    // F15 color coding over the full kernel risk distribution.
+    "k10_color_hist" -> ((s, dir) => {
+      SafetyKernel.scoreRoutes(
+        Derived.routes(s, dir), Derived.accidents(s, dir), Derived.planDate)
+        .groupBy("color_code").agg(count(lit(1)).as("n_routes"))
+        .orderBy("color_code")
+    }))
+
+  private val distExpr = Sql.haversine("lat", "lon", "a_lat", "a_lon")
+
+  val oracles: Map[String, String] = Map(
+    "k01_haversine" -> withDomain(
+      s"""SELECT route_id, accident_id,
+         |       round($distExpr, 6) AS dist_km,
+         |       round(${Sql.bearing("lat", "lon", "a_lat", "a_lon")}, 6) AS bearing_deg
+         |FROM routes CROSS JOIN accidents
+         |WHERE route_id <= 200
+         |ORDER BY route_id, accident_id""".stripMargin),
+
+    "k02_spatial_weight" -> withDomain(
+      s"""SELECT route_id, accident_id,
+         |       round(${Sql.spatialWeight(distExpr, "route_type")}, 6) AS spatial_w
+         |FROM routes CROSS JOIN accidents
+         |WHERE route_id <= 200
+         |ORDER BY route_id, accident_id""".stripMargin),
+
+    "k03_temporal_weight" -> withDomain(
+      s"""SELECT route_type, accident_id,
+         |       round(${Sql.temporalWeight(Sql.PlanDate, "a_date", "route_type")}, 6) AS temporal_w
+         |FROM $typesValues CROSS JOIN accidents
+         |ORDER BY route_type, accident_id""".stripMargin),
+
+    "k04_severity_weight" -> withDomain(
+      s"""SELECT accident_id, severity_raw,
+         |       ${Sql.severityLevelCase("severity_raw")} AS severity_level,
+         |       ${Sql.severityWeight("severity_raw")} AS severity_w
+         |FROM accidents
+         |ORDER BY accident_id""".stripMargin),
+
+    "k05_elevation_weight" -> withDomain(
+      s"""SELECT route_id, accident_id,
+         |       round(${Sql.elevationWeight("elev", "a_elev", "route_type")}, 6) AS elevation_w
+         |FROM routes CROSS JOIN accidents
+         |WHERE route_id <= 200
+         |ORDER BY route_id, accident_id""".stripMargin),
+
+    "k06_grade_weight" -> withDomain(
+      s"""SELECT route_id, accident_id,
+         |       round(${Sql.gradeWeight("difficulty", "a_difficulty")}, 6) AS grade_w
+         |FROM routes CROSS JOIN accidents
+         |WHERE route_id <= 200
+         |ORDER BY route_id, accident_id""".stripMargin),
+
+    "k07_route_type_weight" -> withDomain(
+      s"""SELECT route_type, accident_id, acc_type,
+         |       ${Sql.routeTypeWeight("route_type", "acc_type")} AS route_type_w
+         |FROM $typesValues CROSS JOIN accidents
+         |ORDER BY route_type, accident_id""".stripMargin),
+
+    "k08_kernel_risk" -> withDomain(
+      s""", ${Sql.influencePairsCte}
+         |SELECT route_id,
+         |       round(${Sql.normalizeRisk("sum(influence)")}, 4) AS risk_score,
+         |       count(*) FILTER (WHERE influence > ${SafetyKernel.SignificanceFloor}) AS n_contributing
+         |FROM influences
+         |GROUP BY route_id
+         |ORDER BY route_id""".stripMargin),
+
+    "k09_kernel_topk" -> withDomain(
+      s""", ${Sql.influencePairsCte},
+         |ranked AS (
+         |  SELECT route_id, accident_id, influence,
+         |         row_number() OVER (PARTITION BY route_id
+         |                            ORDER BY influence DESC, accident_id ASC) AS rank
+         |  FROM influences
+         |  WHERE route_id <= 300)
+         |SELECT route_id, rank, accident_id, round(influence, 6) AS influence
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY route_id, rank""".stripMargin),
+
+    "k10_color_hist" -> withDomain(
+      s""", ${Sql.influencePairsCte},
+         |risks AS (
+         |  SELECT route_id, ${Sql.normalizeRisk("sum(influence)")} AS risk_score
+         |  FROM influences GROUP BY route_id)
+         |SELECT ${Sql.colorCase("risk_score")} AS color_code, count(*) AS n_routes
+         |FROM risks
+         |GROUP BY 1
+         |ORDER BY color_code""".stripMargin))
+}

@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextExprs
+
+/** Training-data pipeline operators (dedup / text analysis / similarity
+  * search) over the `documents` and `embeddings` tables. Oracle-checked
+  * where DuckDB can express the same math; MinHash/SimHash/LSH (xxhash64-
+  * based) are registered as rows-only checks and validated against exact
+  * Jaccard/cosine in ScalaTest instead.
+  */
+object PipelineQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- exact dedup inventory (hash-groupBy; md5 matches DuckDB's) -------
+    "d01_exact_dedup" -> ((s, dir) => {
+      Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("text_hash")
+    }),
+
+    // --- token counting + quality stats (pure map-side arithmetic) -------
+    "d02_token_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          TextExprs.tokenCount(col("text")).as("n_tokens"),
+          TextExprs.avgTokenLength(col("text")).as("avg_token_len"),
+          ((length(col("text")) - length(regexp_replace(col("text"), " the ", ""))) / 5)
+            .cast("long").as("n_the"))
+        .orderBy("doc_id")
+    }),
+
+    // --- per-language corpus profile --------------------------------------
+    "d03_lang_profile" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"),
+          sum(TextExprs.tokenCount(col("text"))).as("total_tokens"))
+        .orderBy("lang", "source")
+    }),
+
+    // --- exact token-set Jaccard pairs (doc_id < 40) ----------------------
+    "d04_jaccard_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).where(col("doc_id") < 40)
+      val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok")).distinct()
+      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val common = tok.as("a").join(tok.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("n_common"),
+          (col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- MinHash + LSH near-dup candidates (rows-only; spec-validated) ----
+    "d05_minhash_lsh" -> ((s, dir) => {
+      val sigs = Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.minhashSignature(col("text"), 16, 3).as("sig"))
+      Dedup.lshCandidatePairs(sigs, "doc_id", 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- SimHash fingerprints + fingerprint dedup (rows-only) -------------
+    "d06_simhash" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          Dedup.simhash63(col("text")).as("simhash"),
+          TextExprs.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // --- embedding near-dup pairs above cosine threshold ------------------
+    "d07_embedding_neardup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(Similarity.cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+        .where(col("cosine") >= 0.30)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- brute-force cosine top-k (exact ANN baseline) --------------------
+    "s01_cosine_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+        e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+        "vec_id", "embedding", 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- LSH-bucketed approximate top-k (rows-only; recall in spec) -------
+    "s02_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(
+        e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+        "vec_id", "embedding", dim = 64, bits = 8, k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- language-ID heuristic + quality scoring (rows-only) --------------
+    "d08_lang_quality" -> ((s, dir) => {
+      val markers = Map(
+        "en" -> Seq(" the ", " a ", " of "),
+        "de" -> Seq(" der ", " und ", " die "),
+        "fr" -> Seq(" le ", " et ", " les "),
+        "es" -> Seq(" el ", " y ", " los "),
+        "zh" -> Seq("的", "是", "了"))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"), col("lang"),
+          TextExprs.langIdGuess(col("text"), markers).as("lang_guess"),
+          TextExprs.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
+        .orderBy("doc_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper_id
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY text_hash""".stripMargin,
+
+    "d02_token_stats" ->
+      """SELECT doc_id,
+        |       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |       CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |             (length(text) - length(replace(text, ' ', '')) + 1) AS avg_token_len,
+        |       CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS n_the
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "d03_lang_profile" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |       CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
+    "d04_jaccard_pairs" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents WHERE doc_id < 40)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_common,
+        |       CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE)
+        |         AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "d07_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_dot_product(a.v, b.v) /
+        |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+        |         AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) /
+        |            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.30
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "s01_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+        |pairs AS (
+        |  SELECT query_id, neighbor_id,
+        |         list_dot_product(q.v, c.v) /
+        |           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+        |  FROM q CROSS JOIN c),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM pairs)
+        |SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cosine
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin)
+}

@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.expr.WeightExprs
+
+/** DuckDB oracle-SQL fragment generators.
+  *
+  * Every constant below is emitted from the SAME Scala values the Spark
+  * expressions use (graft.expr.WeightExprs) — `Double.toString` produces the
+  * shortest round-trip decimal, and DuckDB parses decimals to the nearest
+  * double, so both engines evaluate bit-identical literals. Operation order
+  * in each fragment deliberately mirrors the Column expression structure so
+  * IEEE-exact ops (+,-,*,/,sqrt) produce identical results; only
+  * transcendentals (exp/pow/sin/asin) may differ in the last ulp, which the
+  * final `round(...)` in every query absorbs.
+  */
+object Sql {
+
+  /** Canonical route-type names indexed by the derivation key `k % 8`
+    * (7 = default-ish second trad, mirroring the reference's
+    * normalize-to-trad default, `backend/app/api/v1/mp_routes.py:109-150`).
+    */
+  val TypeByIdx: Seq[String] =
+    Seq("alpine", "ice", "mixed", "trad", "sport", "aid", "boulder", "trad")
+
+  def typeCase(keyExpr: String): String =
+    s"CASE ($keyExpr) " +
+      TypeByIdx.zipWithIndex.dropRight(1).map { case (t, i) => s"WHEN $i THEN '$t'" }.mkString(" ") +
+      s" ELSE '${TypeByIdx.last}' END"
+
+  /** Generic `CASE lower(type) WHEN 'alpine' THEN …` lookup from a Scala map. */
+  def typeLookupCase(typeExpr: String, table: Map[String, Double], default: Double): String =
+    s"CASE lower($typeExpr) " +
+      table.toSeq.sortBy(_._1).map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") +
+      s" ELSE $default END"
+
+  // --- derived domain tables (shared CTEs; Spark twins in Derived.scala) ---
+
+  val RoutesCte: String =
+    s"""routes AS (
+       |  SELECT p_partkey AS route_id,
+       |         35.0 + (p_partkey % 1000) / 100.0 AS lat,
+       |         -120.0 + (p_partkey % 700) / 70.0 AS lon,
+       |         CASE WHEN p_partkey % 10 = 0 THEN NULL ELSE 1000.0 + (p_partkey % 3000) END AS elev,
+       |         ${typeCase("p_partkey % 8")} AS route_type,
+       |         CASE WHEN p_size % 7 = 0 THEN NULL ELSE 5.0 + (p_size % 11) END AS difficulty
+       |  FROM part)""".stripMargin
+
+  val AccidentsCte: String =
+    s"""accidents AS (
+       |  SELECT s_suppkey AS accident_id,
+       |         35.0 + ((s_suppkey * 37) % 1000) / 100.0 AS a_lat,
+       |         -120.0 + ((s_suppkey * 53) % 700) / 70.0 AS a_lon,
+       |         CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE 800.0 + ((s_suppkey * 13) % 3500) END AS a_elev,
+       |         ${typeCase("(s_suppkey * 31) % 8")} AS acc_type,
+       |         CASE (s_suppkey % 5) WHEN 0 THEN 'Fatal fall from height'
+       |                              WHEN 1 THEN 'climber seriously injured'
+       |                              WHEN 2 THEN 'minor scrapes and bruises'
+       |                              WHEN 3 THEN ''
+       |                              ELSE 'unclear outcome' END AS severity_raw,
+       |         DATE '2024-01-01' + CAST((s_suppkey * 17) % 730 AS INT) AS a_date,
+       |         CASE WHEN s_suppkey % 9 = 0 THEN NULL ELSE 4.0 + ((s_suppkey * 7) % 13) END AS a_difficulty
+       |  FROM supplier)""".stripMargin
+
+  /** The kernel's constant planning date (summer → exercises the seasonal
+    * boost against summer accidents).
+    */
+  val PlanDate = "DATE '2024-07-15'"
+
+  // --- scalar fragments -----------------------------------------------------
+
+  /** Haversine, structured exactly like GeoExprs.haversineKm. */
+  def haversine(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"2.0 * ${GeoExprsR} * asin(sqrt(" +
+      s"pow(sin(radians(($lat2) - ($lat1)) / 2), 2) + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians(($lon2) - ($lon1)) / 2), 2)))"
+  private val GeoExprsR = graft.expr.GeoExprs.EarthRadiusKm
+
+  /** Initial bearing [0,360), mirroring GeoExprs.bearingDeg (pmod = Spark's
+    * ((a % n) + n) % n).
+    */
+  def bearing(lat1: String, lon1: String, lat2: String, lon2: String): String = {
+    val y = s"sin(radians(($lon2) - ($lon1))) * cos(radians($lat2))"
+    val x = s"cos(radians($lat1)) * sin(radians($lat2)) - " +
+      s"sin(radians($lat1)) * cos(radians($lat2)) * cos(radians(($lon2) - ($lon1)))"
+    s"fmod(fmod(degrees(atan2($y, $x)), 360.0) + 360.0, 360.0)"
+  }
+
+  def spatialWeight(dist: String, routeType: String): String = {
+    val h = typeLookupCase(routeType, WeightExprs.SpatialBandwidth, WeightExprs.SpatialBandwidthDefault)
+    s"exp(-pow($dist, 2) / (2.0 * pow($h, 2)))"
+  }
+
+  def seasonCase(monthExpr: String): String =
+    s"CASE WHEN ($monthExpr) IN (12, 1, 2) THEN 'winter' " +
+      s"WHEN ($monthExpr) IN (3, 4, 5) THEN 'spring' " +
+      s"WHEN ($monthExpr) IN (6, 7, 8) THEN 'summer' ELSE 'fall' END"
+
+  /** Temporal weight, mirroring WeightExprs.temporalWeight. */
+  def temporalWeight(planDate: String, accDate: String, routeType: String): String = {
+    val lam = typeLookupCase(routeType, WeightExprs.TemporalLambda, WeightExprs.TemporalLambdaDefault)
+    val days = s"CAST(abs(date_diff('day', $accDate, $planDate)) AS DOUBLE)"
+    val baseW = s"1.0 - ${WeightExprs.TemporalDecayImpact} * " +
+      s"(1.0 - pow(pow($lam, $days), ${WeightExprs.TemporalDecayShape}))"
+    val mult = 1.0 + (WeightExprs.SeasonalBoost - 1.0) * WeightExprs.TemporalSeasonalImpact
+    s"CASE WHEN ${seasonCase(s"month($planDate)")} = ${seasonCase(s"month($accDate)")} " +
+      s"THEN ($baseW) * $mult ELSE ($baseW) END"
+  }
+
+  def elevationWeight(routeElev: String, accElev: String, routeType: String): String = {
+    val c = typeLookupCase(routeType, WeightExprs.ElevationDecayConstant, WeightExprs.ElevationDecayDefault)
+    s"CASE WHEN ($routeElev) IS NULL OR ($accElev) IS NULL THEN 1.0 " +
+      s"ELSE 1.0 + ${WeightExprs.ElevationBonusMax} * " +
+      s"exp(-pow(abs(($accElev) - ($routeElev)) / ($c), 2)) END"
+  }
+
+  /** 49-arm route-type matrix CASE generated from the canonical map. */
+  def routeTypeWeight(planType: String, accType: String): String =
+    "CASE " + WeightExprs.RouteTypeWeights.toSeq.sortBy(_._1).map { case ((p, a), w) =>
+      s"WHEN lower($planType) = '$p' AND lower($accType) = '$a' THEN $w"
+    }.mkString(" ") + s" ELSE ${WeightExprs.DefaultRouteTypeWeight} END"
+
+  /** normalizeSeverity alone (canonical level string), generated from
+    * WeightExprs.SeverityTerms.
+    */
+  def severityLevelCase(raw: String): String = {
+    val s = s"lower(trim($raw))"
+    val arms = WeightExprs.SeverityTerms.map { case (level, terms) =>
+      val cond = terms.map(t => s"contains($s, '$t')").mkString(" OR ")
+      s"WHEN $cond THEN '$level'"
+    }.mkString(" ")
+    s"CASE WHEN ($raw) IS NULL OR $s = '' THEN 'unknown' $arms ELSE 'unknown' END"
+  }
+
+  /** normalizeSeverity + severityWeight composed, generated from
+    * WeightExprs.SeverityTerms / SeverityWeights.
+    */
+  def severityWeight(raw: String): String = {
+    val s = s"lower(trim($raw))"
+    val arms = WeightExprs.SeverityTerms.map { case (level, terms) =>
+      val cond = terms.map(t => s"contains($s, '$t')").mkString(" OR ")
+      s"WHEN $cond THEN ${WeightExprs.SeverityWeights(level)}"
+    }.mkString(" ")
+    s"CASE WHEN ($raw) IS NULL OR $s = '' THEN 1.0 $arms ELSE 1.0 END"
+  }
+
+  def gradeWeight(routeDiff: String, accDiff: String): String = {
+    val twoSigmaSq = 2.0 * WeightExprs.GradeSigma * WeightExprs.GradeSigma
+    s"CASE WHEN ($routeDiff) IS NULL OR ($accDiff) IS NULL THEN 1.0 " +
+      s"ELSE greatest(${WeightExprs.GradeMinWeight}, " +
+      s"exp(-pow(abs(($routeDiff) - ($accDiff)), 2) / $twoSigmaSq)) END"
+  }
+
+  def weatherFactor(wsim: String): String =
+    s"CASE WHEN ($wsim) < ${WeightExprs.WeatherExclusionThreshold} THEN 0.0 " +
+      s"ELSE pow($wsim, ${WeightExprs.WeatherPower}) END"
+
+  def normalizeRisk(totalInfluence: String): String =
+    s"least(${WeightExprs.MaxRiskScore}, greatest(0.0, ($totalInfluence) * ${WeightExprs.RiskNormalizationFactor}))"
+
+  def colorCase(risk: String): String =
+    s"CASE WHEN ($risk) < 30 THEN 'green' WHEN ($risk) < 50 THEN 'yellow' " +
+      s"WHEN ($risk) < 70 THEN 'orange' ELSE 'red' END"
+
+  /** The full per-pair influence with neutral weather similarity 0.5
+    * (missing-pattern path) — multiplication order mirrors
+    * SafetyKernel.pairInfluence exactly.
+    */
+  def pairInfluenceSelect: String = {
+    val dist = haversine("lat", "lon", "a_lat", "a_lon")
+    s"""SELECT route_id, accident_id,
+       |       $dist AS dist_km,
+       |       ${spatialWeight(dist, "route_type")} AS spatial_w,
+       |       ${temporalWeight(PlanDate, "a_date", "route_type")} AS temporal_w,
+       |       ${elevationWeight("elev", "a_elev", "route_type")} AS elevation_w,
+       |       ${routeTypeWeight("route_type", "acc_type")} AS route_type_w,
+       |       ${severityWeight("severity_raw")} AS severity_w,
+       |       ${gradeWeight("difficulty", "a_difficulty")} AS grade_w
+       |FROM routes CROSS JOIN accidents""".stripMargin
+  }
+
+  /** CTE producing (route_id, accident_id, influence) pairs. */
+  def influencePairsCte: String = {
+    val wf = weatherFactor(SafetyKernelNeutral)
+    s"""pairs AS ($pairInfluenceSelect),
+       |influences AS (
+       |  SELECT route_id, accident_id,
+       |         spatial_w * temporal_w * elevation_w * route_type_w * severity_w * grade_w AS base_influence,
+       |         spatial_w * temporal_w * elevation_w * route_type_w * severity_w * grade_w * ($wf) AS influence
+       |  FROM pairs)""".stripMargin
+  }
+  private val SafetyKernelNeutral = "0.5"
+
+  // --- deterministic 7-day weather series (twins of Derived.tempAvg etc.;
+  // `a` = key expression, `k` = day index 0..6) ------------------------------
+
+  def tempAvg(a: String, k: String): String = s"(($a) * 13 + ($k) * 7) % 41 - 10 + ($k) * 0.5"
+  def tempMin(a: String, k: String): String = s"(${tempAvg(a, k)}) - (($a) + ($k)) % 6"
+  def tempMax(a: String, k: String): String = s"(${tempAvg(a, k)}) + (($a) + ($k) * 2) % 7"
+  def precip(a: String, k: String): String = s"((($a) * 11 + ($k) * 3) % 20) * 0.5"
+  def wind(a: String, k: String): String = s"2.0 + (($a) * 5 + ($k)) % 25"
+  def visib(a: String, k: String): String = s"10000.0 - ((($a) * 3 + ($k) * 13) % 100) * 50"
+  def cloud(a: String, k: String): String = s"((($a) * 19 + ($k) * 29) % 101) * 1.0"
+}

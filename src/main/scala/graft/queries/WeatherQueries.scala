@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expr.StatsExprs
+import graft.weather.WeatherExprs
+
+/** Weather-pattern operators (SURVEY A2-A5, W3) oracle-checked on the
+  * deterministic derived series. The Spark side computes per-row over array
+  * columns with higher-order functions; the DuckDB oracle re-derives the same
+  * statistics relationally (group sums over a `range(7)` lateral) — two
+  * independent implementations of the same math.
+  */
+object WeatherQueries {
+
+  private def accidentIds(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.supplier(s, dir).select(col("s_suppkey").as("accident_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A4: freeze-thaw day counting over struct arrays.
+    "w01_freeze_thaw" -> ((s, dir) => {
+      accidentIds(s, dir)
+        .withColumn("pattern", Derived.weatherPattern(col("accident_id")))
+        .select(
+          col("accident_id"),
+          StatsExprs.freezeThawCount(col("pattern.daily_temps")).cast("long")
+            .as("freeze_thaw_days"))
+        .orderBy("accident_id")
+    }),
+
+    // W3: exponential within-window day weights, normalized.
+    "w02_day_weights" -> ((s, dir) => {
+      import s.implicits._
+      Seq(7).toDF("n")
+        .select(posexplode(StatsExprs.withinWindowWeights(col("n"))))
+        .select(col("pos").cast("long").as("day_idx"), round(col("col"), 6).as("weight"))
+        .orderBy("day_idx")
+    }),
+
+    // A3: weighted Pearson correlation (temperature factor) per accident
+    // against the shared current pattern.
+    "w03_weighted_pearson" -> ((s, dir) => {
+      val cur = Derived.weatherPattern(lit(Derived.CurrentKey))
+      accidentIds(s, dir)
+        .withColumn("acc", Derived.weatherPattern(col("accident_id")))
+        .withColumn("cur", cur)
+        .select(
+          col("accident_id"),
+          round(StatsExprs.weightedPearson(
+            col("cur.temperature"), col("acc.temperature"),
+            StatsExprs.withinWindowWeights(size(col("acc.temperature")))), 6)
+            .as("wpearson"))
+        .orderBy("accident_id")
+    }),
+
+    // A5: full 6-factor weather similarity (no extreme amplification).
+    "w04_weather_similarity" -> ((s, dir) => {
+      val cur = Derived.weatherPattern(lit(Derived.CurrentKey))
+      accidentIds(s, dir)
+        .withColumn("acc", Derived.weatherPattern(col("accident_id")))
+        .withColumn("cur", cur)
+        .select(
+          col("accident_id"),
+          round(WeatherExprs.weatherSimilarity(col("cur"), col("acc")), 6)
+            .as("weather_similarity"))
+        .orderBy("accident_id")
+    }))
+
+  // --- oracle SQL -----------------------------------------------------------
+
+  private val A = "accident_id"
+  private val C = Derived.CurrentKey.toString
+
+  /** Per-(accident, day) series columns + normalized weights. */
+  private val seriesCte =
+    s"""acc AS (SELECT s_suppkey AS accident_id FROM supplier),
+       |d AS (
+       |  SELECT accident_id, k,
+       |         ${Sql.tempAvg(A, "k")} AS t_x, ${Sql.tempAvg(C, "k")} AS t_y,
+       |         ${Sql.precip(A, "k")} AS p_x, ${Sql.precip(C, "k")} AS p_y,
+       |         ${Sql.wind(A, "k")} AS w_x, ${Sql.wind(C, "k")} AS w_y,
+       |         ${Sql.visib(A, "k")} AS v_x, ${Sql.visib(C, "k")} AS v_y,
+       |         ${Sql.cloud(A, "k")} AS c_x, ${Sql.cloud(C, "k")} AS c_y,
+       |         ${Sql.tempMin(A, "k")} AS tmin_x, ${Sql.tempMax(A, "k")} AS tmax_x,
+       |         ${Sql.tempMin(C, "k")} AS tmin_y, ${Sql.tempMax(C, "k")} AS tmax_y,
+       |         pow(0.85, 6 - k) AS w
+       |  FROM acc, range(7) t(k)),
+       |n AS (SELECT *, w / sum(w) OVER (PARTITION BY accident_id) AS wn FROM d)""".stripMargin
+
+  /** Weighted-Pearson score `(corr+1)/2` fragment for factor prefix `f`
+    * (columns `{f}_x` accident, `{f}_y` current), with the zero-variance edge
+    * rules of StatsExprs.weightedPearson. Expects CTEs m/s to expose
+    * `v{f}x, v{f}y, c{f}` (note: correlation of current-vs-accident, so x is
+    * the CURRENT series to mirror weightedPearson(cur, acc, w) — symmetric
+    * anyway).
+    */
+  private def corrCase(f: String): String = {
+    val (vx, vy, cv) = (s"v${f}x", s"v${f}y", s"c$f")
+    s"""(CASE WHEN sqrt($vx) = 0 AND sqrt($vy) = 0 THEN 1.0
+       |      WHEN sqrt($vx) = 0 OR sqrt($vy) = 0 THEN 0.0
+       |      ELSE least(1.0, greatest(-1.0, $cv / (sqrt($vx) * sqrt($vy)))) END + 1.0) / 2""".stripMargin
+  }
+
+  private def momentSums(f: String): String =
+    s"sum(wn * (${f}_x - m${f}x) * (${f}_x - m${f}x)) AS v${f}x, " +
+      s"sum(wn * (${f}_y - m${f}y) * (${f}_y - m${f}y)) AS v${f}y, " +
+      s"sum((${f}_x - m${f}x) * (${f}_y - m${f}y) * wn) AS c$f"
+
+  private val factors = Seq("t", "p", "w", "v", "c")
+
+  private val meansCte =
+    "m AS (SELECT accident_id, " +
+      factors.map(f => s"sum(wn * ${f}_x) AS m${f}x, sum(wn * ${f}_y) AS m${f}y").mkString(", ") +
+      " FROM n GROUP BY accident_id)"
+
+  private val statsCte =
+    "s AS (SELECT n.accident_id, " +
+      factors.map(momentSums).mkString(", ") +
+      ", CAST(count(*) FILTER (WHERE tmin_x < 0 AND tmax_x > 0) AS BIGINT) AS ft_x" +
+      ", CAST(count(*) FILTER (WHERE tmin_y < 0 AND tmax_y > 0) AS BIGINT) AS ft_y" +
+      " FROM n JOIN m USING (accident_id) GROUP BY n.accident_id)"
+
+  val oracles: Map[String, String] = Map(
+    "w01_freeze_thaw" ->
+      s"""WITH acc AS (SELECT s_suppkey AS accident_id FROM supplier)
+         |SELECT accident_id,
+         |       CAST(count(*) FILTER (WHERE (${Sql.tempMin(A, "k")}) < 0
+         |                               AND (${Sql.tempMax(A, "k")}) > 0) AS BIGINT)
+         |         AS freeze_thaw_days
+         |FROM acc, range(7) t(k)
+         |GROUP BY accident_id
+         |ORDER BY accident_id""".stripMargin,
+
+    "w02_day_weights" ->
+      """WITH raw AS (SELECT k, pow(0.85, 6 - k) AS w FROM range(7) t(k))
+        |SELECT k AS day_idx, round(w / (SELECT sum(w) FROM raw), 6) AS weight
+        |FROM raw
+        |ORDER BY day_idx""".stripMargin,
+
+    "w03_weighted_pearson" ->
+      s"""WITH $seriesCte,
+         |$meansCte,
+         |$statsCte
+         |SELECT accident_id,
+         |       round(CASE WHEN sqrt(vtx) = 0 AND sqrt(vty) = 0 THEN 1.0
+         |                  WHEN sqrt(vtx) = 0 OR sqrt(vty) = 0 THEN 0.0
+         |                  ELSE least(1.0, greatest(-1.0, ct / (sqrt(vty) * sqrt(vtx)))) END, 6)
+         |         AS wpearson
+         |FROM s
+         |ORDER BY accident_id""".stripMargin,
+
+    "w04_weather_similarity" -> {
+      val fw = WeatherExprs.FactorWeight
+      val scoreSum = factors.map(f => s"(${corrCase(f)}) * $fw").mkString(" + ")
+      val ftSim = s"greatest(0.0, 1.0 - abs(ft_x - ft_y) / (greatest(ft_x, ft_y, 1) + 7))"
+      s"""WITH $seriesCte,
+         |$meansCte,
+         |$statsCte
+         |SELECT accident_id,
+         |       round($scoreSum + ($ftSim) * $fw, 6) AS weather_similarity
+         |FROM s
+         |ORDER BY accident_id""".stripMargin
+    })
+}

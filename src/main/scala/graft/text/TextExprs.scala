@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language-ID heuristic, document
+  * fingerprinting. All pure column arithmetic / higher-order functions —
+  * codegen-friendly, no UDFs, no shuffle; at 100 TB these run map-side at
+  * full scan throughput.
+  */
+object TextExprs {
+
+  /** Whitespace token count via space arithmetic (identical semantics in any
+    * SQL engine: `len(t) - len(replace(t,' ','')) + 1`).
+    */
+  def tokenCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
+
+  /** Token array (single-space separated corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Mean token length (separator-stripped chars / tokens). */
+  def avgTokenLength(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") / tokenCount(text)
+
+  /** Fraction of chars that are punctuation. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\.,;:!\\?'\"]", "")))
+      .cast("double") / length(text)
+
+  /** Fraction of tokens found in a stopword set. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(sw, t))).cast("double") / tokenCount(text)
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot × low punctuation ×
+    * healthy stopword ratio — the usual cheap pre-filter shape for corpus
+    * curation (cf. C4/Gopher-style heuristics, arXiv:2112.11446 §A1.1).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthScore = least(nTok / 20.0, lit(1.0)) * when(nTok > 1000, 0.5).otherwise(1.0)
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val swScore = least(stopwordRatio(text, stopwords) * 4.0, lit(1.0))
+    round(lengthScore * punctScore * (lit(0.5) + swScore * 0.5), 6)
+  }
+
+  /** Character-n-gram language scores: fraction of a language's marker
+    * n-grams present in the text. Deterministic heuristic; the winning
+    * language is the guess. Markers are per-language frequent tokens.
+    */
+  def langIdGuess(text: Column, markers: Map[String, Seq[String]]): Column = {
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      val score = ms.map(m => when(text.contains(m), 1).otherwise(0))
+        .reduce(_ + _)
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    // max_by over the per-language scores; ties break to lexicographically
+    // LAST language via the struct ordering (score first), made deterministic
+    // by sorting the array.
+    element_at(reverse(array_sort(array(scored: _*))), 1).getField("lang")
+  }
+
+  /** 64-bit rolling document fingerprint: order-sensitive hash chaining
+    * (fp ← xxhash64(fp, token)) — two docs share a fingerprint iff token
+    * sequences match (mod collisions). Hash chaining instead of a ×31
+    * polynomial keeps it ANSI-safe (no long overflow).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Shingle fingerprints for near-dup overlap detection: distinct w-token
+    * shingle hashes.
+    */
+  def shingleHashes(text: Column, w: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    array_distinct(transform(sequence(lit(1), greatest(n - (w - 1), lit(1))),
+      i => xxhash64(concat_ws(" ", slice(toks, i, lit(w))))))
+  }
+}
