@@ -127,6 +127,21 @@ object WeightExprs {
       .when(lower(severity) === "serious", SeverityWeights("serious"))
       .otherwise(1.0) // minor / unknown / unrecognized all 1.0
 
+  /** The KERNEL's severity weight: exact `lower(raw)` dict lookup with
+    * default 1.0 — the reference influence kernel does NOT apply the
+    * term-containment normalizer (`safety_algorithm.py:278` calls
+    * `calculate_severity_weight(accident.severity)` which is a plain
+    * `SEVERITY_BOOSTERS.get(severity.lower(), 1.0)`,
+    * `severity_weighting.py:18-55`) — so free text like "Serious Injury"
+    * scores 1.0 in the kernel. normalizeSeverity (F10) remains a separate
+    * data-prep operator.
+    */
+  def severityWeightKernel(raw: Column): Column =
+    when(raw.isNull, 1.0)
+      .when(lower(raw) === "fatal", SeverityWeights("fatal"))
+      .when(lower(raw) === "serious", SeverityWeights("serious"))
+      .otherwise(1.0)
+
   /** Raw free-text severity → canonical level via term containment
     * (ref: `severity_weighting.py:93-148`; order fatal → serious → minor).
     */

@@ -56,7 +56,9 @@ object SafetyKernel {
     val temporal = WeightExprs.temporalWeight(planDate, col("a_date"), col("route_type"))
     val elevW = WeightExprs.elevationWeight(col("elev"), col("a_elev"), col("route_type"))
     val rtW = WeightExprs.routeTypeWeight(col("route_type"), col("acc_type"))
-    val sevW = WeightExprs.severityWeight(WeightExprs.normalizeSeverity(col("severity_raw")))
+    // NB: raw lookup, not normalize-then-weight — mirrors the reference
+    // kernel exactly (see WeightExprs.severityWeightKernel scaladoc).
+    val sevW = WeightExprs.severityWeightKernel(col("severity_raw"))
     val grW = WeightExprs.gradeWeight(col("difficulty"), col("a_difficulty"))
 
     pairs

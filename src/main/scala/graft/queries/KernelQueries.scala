@@ -68,7 +68,8 @@ object KernelQueries {
           col("accident_id"), col("severity_raw"),
           WeightExprs.normalizeSeverity(col("severity_raw")).as("severity_level"),
           WeightExprs.severityWeight(WeightExprs.normalizeSeverity(col("severity_raw")))
-            .as("severity_w"))
+            .as("severity_norm_w"),
+          WeightExprs.severityWeightKernel(col("severity_raw")).as("severity_w"))
         .orderBy("accident_id")
     }),
 
@@ -158,6 +159,7 @@ object KernelQueries {
     "k04_severity_weight" -> withDomain(
       s"""SELECT accident_id, severity_raw,
          |       ${Sql.severityLevelCase("severity_raw")} AS severity_level,
+         |       ${Sql.severityNormWeight("severity_raw")} AS severity_norm_w,
          |       ${Sql.severityWeight("severity_raw")} AS severity_w
          |FROM accidents
          |ORDER BY accident_id""".stripMargin),

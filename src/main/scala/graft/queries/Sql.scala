@@ -52,11 +52,11 @@ object Sql {
        |         -120.0 + ((s_suppkey * 53) % 700) / 70.0 AS a_lon,
        |         CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE 800.0 + ((s_suppkey * 13) % 3500) END AS a_elev,
        |         ${typeCase("(s_suppkey * 31) % 8")} AS acc_type,
-       |         CASE (s_suppkey % 5) WHEN 0 THEN 'Fatal fall from height'
-       |                              WHEN 1 THEN 'climber seriously injured'
+       |         CASE (s_suppkey % 5) WHEN 0 THEN 'fatal'
+       |                              WHEN 1 THEN 'serious'
        |                              WHEN 2 THEN 'minor scrapes and bruises'
        |                              WHEN 3 THEN ''
-       |                              ELSE 'unclear outcome' END AS severity_raw,
+       |                              ELSE 'Serious Injury' END AS severity_raw,
        |         DATE '2024-01-01' + CAST((s_suppkey * 17) % 730 AS INT) AS a_date,
        |         CASE WHEN s_suppkey % 9 = 0 THEN NULL ELSE 4.0 + ((s_suppkey * 7) % 13) END AS a_difficulty
        |  FROM supplier)""".stripMargin
@@ -131,10 +131,19 @@ object Sql {
     s"CASE WHEN ($raw) IS NULL OR $s = '' THEN 'unknown' $arms ELSE 'unknown' END"
   }
 
-  /** normalizeSeverity + severityWeight composed, generated from
-    * WeightExprs.SeverityTerms / SeverityWeights.
+  /** The kernel's severity weight: exact lower(raw) lookup, default 1.0
+    * (mirrors WeightExprs.severityWeightKernel).
     */
-  def severityWeight(raw: String): String = {
+  def severityWeight(raw: String): String =
+    s"CASE WHEN ($raw) IS NULL THEN 1.0 " +
+      s"WHEN lower($raw) = 'fatal' THEN ${WeightExprs.SeverityWeights("fatal")} " +
+      s"WHEN lower($raw) = 'serious' THEN ${WeightExprs.SeverityWeights("serious")} " +
+      s"ELSE 1.0 END"
+
+  /** normalize-then-weight (the F10+F9 data-prep composition), generated
+    * from WeightExprs.SeverityTerms / SeverityWeights.
+    */
+  def severityNormWeight(raw: String): String = {
     val s = s"lower(trim($raw))"
     val arms = WeightExprs.SeverityTerms.map { case (level, terms) =>
       val cond = terms.map(t => s"contains($s, '$t')").mkString(" OR ")
