@@ -1,0 +1,75 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.text.TextExprs
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+  private val nearDup = base.replace("runs", "walks") // one token differs
+  private val other = "completely different content about spark query engines and shuffles"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, other), (4L, base)) // 4 = exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("exact dedup: groups by digest, keeps min id") {
+    val groups = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    assert(groups.length == 3)
+    val dup = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keeper_id") == 1L)
+    val kept = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("minhash estimate approximates exact shingle jaccard") {
+    val exact = Dedup.ngramJaccardPairs(docs.where(col("doc_id") <= 2), "doc_id", "text", 3)
+      .head().getAs[Double]("jaccard")
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), 128, 3).as("sig"))
+    val sigMap = sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val est = sigMap(1L).zip(sigMap(2L)).count { case (a, b) => a == b } / 128.0
+    // 128 hashes → standard error ~ sqrt(j(1-j)/128) ≈ 0.04
+    assert(math.abs(est - exact) < 0.15, s"est $est vs exact $exact")
+    // identical docs → identical signatures
+    assert(sigMap(1L) == sigMap(4L))
+  }
+
+  test("LSH candidate pairs surface the exact and near duplicates") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), 16, 3).as("sig"))
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    // near-dup (1,2) shares most shingles — 4 bands of 4 rows catch it w.h.p.
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)))
+  }
+
+  test("simhash: near-dups close in hamming space, unrelated docs far") {
+    val hashes = docs.select(col("doc_id"), Dedup.simhash63(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashes(1L), hashes(4L)) == 0)
+    assert(ham(hashes(1L), hashes(2L)) < ham(hashes(1L), hashes(3L)))
+  }
+
+  test("hamming64 column matches bitCount") {
+    val d = evalDouble(Dedup.hamming64(lit(0b1011L), lit(0b0010L)).cast("double"))
+    assert(d == 2.0)
+  }
+
+  test("fingerprint: order-sensitive, equal iff same token sequence") {
+    val fps = docs.select(col("doc_id"), TextExprs.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(4L))
+    assert(fps(1L) != fps(2L))
+    val reversed = Seq((9L, base.split(" ").reverse.mkString(" "))).toDF("doc_id", "text")
+      .select(TextExprs.fingerprint(col("text"))).head().getLong(0)
+    assert(reversed != fps(1L))
+  }
+}
