@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{CoreQueries, KernelQueries, PipelineQueries, WeatherQueries}
+import graft.queries.{CoreQueries, KernelQueries, OpsQueries, PipelineQueries, WeatherQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,11 +22,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ KernelQueries.queries ++
-      WeatherQueries.queries ++ PipelineQueries.queries
+      WeatherQueries.queries ++ PipelineQueries.queries ++ OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ KernelQueries.oracles ++
-      WeatherQueries.oracles ++ PipelineQueries.oracles
+      WeatherQueries.oracles ++ PipelineQueries.oracles ++ OpsQueries.oracles
 }

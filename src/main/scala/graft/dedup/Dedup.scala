@@ -36,12 +36,31 @@ object Dedup {
   }
 
   /** MinHash signature column: `numHashes` minima over seeded xxhash64 of
-    * w-token shingles. Pure map-side arithmetic.
+    * w-token shingles. Column form for composability; for bulk signature
+    * computation prefer [[minhashSignatures]] — higher-order functions are
+    * CodegenFallback (interpreted per element), the exploded aggregate is
+    * codegen'd with map-side partial aggregation.
     */
   def minhashSignature(text: Column, numHashes: Int, shingleWidth: Int): Column = {
     val shingles = TextExprs.shingleHashes(text, shingleWidth)
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shingles, sh => xxhash64(i, sh))))
+  }
+
+  /** Bulk MinHash signatures as explode → hash-aggregate: one row per
+    * (doc, shingle), then `numHashes` codegen'd `min(xxhash64(i, sh))`
+    * aggregates reassembled into a signature array. The only shuffle is the
+    * final aggregation keyed by `idCol` (partial min computed map-side), so
+    * at corpus scale this runs at scan throughput.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int, shingleWidth: Int): DataFrame = {
+    val exploded = df.select(col(idCol),
+      explode(TextExprs.shingleHashes(col(textCol), shingleWidth)).as("sh"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
+    exploded.groupBy(idCol)
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** Estimated Jaccard from two signatures: fraction of agreeing minima. */
@@ -57,9 +76,7 @@ object Dedup {
     * only shuffle; per-bucket fan-out is bounded by bucket size, not corpus
     * size.
     */
-  def lshCandidatePairs(df: DataFrame, idCol: String, bands: Int): DataFrame = {
-    val sigLen = // rows per band derived lazily from the first row's signature
-      df.select(size(col("sig"))).head().getInt(0)
+  def lshCandidatePairs(df: DataFrame, idCol: String, sigLen: Int, bands: Int): DataFrame = {
     require(sigLen % bands == 0, s"signature length $sigLen not divisible by $bands bands")
     val r = sigLen / bands
     val banded = df.select(

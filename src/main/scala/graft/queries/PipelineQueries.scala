@@ -69,9 +69,8 @@ object PipelineQueries {
 
     // --- MinHash + LSH near-dup candidates (rows-only; spec-validated) ----
     "d05_minhash_lsh" -> ((s, dir) => {
-      val sigs = Tables.documents(s, dir)
-        .select(col("doc_id"), Dedup.minhashSignature(col("text"), 16, 3).as("sig"))
-      Dedup.lshCandidatePairs(sigs, "doc_id", 4)
+      val sigs = Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text", 16, 3)
+      Dedup.lshCandidatePairs(sigs, "doc_id", 16, 4)
         .orderBy("id_a", "id_b")
     }),
 
@@ -87,12 +86,14 @@ object PipelineQueries {
 
     // --- embedding near-dup pairs above cosine threshold ------------------
     "d07_embedding_neardup" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(
-          col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          round(Similarity.cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+      val a = Similarity.withNorm(Tables.embeddings(s, dir), "vec_id", "embedding",
+        "id_a", "v_a", "n_a")
+      val b = Similarity.withNorm(Tables.embeddings(s, dir), "vec_id", "embedding",
+        "id_b", "v_b", "n_b")
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(graft.expr.VectorExprs.dot(col("v_a"), col("v_b")) /
+            (col("n_a") * col("n_b")), 4).as("cosine"))
         .where(col("cosine") >= 0.30)
         .orderBy("id_a", "id_b")
     }),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.expr.StatsExprs
+import graft.expr.VectorExprs
 
 /** Vector-similarity search over embedding columns (`Array[Float]`).
   *
@@ -18,44 +18,54 @@ import graft.expr.StatsExprs
   */
 object Similarity {
 
-  /** Cosine similarity of two double-array columns (dot/(|a|·|b|)). */
-  def cosine(a: Column, b: Column): Column =
-    StatsExprs.arrayDot(a, b) /
-      (sqrt(StatsExprs.arrayDot(a, a)) * sqrt(StatsExprs.arrayDot(b, b)))
+  /** Cosine similarity of two double-array columns (dot/(|a|·|b|)),
+    * via the codegen'd native dot product.
+    */
+  def cosine(a: Column, b: Column): Column = VectorExprs.cosine(a, b)
+
+  /** Project (id, vector, norm) — hoists the per-row norm out of any pair
+    * loop so each candidate pair costs exactly ONE dot product plus one
+    * multiply-divide.
+    */
+  def withNorm(df: DataFrame, idCol: String, vecCol: String,
+               outId: String, outVec: String, outNorm: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol).as(outId), v.as(outVec), VectorExprs.norm(v).as(outNorm))
+  }
 
   /** Exact top-k neighbors: for each row of `queries`, the k highest-cosine
     * rows of `corpus`. Both inputs need (`idCol`, `vecCol`); queries are
-    * broadcast. Returns (query_id, rank, neighbor_id, cosine).
+    * broadcast (the small side of the nested-loop join) and norms are
+    * computed once per row, not per pair. Returns
+    * (query_id, rank, neighbor_id, cosine).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("q_vec")))
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("c_vec"))
+    val q = broadcast(withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_n"))
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "c_vec", "c_n")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     q.crossJoin(c)
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine",
+        VectorExprs.dot(col("q_vec"), col("c_vec")) / (col("q_n") * col("c_n")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
   /** Random-hyperplane signature: `bits` sign bits packed into a long.
-    * Hyperplane h_i[j] = ±1 derived from xxhash64(i, j) — deterministic, no
-    * stored model. Same-signature vectors land in the same bucket.
+    * Hyperplanes are ±1 vectors generated driver-side from a fixed seed and
+    * inlined as array literals, so each bit costs one codegen'd dot product
+    * (no interpreted lambdas, no stored model).
     */
   def hyperplaneSignature(vec: Column, dim: Int, bits: Int): Column = {
     require(bits <= 62, "packed signature must fit a long without overflow")
-    val dots = transform(sequence(lit(0), lit(bits - 1)), i =>
-      aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (v, j) => when(xxhash64(i, j) % 2 === 0, v).otherwise(-v)),
-        lit(0.0), (acc, x) => acc + x))
-    // Horner packing (MSB = last hyperplane) — ANSI-safe for bits ≤ 62.
-    aggregate(reverse(dots), lit(0L),
-      (acc, d) => acc * 2L + when(d > 0, 1L).otherwise(0L))
+    val rnd = new scala.util.Random(42L * 1000003 + dim * 31 + bits)
+    val planes = Seq.fill(bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    planes.zipWithIndex.map { case (hp, j) =>
+      when(VectorExprs.dot(vec, typedLit(hp.toSeq)) > 0, math.pow(2.0, j).toLong)
+        .otherwise(0L)
+    }.reduce(_ + _) // sum of distinct powers of two < 2^63 — ANSI-safe
   }
 
   /** Approximate top-k via LSH bucketing with multi-probe fallback: probe
@@ -67,21 +77,20 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, dim: Int, bits: Int, k: Int): DataFrame = {
     require(bits <= 16, "multi-probe signature is meant to be short")
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("c_vec"),
-      hyperplaneSignature(col(vecCol).cast("array<double>"), dim, bits).as("bucket"))
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "c_vec", "c_n")
+      .withColumn("bucket", hyperplaneSignature(col("c_vec"), dim, bits))
     // queries fan out to their own bucket + every 1-bit flip (multi-probe)
-    val q = queries.select(
-      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("q_vec"),
-      hyperplaneSignature(col(vecCol).cast("array<double>"), dim, bits).as("sig"))
-      .select(col("query_id"), col("q_vec"),
+    val q = withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_n")
+      .withColumn("sig", hyperplaneSignature(col("q_vec"), dim, bits))
+      .select(col("query_id"), col("q_vec"), col("q_n"),
         explode(concat(array(col("sig")),
           transform(sequence(lit(0), lit(bits - 1)),
             i => col("sig").bitwiseXOR(pow(lit(2.0), i).cast("long"))))).as("bucket"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     broadcast(q).join(c, "bucket")
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine",
+        VectorExprs.dot(col("q_vec"), col("c_vec")) / (col("q_n") * col("c_n")))
       .select("query_id", "neighbor_id", "cosine").distinct()
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

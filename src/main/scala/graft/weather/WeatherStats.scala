@@ -1,0 +1,55 @@
+package graft.weather
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expr.StatsExprs
+
+/** Historical weather statistics (SURVEY A6): per-location-bucket factor
+  * mean/std under cyclic-month exponential weighting, plus per-month
+  * volatility groups — the inputs of the extreme-weather multiplier (A7).
+  *
+  * Reference: `backend/app/services/weather_service.py:93-110,353-471` —
+  * weight = exp(−monthCyclicDistance(month, refMonth)/2.0), weighted
+  * population-style mean/std, per-month mean/std/count with a ≥30-sample
+  * validity threshold.
+  *
+  * Spark shape: two hash aggregations over the archive scan (partial
+  * map-side combine); the result is a small per-bucket frame meant to be
+  * broadcast back into the kernel.
+  */
+object WeatherStats {
+
+  val MonthDecayScale = 2.0
+  val MinSamples = 30
+
+  def monthWeight(month: Column, refMonth: Column): Column =
+    exp(-StatsExprs.monthCyclicDistance(month, refMonth).cast("double") / MonthDecayScale)
+
+  /** Per-bucket weighted mean/std of a value column for a reference month.
+    * Input needs (`bucket`, `month`, valueCol).
+    */
+  def bucketStats(archive: DataFrame, valueCol: String, refMonth: Int): DataFrame = {
+    val w = monthWeight(col("month"), lit(refMonth))
+    val v = col(valueCol)
+    archive.groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_samples"),
+        (sum(w * v) / sum(w)).as("w_mean"),
+        sum(w).as("w_sum"),
+        sum(w * v * v).as("w_sq"))
+      // population-style weighted std: sqrt(E_w[v²] − E_w[v]²)
+      .withColumn("w_std", sqrt(greatest(col("w_sq") / col("w_sum") -
+        col("w_mean") * col("w_mean"), lit(0.0))))
+      .withColumn("valid", col("n_samples") >= MinSamples)
+      .drop("w_sum", "w_sq")
+  }
+
+  /** Per-(bucket, month) volatility groups: plain mean/std/count. */
+  def monthlyVolatility(archive: DataFrame, valueCol: String): DataFrame =
+    archive.groupBy("bucket", "month")
+      .agg(
+        avg(valueCol).as("m_mean"),
+        stddev_pop(valueCol).as("m_std"),
+        count(lit(1)).as("n"))
+}

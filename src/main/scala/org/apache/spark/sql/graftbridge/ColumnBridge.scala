@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into the `private[sql]` Column↔Expression converters — the
+  * supported pattern for native-expression libraries built against classic
+  * Spark (the converters are stable but not exported; living under the
+  * org.apache.spark.sql package grants the access a SparkSessionExtensions-
+  * registered function would get implicitly).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -40,10 +40,18 @@ class DedupSpec extends SparkSpec {
     assert(sigMap(1L) == sigMap(4L))
   }
 
-  test("LSH candidate pairs surface the exact and near duplicates") {
-    val sigs = docs.select(col("doc_id"),
+  test("bulk minhashSignatures agrees with the column form") {
+    val bulk = Dedup.minhashSignatures(docs, "doc_id", "text", 16, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val colForm = docs.select(col("doc_id"),
       Dedup.minhashSignature(col("text"), 16, 3).as("sig"))
-    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(bulk == colForm)
+  }
+
+  test("LSH candidate pairs surface the exact and near duplicates") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16, 3)
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", 16, 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 4L))) // exact dup always collides
     // near-dup (1,2) shares most shingles — 4 bands of 4 rows catch it w.h.p.
