@@ -40,42 +40,97 @@ object SafetyKernel {
   val NeutralWeatherSimilarity = 0.5
   val SignificanceFloor = 1e-6 // O8, location_safety_computation.py:406-411
 
+  private val CanonicalTypes = Seq("alpine", "ice", "mixed", "trad", "sport", "aid", "boulder")
+
+  /** Canonical type index (0-6) or -1; lets the per-pair path use integer
+    * arithmetic instead of string comparisons.
+    */
+  private def typeIdx(typeLc: Column): Column =
+    CanonicalTypes.zipWithIndex.foldLeft(when(lit(false), lit(0))) {
+      case (acc, (t, i)) => acc.when(typeLc === t, i)
+    }.otherwise(-1)
+
+  /** The 7×7 matrix flattened route-major for int-indexed lookup. */
+  private val rtMatrixFlat: Seq[Double] =
+    for (p <- CanonicalTypes; a <- CanonicalTypes)
+      yield WeightExprs.RouteTypeWeights((p, a))
+
   /** Per-(route × accident) influence decomposition over a broadcast cross
     * join. Returns the pair grain with every factor as its own column —
     * downstream ops (risk agg, top-k breakdown, factor-contribution
     * analytics A13) all derive from this one plan.
+    *
+    * Everything that depends on only ONE side is computed BEFORE the join
+    * (type-bandwidth/λ/elevation-constant per route; severity weight,
+    * season flag, day count per accident) so the O(routes × accidents)
+    * inner loop is pure numeric trig/exp — no string ops, no when-chains
+    * over strings. Results are bit-identical to the reference composition
+    * (the hoisted values are the same values, evaluated once).
     */
   def pairInfluence(routes: DataFrame, accidents: DataFrame, planDate: Column): DataFrame = {
-    val acc =
+    val routesEnriched = routes
+      .withColumn("__rt_lc", lower(col("route_type")))
+      .withColumn("__h", WeightExprs.spatialBandwidthKm(col("__rt_lc")))
+      .withColumn("__lam", WeightExprs.temporalLambda(col("__rt_lc")))
+      .withColumn("__elev_c",
+        WeightExprs.ElevationDecayConstant.foldLeft(when(lit(false), lit(0.0))) {
+          case (acc, (k, v)) => acc.when(col("__rt_lc") === k, v)
+        }.otherwise(WeightExprs.ElevationDecayDefault))
+      .withColumn("__rt_idx", typeIdx(col("__rt_lc")))
+
+    val accBase =
       if (accidents.columns.contains("wsim")) accidents
       else accidents.withColumn("wsim", lit(NeutralWeatherSimilarity))
-    val pairs = routes.crossJoin(broadcast(acc))
+    val accEnriched = accBase
+      .withColumn("__sev_w", WeightExprs.severityWeightKernel(col("severity_raw")))
+      .withColumn("__acc_idx", typeIdx(lower(col("acc_type"))))
+      .withColumn("__days", abs(datediff(planDate, col("a_date"))).cast("double"))
+      .withColumn("__same_season",
+        WeightExprs.seasonOf(planDate) === WeightExprs.seasonOf(col("a_date")))
+      .withColumn("__wfactor", WeightExprs.weatherFactor(col("wsim")))
 
-    val dist = GeoExprs.haversineKm(col("lat"), col("lon"), col("a_lat"), col("a_lon"))
-    val spatial = WeightExprs.spatialWeight(col("dist_km"), col("route_type"))
-    val temporal = WeightExprs.temporalWeight(planDate, col("a_date"), col("route_type"))
-    val elevW = WeightExprs.elevationWeight(col("elev"), col("a_elev"), col("route_type"))
-    val rtW = WeightExprs.routeTypeWeight(col("route_type"), col("acc_type"))
-    // NB: raw lookup, not normalize-then-weight — mirrors the reference
-    // kernel exactly (see WeightExprs.severityWeightKernel scaladoc).
-    val sevW = WeightExprs.severityWeightKernel(col("severity_raw"))
+    val pairs = routesEnriched.crossJoin(broadcast(accEnriched))
+
+    // spatial: exp(-d²/(2h²)) with per-route bandwidth
+    val spatial = exp(-(pow(col("dist_km"), 2)) / (lit(2.0) * pow(col("__h"), 2)))
+    // temporal: 1 − 0.35·(1 − (λ^days)^1.5), ×1.05 same season
+    val baseDecay = pow(col("__lam"), col("__days"))
+    val baseWeight = lit(1.0) - lit(WeightExprs.TemporalDecayImpact) *
+      (lit(1.0) - pow(baseDecay, WeightExprs.TemporalDecayShape))
+    val seasonalMultiplier = lit(1.0 +
+      (WeightExprs.SeasonalBoost - 1.0) * WeightExprs.TemporalSeasonalImpact)
+    val temporal = when(col("__same_season"), baseWeight * seasonalMultiplier)
+      .otherwise(baseWeight)
+    // elevation: bonus-only gaussian with per-route constant
+    val elevDiff = abs(col("a_elev") - col("elev"))
+    val elevW = when(col("elev").isNull || col("a_elev").isNull, lit(1.0))
+      .otherwise(lit(1.0) + lit(WeightExprs.ElevationBonusMax) *
+        exp(-pow(elevDiff / col("__elev_c"), 2)))
+    // route-type: int-indexed flat 7×7 matrix (same literals as the map form)
+    val rtW = when(col("__rt_idx") >= 0 && col("__acc_idx") >= 0,
+      element_at(array(rtMatrixFlat.map(lit): _*),
+        (col("__rt_idx") * 7 + col("__acc_idx") + 1).cast("int")))
+      .otherwise(WeightExprs.DefaultRouteTypeWeight)
     val grW = WeightExprs.gradeWeight(col("difficulty"), col("a_difficulty"))
 
     pairs
-      .withColumn("dist_km", dist)
+      .withColumn("dist_km",
+        GeoExprs.haversineKm(col("lat"), col("lon"), col("a_lat"), col("a_lon")))
       .withColumn("spatial_w", spatial)
       .withColumn("temporal_w", temporal)
       .withColumn("elevation_w", elevW)
       .withColumn("route_type_w", rtW)
-      .withColumn("severity_w", sevW)
+      .withColumn("severity_w", col("__sev_w"))
       .withColumn("grade_w", grW)
       // multiplication order mirrors the reference composition exactly
       // (safety_algorithm.py:293-319) — and the DuckDB oracle SQL.
       .withColumn("base_influence",
         col("spatial_w") * col("temporal_w") * col("elevation_w") *
           col("route_type_w") * col("severity_w") * col("grade_w"))
-      .withColumn("weather_factor", WeightExprs.weatherFactor(col("wsim")))
+      .withColumn("weather_factor", col("__wfactor"))
       .withColumn("influence", col("base_influence") * col("weather_factor"))
+      .drop("__rt_lc", "__h", "__lam", "__elev_c", "__rt_idx",
+        "__sev_w", "__acc_idx", "__days", "__same_season", "__wfactor")
   }
 
   /** Aggregate pair influences to per-route risk (A1 + F16). */

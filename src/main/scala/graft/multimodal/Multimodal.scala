@@ -1,0 +1,105 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines: media as opaque
+  * `binary` columns with typed metadata, and per-partition feature
+  * extraction.
+  *
+  * The decode step is a clearly-marked STUB — this container has no
+  * image/audio codecs, so `decodeStub` produces a deterministic fake
+  * feature vector (byte-value histogram). The Spark-side plumbing is the
+  * real thing: schema, binary payload handling, partition-wise batch
+  * processing via `mapPartitions` (the JVM analog of `mapInPandas` batch
+  * UDFs), and stride-based frame sampling.
+  */
+object Multimodal {
+
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))), nullable = true)))
+
+  /** Derive a deterministic media table from the documents corpus: payload
+    * = UTF-8 bytes, metadata derived from stable hashes. Stands in for a
+    * real binary ingest while keeping every downstream op testable.
+    */
+  def deriveMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        (pmod(xxhash64(col("doc_id")), lit(1920)) + 1).cast("int").as("width"),
+        (pmod(xxhash64(col("doc_id"), lit(2)), lit(1080)) + 1).cast("int").as("height"),
+        (pmod(xxhash64(col("doc_id"), lit(3)), lit(600000)) + 1).as("duration_ms")).as("meta"))
+
+  val FeatureDim = 16
+
+  /** STUB decode: a real implementation would decode the payload with an
+    * image/audio codec; here features are a deterministic 16-bin byte
+    * histogram, L1-normalized. Signature and batch shape match what a real
+    * decoder would use.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](FeatureDim)
+    if (payload == null || payload.isEmpty) return hist
+    payload.foreach { b => hist((b & 0xff) % FeatureDim) += 1f }
+    val total = payload.length.toFloat
+    hist.map(_ / total)
+  }
+
+  /** Partition-wise feature extraction — the expensive decode runs once per
+    * row inside a partition iterator (no per-row task overhead, no
+    * driver-side collect), producing (media_id, kind, features).
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "kind", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+            decodeStub(payload).toSeq)
+        }
+      }(encoder)
+  }
+
+  /** Stride-based frame sampling: pick `n` evenly spaced byte offsets from
+    * the payload (the shape of video frame sampling; a real decoder would
+    * seek keyframes).
+    */
+  def frameSample(media: DataFrame, n: Int): DataFrame =
+    media.select(
+      col("media_id"),
+      transform(sequence(lit(0), lit(n - 1)), i =>
+        element_at(col("payload"),
+          (i * greatest(length(col("payload")), lit(1)) / n + 1).cast("int"))
+      ).as("sampled_bytes"))
+
+  /** Resize metadata transform (decode-free): new dimensions preserving
+    * aspect ratio against a max edge — metadata math is real even though
+    * pixel work is stubbed.
+    */
+  def resizeMeta(media: DataFrame, maxEdge: Int): DataFrame = {
+    val w = col("meta.width").cast("double")
+    val h = col("meta.height").cast("double")
+    val scale = least(lit(maxEdge) / greatest(w, h), lit(1.0))
+    media.select(col("media_id"),
+      round(w * scale).cast("int").as("new_width"),
+      round(h * scale).cast("int").as("new_height"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kernel.SafetyKernel
+
+/** The nightly batch (SURVEY §3.2, S9/S10): score every route for a set of
+  * dates and land the results as a date-partitioned parquet table with
+  * idempotent per-partition overwrite — the Spark-native replacement for
+  * the reference's `INSERT … ON CONFLICT DO UPDATE` upsert batches and
+  * Redis TTL cleanup (`safety_computation_optimized.py:827-905`,
+  * `cache.py:477-524`).
+  *
+  * Scale shape: per date, one broadcast cross join (accidents side tiny) →
+  * map-side kernel → hash agg keyed by route — no shuffle grows with
+  * #accidents; dates are independent jobs. Partition overwrite makes
+  * retries idempotent (the reference needed a distributed lock for that;
+  * Spark's dynamic partition overwrite gives the same safety for free).
+  */
+object ScoringPipeline {
+
+  /** Score all routes for each date; returns the union tagged with
+    * `prediction_date` (the partition column).
+    */
+  def computeDailyScores(routes: DataFrame, accidents: DataFrame,
+                         dates: Seq[String]): DataFrame =
+    dates.map { d =>
+      SafetyKernel.scoreRoutes(routes, accidents, to_date(lit(d)))
+        .withColumn("prediction_date", to_date(lit(d)))
+        .withColumn("calculated_at", current_timestamp())
+    }.reduce(_ unionByName _)
+
+  /** Write scores with dynamic partition overwrite (upsert-by-partition,
+    * S9). Re-running a date replaces exactly that date's partition.
+    */
+  def writeScores(scores: DataFrame, outPath: String): Unit =
+    scores.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("prediction_date")
+      .parquet(outPath)
+
+  /** Full nightly run with the reference's row-count invariant
+    * (`safety_computation_optimized.py:689-699`): every route must be
+    * scored for every date.
+    */
+  def runDaily(spark: SparkSession, routes: DataFrame, accidents: DataFrame,
+               dates: Seq[String], outPath: String): Long = {
+    val scores = computeDailyScores(routes, accidents, dates)
+    writeScores(scores, outPath)
+    val written = spark.read.parquet(outPath)
+      .where(col("prediction_date").isin(dates.map(d => java.sql.Date.valueOf(d)): _*))
+      .count()
+    val expected = routes.count() * dates.length
+    require(written == expected,
+      s"scoring invariant violated: wrote $written rows, expected $expected")
+    written
+  }
+
+  /** S10 retention: drop partitions whose date is not in the keep set —
+    * partition-directory removal, the table-format analog of the
+    * reference's stale-Redis-key cleanup.
+    */
+  def retainDates(spark: SparkSession, outPath: String, keep: Seq[String]): Seq[String] = {
+    val fs = new Path(outPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(outPath)
+    if (!fs.exists(root)) return Seq.empty
+    val keepSet = keep.toSet
+    val dropped = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("prediction_date=") &&
+          !keepSet.contains(p.getName.stripPrefix("prediction_date="))
+      }
+    dropped.foreach(fs.delete(_, true))
+    dropped.map(_.getName)
+  }
+}

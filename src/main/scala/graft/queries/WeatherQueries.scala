@@ -42,29 +42,32 @@ object WeatherQueries {
     // A3: weighted Pearson correlation (temperature factor) per accident
     // against the shared current pattern.
     "w03_weighted_pearson" -> ((s, dir) => {
-      val cur = Derived.weatherPattern(lit(Derived.CurrentKey))
+      // arrays and weights staged as columns so the pearson tree expands
+      // over cheap attribute refs, not re-evaluated array builders
       accidentIds(s, dir)
-        .withColumn("acc", Derived.weatherPattern(col("accident_id")))
-        .withColumn("cur", cur)
+        .withColumn("xs", Derived.weatherPattern(lit(Derived.CurrentKey))
+          .getField("temperature"))
+        .withColumn("ys", Derived.weatherPattern(col("accident_id"))
+          .getField("temperature"))
+        .withColumn("w", StatsExprs.withinWindowWeights(size(col("ys"))))
         .select(
           col("accident_id"),
-          round(StatsExprs.weightedPearson(
-            col("cur.temperature"), col("acc.temperature"),
-            StatsExprs.withinWindowWeights(size(col("acc.temperature")))), 6)
+          round(StatsExprs.weightedPearson(col("xs"), col("ys"), col("w")), 6)
             .as("wpearson"))
         .orderBy("accident_id")
     }),
 
-    // A5: full 6-factor weather similarity (no extreme amplification).
+    // A5: full 6-factor weather similarity (no extreme amplification),
+    // via the staged let-bound form (bit-identical to the Column form).
     "w04_weather_similarity" -> ((s, dir) => {
-      val cur = Derived.weatherPattern(lit(Derived.CurrentKey))
-      accidentIds(s, dir)
-        .withColumn("acc", Derived.weatherPattern(col("accident_id")))
-        .withColumn("cur", cur)
+      WeatherExprs.withWeatherSimilarity(
+        accidentIds(s, dir),
+        Derived.weatherPattern(lit(Derived.CurrentKey)),
+        Derived.weatherPattern(col("accident_id")),
+        "wsim_raw")
         .select(
           col("accident_id"),
-          round(WeatherExprs.weatherSimilarity(col("cur"), col("acc")), 6)
-            .as("weather_similarity"))
+          round(col("wsim_raw"), 6).as("weather_similarity"))
         .orderBy("accident_id")
     }))
 

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.8). The reference approximates
+  * streaming with nightly Celery batches + TTL caches; here the same
+  * semantics are first-class incremental queries:
+  *
+  *  - windowed aggregation with watermarked event time (the 7-day/1-day
+  *    sliding recompute collapses to `window()` + watermark)
+  *  - session windows via typed `flatMapGroupsWithState` (the streaming
+  *    twin of the W4 gaps-and-islands batch query, q10_sessionize)
+  */
+object StreamingOps {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(sessionStartUs: Long, lastTsUs: Long, nEvents: Long,
+                          totalValueCents: Long)
+
+  case class SessionOut(user_id: Long, session_start_us: Long, n_events: Long,
+                        session_value: Double)
+
+  val SessionGapUs: Long = 30L * 60 * 1000000 // 30 min, matches q10_sessionize
+
+  /** Tumbling windowed counts over watermarked event time. Works on both
+    * batch and streaming frames (same plan — Structured Streaming's
+    * unified-API contract).
+    */
+  def hourlyTypeCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        unix_micros(col("w.start")).as("hour_us"),
+        col("event_type"), col("n_events"),
+        (col("value_cents").cast("double") / 100.0).as("total_value"))
+
+  /** Streaming sessionization: 30-minute inactivity gap closes a session.
+    * Emits one row per closed session (on gap or processing-time timeout).
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ListBuffer[SessionOut]()
+          var cur = state.getOption
+          if (state.hasTimedOut) {
+            cur.foreach(s => out += closed(userId, s))
+            state.remove()
+            Iterator.empty ++ out
+          } else {
+            // process this micro-batch's events in event-time order
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val tsUs = e.ts.getTime * 1000
+              val cents = math.round(e.value * 100)
+              cur match {
+                case Some(s) if tsUs - s.lastTsUs <= SessionGapUs =>
+                  cur = Some(s.copy(lastTsUs = tsUs, nEvents = s.nEvents + 1,
+                    totalValueCents = s.totalValueCents + cents))
+                case Some(s) =>
+                  out += closed(userId, s)
+                  cur = Some(SessionState(tsUs, tsUs, 1, cents))
+                case None =>
+                  cur = Some(SessionState(tsUs, tsUs, 1, cents))
+              }
+            }
+            cur.foreach(state.update)
+            state.setTimeoutDuration("30 minutes")
+            out.iterator
+          }
+      }
+  }
+
+  private def closed(userId: Long, s: SessionState): SessionOut =
+    SessionOut(userId, s.sessionStartUs, s.nEvents, s.totalValueCents / 100.0)
+}

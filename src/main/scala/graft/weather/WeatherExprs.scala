@@ -96,4 +96,75 @@ object WeatherExprs {
   /** Full similarity with optional amplification. */
   def weatherSimilarity(current: Column, accident: Column, stats: Column): Column =
     weatherSimilarity(current, accident) * extremeMultiplier(current, stats)
+
+  /** Staged (let-bound) twin of [[weatherSimilarity]] for bulk use: every
+    * shared subexpression (patterns, weights, per-factor moments) becomes a
+    * materialized column in its own projection, so the expression DAG is
+    * evaluated once per value instead of exponentially re-expanded — the
+    * single-Column form duplicates the weight-normalization subtree ~5× per
+    * factor and the moment subtrees on top of that, which is what made the
+    * naive form O(seconds) per thousand rows. Arithmetic and operation
+    * order are identical, so results match the Column form bit-for-bit.
+    */
+  def withWeatherSimilarity(df: org.apache.spark.sql.DataFrame, current: Column,
+                            accident: Column, out: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val factors = Seq("temperature", "precipitation", "wind_speed", "visibility", "cloud_cover")
+
+    var d: DataFrame = df
+      .withColumn("_cur", current)
+      .withColumn("_acc", accident)
+    d = d.withColumn("_n",
+      least(size(col("_cur.temperature")), size(col("_acc.temperature"))))
+    // withinWindowWeights(n): raw = pow(decay, n-1-k); normalized by its sum
+    d = d.withColumn("_wraw",
+      transform(sequence(col("_n") - 1, lit(0), lit(-1)),
+        k => pow(lit(StatsExprs.WithinWindowDecay), k.cast("double"))))
+    d = d.withColumn("_wsum1", StatsExprs.arraySum(col("_wraw")))
+    d = d.withColumn("_w1", transform(col("_wraw"), w => w / col("_wsum1")))
+    // weightedPearson internally renormalizes its weights — mirror that
+    d = d.withColumn("_wsum2", StatsExprs.arraySum(col("_w1")))
+    d = d.withColumn("_wn", transform(col("_w1"), w => w / col("_wsum2")))
+
+    for (f <- factors) {
+      d = d.withColumn(s"_x_$f", slice(col(s"_cur.$f"), lit(1), col("_n")))
+        .withColumn(s"_y_$f", slice(col(s"_acc.$f"), lit(1), col("_n")))
+      d = d.withColumn(s"_mx_$f", StatsExprs.arrayDot(col(s"_x_$f"), col("_wn")))
+        .withColumn(s"_my_$f", StatsExprs.arrayDot(col(s"_y_$f"), col("_wn")))
+      d = d.withColumn(s"_vx_$f",
+        StatsExprs.arraySum(zip_with(col(s"_x_$f"), col("_wn"),
+          (xi, wi) => wi * (xi - col(s"_mx_$f")) * (xi - col(s"_mx_$f")))))
+        .withColumn(s"_vy_$f",
+          StatsExprs.arraySum(zip_with(col(s"_y_$f"), col("_wn"),
+            (yi, wi) => wi * (yi - col(s"_my_$f")) * (yi - col(s"_my_$f")))))
+        .withColumn(s"_cov_$f",
+          StatsExprs.arraySum(zip_with(
+            zip_with(col(s"_x_$f"), col(s"_y_$f"),
+              (a, b) => (a - col(s"_mx_$f")) * (b - col(s"_my_$f"))),
+            col("_wn"), (p, wi) => p * wi)))
+      val stdX = sqrt(col(s"_vx_$f"))
+      val stdY = sqrt(col(s"_vy_$f"))
+      val corr = col(s"_cov_$f") / (stdX * stdY)
+      val pearson = when(stdX === 0.0 && stdY === 0.0, lit(1.0))
+        .when(stdX === 0.0 || stdY === 0.0, lit(0.0))
+        .otherwise(least(lit(1.0), greatest(lit(-1.0), corr)))
+      d = d.withColumn(s"_score_$f", factorScore(pearson))
+    }
+
+    d = d.withColumn("_ft_a", StatsExprs.freezeThawCount(col("_cur.daily_temps")))
+      .withColumn("_ft_b", StatsExprs.freezeThawCount(col("_acc.daily_temps")))
+    val scores = factors.map(f => col(s"_score_$f")) :+
+      freezeThawSimilarity(col("_ft_a"), col("_ft_b"))
+    val base = scores.map(_ * lit(FactorWeight)).reduce(_ + _)
+    d = d.withColumn(out,
+      when(size(col("_cur.temperature")) < MinWeatherDaysRequired ||
+        size(col("_acc.temperature")) < MinWeatherDaysRequired, lit(0.0))
+        .otherwise(base))
+
+    val tmpCols = Seq("_cur", "_acc", "_n", "_wraw", "_wsum1", "_w1", "_wsum2", "_wn",
+      "_ft_a", "_ft_b") ++
+      factors.flatMap(f => Seq(s"_x_$f", s"_y_$f", s"_mx_$f", s"_my_$f",
+        s"_vx_$f", s"_vy_$f", s"_cov_$f", s"_score_$f"))
+    d.drop(tmpCols: _*)
+  }
 }
