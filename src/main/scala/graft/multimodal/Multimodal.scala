@@ -86,9 +86,9 @@ object Multimodal {
     media.select(
       col("media_id"),
       transform(sequence(lit(0), lit(n - 1)), i =>
-        element_at(col("payload"),
-          (i * greatest(length(col("payload")), lit(1)) / n + 1).cast("int"))
-      ).as("sampled_bytes"))
+        col("payload").substr(
+          (i * greatest(length(col("payload")), lit(1)) / n + 1).cast("int"), lit(1))
+      ).as("sampled_frames"))
 
   /** Resize metadata transform (decode-free): new dimensions preserving
     * aspect ratio against a max edge — metadata math is real even though

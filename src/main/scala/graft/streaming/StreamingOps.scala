@@ -43,42 +43,39 @@ object StreamingOps {
         col("event_type"), col("n_events"),
         (col("value_cents").cast("double") / 100.0).as("total_value"))
 
-  /** Streaming sessionization: 30-minute inactivity gap closes a session.
-    * Emits one row per closed session (on gap or processing-time timeout).
+  /** Streaming sessionization: a 30-minute inactivity gap (observed via a
+    * later event for the same user) closes a session and emits it. Sessions
+    * awaiting evidence stay in state — gap-evidence closing keeps the
+    * operator deterministic under replay (a processing-time timeout would
+    * tie emission to wall-clock; add `EventTimeTimeout` + watermark when
+    * bounded state growth matters at production scale).
     */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           val out = scala.collection.mutable.ListBuffer[SessionOut]()
           var cur = state.getOption
-          if (state.hasTimedOut) {
-            cur.foreach(s => out += closed(userId, s))
-            state.remove()
-            Iterator.empty ++ out
-          } else {
-            // process this micro-batch's events in event-time order
-            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-              val tsUs = e.ts.getTime * 1000
-              val cents = math.round(e.value * 100)
-              cur match {
-                case Some(s) if tsUs - s.lastTsUs <= SessionGapUs =>
-                  cur = Some(s.copy(lastTsUs = tsUs, nEvents = s.nEvents + 1,
-                    totalValueCents = s.totalValueCents + cents))
-                case Some(s) =>
-                  out += closed(userId, s)
-                  cur = Some(SessionState(tsUs, tsUs, 1, cents))
-                case None =>
-                  cur = Some(SessionState(tsUs, tsUs, 1, cents))
-              }
+          // process this micro-batch's events in event-time order
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val tsUs = e.ts.getTime * 1000
+            val cents = math.round(e.value * 100)
+            cur match {
+              case Some(s) if tsUs - s.lastTsUs <= SessionGapUs =>
+                cur = Some(s.copy(lastTsUs = tsUs, nEvents = s.nEvents + 1,
+                  totalValueCents = s.totalValueCents + cents))
+              case Some(s) =>
+                out += closed(userId, s)
+                cur = Some(SessionState(tsUs, tsUs, 1, cents))
+              case None =>
+                cur = Some(SessionState(tsUs, tsUs, 1, cents))
             }
-            cur.foreach(state.update)
-            state.setTimeoutDuration("30 minutes")
-            out.iterator
           }
+          cur.foreach(state.update)
+          out.iterator
       }
   }
 

@@ -1,0 +1,141 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AnalyticsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def accidents: DataFrame = Seq(
+    (1, "2023-01-10", 40.0, -105.0, "Fatal fall"),
+    (2, "2023-01-20", 40.1, -105.0, "serious injury"),
+    (3, "2023-07-05", 40.0, -105.1, "moderate injuries"),
+    (4, "2023-07-15", 40.05, -105.05, "minor cuts"),
+    (5, "2023-07-25", 55.0, -100.0, "Fatal avalanche")) // far away — excluded
+    .toDF("accident_id", "d", "latitude", "longitude", "injury_severity")
+    .withColumn("date", to_date(col("d"))).drop("d")
+    .withColumn("route", lit(null).cast("string"))
+
+  test("seasonalPatterns: 50km radius, severity-cased scores") {
+    val rows = Analytics.seasonalPatterns(accidents, lit(40.0), lit(-105.0))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet == Set(1, 7)) // far accident excluded
+    assert(rows(1)._1 == 2)
+    assert(rows(1)._2 == 90.0) // (100 fatal + 80 serious)/2
+    assert(rows(7)._1 == 2)
+    assert(rows(7)._2 == 50.0) // (60 moderate + 40 minor)/2
+  }
+
+  test("accidentProximity: ordered by distance, impact decays, fuzzy match") {
+    val acc = accidents.withColumn("route",
+      when(col("accident_id") === 1, "The Great Roof Pitch 2").otherwise(null))
+    val out = Analytics.accidentProximity(acc, lit(40.0), lit(-105.0),
+      lit("the great roof"), 10).collect()
+    assert(out.length == 4)
+    // nearest first
+    assert(out.head.getAs[Int]("accident_id") == 1)
+    assert(out.head.getAs[Double]("impact_score") == 100.0) // dist 0 → 100
+    assert(out.head.getAs[Boolean]("same_route")) // containment match
+    assert(!out(1).getAs[Boolean]("same_route"))
+    val dists = out.map(_.getAs[Double]("distance_km"))
+    assert(dists.sliding(2).forall { case Array(a, b) => a <= b })
+  }
+
+  test("normalizeRouteType: canonical passthrough, variants, default trad") {
+    val cases = Seq(
+      "sport" -> "sport", "Bouldering" -> "boulder", "big wall" -> "aid",
+      "snow" -> "alpine", "toprope" -> "sport", "mountaineering" -> "alpine",
+      "rock" -> "trad", "???" -> "trad", "" -> "trad")
+    for ((raw, expected) <- cases)
+      assert(evalString(Analytics.normalizeRouteType(lit(raw))) == expected, raw)
+    assert(evalString(Analytics.normalizeRouteType(lit(null).cast("string"))) == "trad")
+  }
+
+  test("hourlyRisk + conditionsSummary + climbingWindows") {
+    // 24-hour frame: good morning, storm at 12-14, cold night
+    val hourly = (0 to 23).map { h =>
+      val temp = if (h < 6) -20.0 else 15.0
+      val precip = if (h >= 12 && h <= 14) 8.0 else 0.0
+      val wind = 5.0
+      (h, temp, precip, wind, Option.empty[Double], 9000.0)
+    }.toDF("hour", "temp", "precip", "wind", "gust", "visibility")
+    val risks = Analytics.conditionsSummary(
+      Analytics.hourlyRisk(hourly, lit(20.0)))
+    val byHour = risks.collect().map(r => r.getAs[Int]("hour") -> r).toMap
+    // night: base 20 + cold 15 = 35, not daylight → not climbable
+    assert(byHour(2).getAs[Double]("risk_score") == 35.0)
+    assert(!byHour(2).getAs[Boolean]("is_climbable"))
+    // storm: base 20 + precip 20 = 40 + vis? 9000>5000 no adj → 40, but precip ≥ 5 blocks
+    assert(byHour(13).getAs[Double]("risk_score") == 40.0)
+    assert(!byHour(13).getAs[Boolean]("is_climbable"))
+    assert(byHour(13).getAs[String]("conditions_summary").contains("Rain/Snow"))
+    // mid-morning is climbable
+    assert(byHour(9).getAs[Boolean]("is_climbable"))
+    assert(byHour(9).getAs[String]("conditions_summary") == "Good Conditions")
+
+    val windows = Analytics.climbingWindows(risks).collect()
+    // two windows: 6-11 and 15-18
+    assert(windows.length == 2)
+    val spans = windows.map(w => (w.getAs[Int]("start_hour"), w.getAs[Int]("end_hour"))).toSet
+    assert(spans == Set((6, 11), (15, 18)))
+  }
+
+  test("riskBreakdown: factor shares sum to 100") {
+    import graft.kernel.SafetyKernel
+    val routes = Seq((1L, 40.0, -105.0, Some(3000.0), "alpine", Some(10.0)))
+      .toDF("route_id", "lat", "lon", "elev", "route_type", "difficulty")
+    val accs = Seq(
+      (1, 40.1, -105.0, Some(2900.0), "alpine", "fatal", "2023-07-15", Some(9.0)),
+      (2, 40.2, -105.1, Some(2500.0), "sport", "minor", "2023-01-15", Some(12.0)))
+      .toDF("accident_id", "a_lat", "a_lon", "a_elev", "acc_type", "severity_raw", "d", "a_difficulty")
+      .withColumn("a_date", to_date(col("d"))).drop("d")
+    val pairs = SafetyKernel.pairInfluence(routes, accs, to_date(lit("2024-07-15")))
+    val row = Analytics.riskBreakdown(pairs).head()
+    val shares = row.schema.fieldNames.filter(_.startsWith("share_"))
+      .map(f => row.getAs[Double](f))
+    assert(approx(shares.sum, 100.0, 0.5)) // rounded to 1 decimal each
+  }
+
+  test("historicalTrends: stats + trend label") {
+    val scores = (1 to 20).map(i => (s"2024-07-${"%02d".format(i)}", i * 2.0))
+      .toDF("d", "risk_score")
+      .withColumn("prediction_date", to_date(col("d"))).drop("d")
+    val row = Analytics.historicalTrends(scores).head()
+    assert(row.getAs[Double]("min_risk") == 2.0)
+    assert(row.getAs[Double]("max_risk") == 40.0)
+    assert(row.getAs[String]("trend") == "increasing")
+  }
+
+  test("breadcrumb: driver walk and distributed agree") {
+    val locations = Seq(
+      (1L, "Colorado", Option.empty[Long]),
+      (2L, "RMNP", Some(1L)),
+      (3L, "Longs Peak", Some(2L)),
+      (4L, "The Diamond", Some(3L)))
+      .toDF("mp_id", "name", "parent_id")
+    assert(Analytics.breadcrumb(locations, 4L) ==
+      Seq("Colorado", "RMNP", "Longs Peak", "The Diamond"))
+    val dist = Analytics.breadcrumbDistributed(locations, maxLevels = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dist(4L) == "Colorado > RMNP > Longs Peak > The Diamond")
+    assert(dist(1L) == "Colorado")
+  }
+
+  test("mapWithSafety: season filter, blacklist, score left join") {
+    val routes = Seq(
+      (1L, "Good Ice Route", 10L, "Ice climbing", Some(40.0), Some(-105.0)),
+      (2L, "Sunny Sport", 10L, "Sport", Some(40.1), Some(-105.1)),
+      (3L, "Bad Coords Route", 10L, "Ice", Some(40.2), Some(-105.2)))
+      .toDF("mp_route_id", "name", "location_id", "type", "latitude", "longitude")
+    val locations = Seq((10L, 40.05, -105.05)).toDF("mp_id", "loc_lat", "loc_lon")
+    val scores = Seq((1L, 42.0, "yellow")).toDF("mp_route_id", "risk_score", "color_code")
+    val out = Analytics.mapWithSafety(routes, locations, scores,
+      season = "winter", blacklist = Seq("bad coords route"))
+      .select("mp_route_id", "risk_score").collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L)) // sport filtered, blacklisted dropped
+    assert(out.head.getDouble(1) == 42.0)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ScoringPipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def routes: DataFrame = Seq(
+    (1L, 40.0, -105.0, Some(3000.0), "alpine", Some(10.0)),
+    (2L, 40.5, -105.5, Some(2000.0), "sport", Some(12.0)))
+    .toDF("route_id", "lat", "lon", "elev", "route_type", "difficulty")
+
+  private def accidents: DataFrame = Seq(
+    (1, 40.1, -105.0, Some(2900.0), "alpine", "fatal", "2023-07-15", Some(9.0)))
+    .toDF("accident_id", "a_lat", "a_lon", "a_elev", "acc_type", "severity_raw", "d", "a_difficulty")
+    .withColumn("a_date", to_date(col("d"))).drop("d")
+
+  test("runDaily writes date partitions, invariant holds, rerun is idempotent") {
+    val out = Files.createTempDirectory("scores").toString
+    val dates = Seq("2024-07-15", "2024-07-16", "2024-07-17")
+    val written = ScoringPipeline.runDaily(spark, routes, accidents, dates, out)
+    assert(written == routes.count() * 3)
+
+    // partition layout on disk
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == dates.map(d => s"prediction_date=$d"))
+
+    // re-running one date must replace only that partition (same row count)
+    ScoringPipeline.writeScores(
+      ScoringPipeline.computeDailyScores(routes, accidents, Seq("2024-07-16")), out)
+    val after = spark.read.parquet(out)
+    assert(after.count() == routes.count() * 3)
+    // still one row per (route, date)
+    assert(after.groupBy("route_id", "prediction_date").count()
+      .where(col("count") > 1).count() == 0)
+  }
+
+  test("retainDates drops exactly the non-kept partitions") {
+    val out = Files.createTempDirectory("scores").toString
+    val dates = Seq("2024-07-15", "2024-07-16", "2024-07-17")
+    ScoringPipeline.runDaily(spark, routes, accidents, dates, out)
+    val dropped = ScoringPipeline.retainDates(spark, out, keep = Seq("2024-07-16", "2024-07-17"))
+    assert(dropped == Seq("prediction_date=2024-07-15"))
+    val remaining = spark.read.parquet(out)
+      .select("prediction_date").distinct().as[java.sql.Date].collect().map(_.toString).sorted
+    assert(remaining.toSeq == Seq("2024-07-16", "2024-07-17"))
+  }
+
+  test("scores at the cluster beat scores far away (sanity of the batch output)") {
+    val out = Files.createTempDirectory("scores").toString
+    ScoringPipeline.runDaily(spark, routes, accidents, Seq("2024-07-15"), out)
+    val scores = spark.read.parquet(out)
+      .select("route_id", "risk_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > scores(2L)) // route 1 sits at the accident
+  }
+}
