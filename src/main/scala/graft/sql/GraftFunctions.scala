@@ -1,0 +1,32 @@
+package graft.sql
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expr.{DotProductD, GradeParser}
+
+/** SQL-surface registration for the engine's custom functions.
+  *
+  * Two deployment modes:
+  *  - [[GraftExtensions]] via `spark.sql.extensions=graft.sql.GraftExtensions`
+  *    (cluster-wide, the SparkSessionExtensions path — SURVEY §7.3)
+  *  - [[GraftFunctions.register]] for ad-hoc registration on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[DotProductD].getName, "dot_f64"),
+      (exprs: Seq[Expression]) => DotProductD(exprs.head, exprs(1))))
+  }
+}
+
+object GraftFunctions {
+  /** Register every custom function on a live session (SQL-callable). */
+  def register(spark: SparkSession): Unit = {
+    GradeParser.register(spark)
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
+      spark, "dot_f64", exprs => DotProductD(exprs.head, exprs(1)))
+  }
+}

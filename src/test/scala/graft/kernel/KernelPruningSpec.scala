@@ -1,0 +1,79 @@
+package graft.kernel
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class KernelPruningSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // continental-spread synthetic data: routes over ~35-55°N, 95-125°W
+  private def routes: DataFrame = spark.range(500).select(
+    col("id").as("route_id"),
+    (lit(35.0) + (col("id") % 2000) / 100.0).as("lat"),
+    (lit(-125.0) + (col("id") % 3000) / 100.0).as("lon"),
+    (lit(1000.0) + (col("id") % 3000)).as("elev"),
+    when(col("id") % 3 === 0, "alpine").when(col("id") % 3 === 1, "sport")
+      .otherwise("trad").as("route_type"),
+    (lit(5.0) + (col("id") % 11)).as("difficulty"))
+
+  private def accidents: DataFrame = spark.range(200).select(
+    col("id").as("accident_id"),
+    (lit(35.0) + ((col("id") * 37) % 2000) / 100.0).as("a_lat"),
+    (lit(-125.0) + ((col("id") * 53) % 3000) / 100.0).as("a_lon"),
+    (lit(800.0) + ((col("id") * 13) % 3500)).as("a_elev"),
+    when(col("id") % 2 === 0, "alpine").otherwise("sport").as("acc_type"),
+    when(col("id") % 3 === 0, "fatal").otherwise("minor").as("severity_raw"),
+    date_add(to_date(lit("2024-01-01")), (col("id") % 730).cast("int")).as("a_date"),
+    (lit(4.0) + ((col("id") * 7) % 13)).as("a_difficulty"))
+
+  private val planDate = to_date(lit("2024-07-15"))
+
+  test("prune radius formula: floor 1e-6 with alpine bandwidth") {
+    val r = KernelPruning.pruneRadiusKm(1e-6)
+    val expected = 75.0 * math.sqrt(2.0 * math.log(KernelPruning.NonSpatialBound / 1e-6))
+    assert(approx(r, expected, 1e-9))
+    assert(r > 300 && r < 500) // sanity: a few hundred km
+  }
+
+  test("pruned scoring matches exact scoring within the floor error bound") {
+    val exact = SafetyKernel.scoreRoutes(routes, accidents, planDate)
+      .select("route_id", "risk_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pruned = KernelPruning.scoreRoutesPruned(routes, accidents, planDate)
+      .select("route_id", "risk_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pruned.keySet == exact.keySet) // every route present (left join)
+    // dropped pairs each contribute < floor → risk error < nAcc·floor·7
+    val bound = 200 * SafetyKernel.SignificanceFloor * 7.0 + 1e-9
+    val maxErr = exact.keys.map(k => math.abs(exact(k) - pruned(k))).max
+    assert(maxErr <= bound, s"max error $maxErr vs bound $bound")
+  }
+
+  test("pruned pair stream is a strict subset and keeps every significant pair") {
+    val exactPairs = SafetyKernel.pairInfluence(routes, accidents, planDate)
+      .select("route_id", "accident_id", "influence")
+      .where(col("influence") >= SafetyKernel.SignificanceFloor)
+      .as[(Long, Long, Double)].collect().toSet
+    val prunedPairs = KernelPruning.pairInfluencePruned(routes, accidents, planDate)
+      .select("route_id", "accident_id", "influence")
+      .as[(Long, Long, Double)].collect()
+    // no duplicates from the 3×3 fan-out (each pair lands in exactly one cell join)
+    assert(prunedPairs.length == prunedPairs.map(p => (p._1, p._2)).distinct.length)
+    // every significant pair survives with identical influence
+    val prunedSet = prunedPairs.toSet
+    assert(exactPairs.subsetOf(prunedSet))
+    // and pruning actually pruned something on spread-out data
+    val totalPairs = routes.count() * accidents.count()
+    assert(prunedPairs.length < totalPairs)
+  }
+
+  test("SQL function registration: dot_f64 + parse_grade") {
+    graft.sql.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT dot_f64(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0) == 11.0)
+    assert(spark.sql("SELECT parse_grade('5.11') AS g").head().getDouble(0) == 11.5)
+  }
+}
