@@ -1,19 +1,36 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Dev-only exploration main (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // scratch space for plan inspection, e.g.:
-    SparkEntry.entry(spark).explain("formatted")
+    def t(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    val dir = "/root/testdata/sf0.1"
+    t("kernel_batch_168k") {
+      Bench.kernelBatch168k(spark).write.format("noop").mode("overwrite").save()
+    }
+    t("kernel_batch_pruned") {
+      Bench.kernelBatch168kPruned(spark).write.format("noop").mode("overwrite").save()
+    }
+    t("d05_minhash_lsh") {
+      SparkEntry.queries("d05_minhash_lsh")(spark, dir).write.format("noop").mode("overwrite").save()
+    }
+    t("d06_simhash") {
+      SparkEntry.queries("d06_simhash")(spark, dir).write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
