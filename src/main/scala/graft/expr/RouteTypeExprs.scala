@@ -36,7 +36,11 @@ object RouteTypeExprs {
         // we reproduce faithfully by mirroring the same containment test.
         .when(t.contains("grade:") && highGrade && !t.contains("trad"), "sport")
         .when(t.contains("grade:") && lowGrade && !t.contains("sport"), "trad")
-        .when(t.contains("roped") && !t.contains("unroped"), "trad")
+        // Faithful reproduction of `"roped" in tags_lower` — substring
+        // containment, so "unroped" ALSO matches and the reference's
+        // unroped-solo→alpine rule (route_type_mapper.py:104-108) is dead
+        // code. Kept byte-for-byte compatible; see strictRoped variant.
+        .when(t.contains("roped"), "trad")
         .when(t.contains("unroped") && t.contains("solo"), "alpine")
 
     // Priority 2: accident_type (py:112-135)
@@ -61,24 +65,15 @@ object RouteTypeExprs {
     coalesce(fromTags, fromType, fromActivity, lit("default"))
   }
 
-  /** Python's `"roped" in tags` also matches "unroped"; the cascade above
-    * orders `roped` before the unroped-solo rule exactly like the reference
-    * — except the reference's `roped` check fires for "unroped" too
-    * (`route_type_mapper.py:98-106`), so expose the faithful variant for
-    * oracle comparisons.
+  /** The likely-INTENDED roped semantics (word-boundary roped, live
+    * unroped-solo rule) — NOT the reference behavior; offered for callers
+    * who want the bug fixed. The default [[inferFromAccident]] reproduces
+    * the reference exactly.
     */
-  def inferFromAccidentFaithfulRoped(activity: Column, accidentType: Column, tags: Column): Column = {
+  def inferFromAccidentStrictRoped(activity: Column, accidentType: Column, tags: Column): Column = {
     val t = lower(coalesce(tags, lit("")))
-    // Only the roped rule differs: substring containment without the
-    // unroped guard (matches python's `"roped" in tags_lower`).
     val base = inferFromAccident(activity, accidentType, tags)
-    when(t.contains("roped") &&
-      !Seq("ice climbing", "ice climb", "mixed climbing", "mixed climb", "alpine",
-        "mountaineering", "sport climbing", "sport climb", "trad",
-        "traditional climbing", "aid climbing", "aid climb", "boulder")
-        .map(t.contains).reduce(_ || _) &&
-      !(t.contains("grade:")), "trad")
-      .otherwise(base)
+    when(t.contains("unroped") && t.contains("solo"), "alpine").otherwise(base)
   }
 
   /** Normalize a raw Mountain-Project style `type` string to the canonical

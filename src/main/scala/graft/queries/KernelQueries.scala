@@ -130,6 +130,25 @@ object KernelQueries {
         Derived.routes(s, dir), Derived.accidents(s, dir), Derived.planDate)
         .groupBy("color_code").agg(count(lit(1)).as("n_routes"))
         .orderBy("color_code")
+    }),
+
+    // §2.7 complete: kernel with REAL per-accident weather similarity
+    // (A5 staged composite feeding the cubic weather factor) — the whole
+    // influence formula end-to-end, oracle-checked.
+    "k14_kernel_weather" -> ((s, dir) => {
+      val accWithSim = graft.weather.WeatherExprs.withWeatherSimilarity(
+        Derived.accidents(s, dir),
+        Derived.weatherPattern(lit(Derived.CurrentKey)),
+        Derived.weatherPattern(col("accident_id")),
+        "wsim")
+      SafetyKernel.scoreRoutes(
+        Derived.routes(s, dir).where(col("route_id") <= 300),
+        accWithSim, Derived.planDate)
+        .select(
+          col("route_id"),
+          round(col("risk_score"), 4).as("risk_score"),
+          col("n_contributing"))
+        .orderBy("route_id")
     }))
 
   private val distExpr = Sql.haversine("lat", "lon", "a_lat", "a_lon")
@@ -185,7 +204,7 @@ object KernelQueries {
          |ORDER BY route_type, accident_id""".stripMargin),
 
     "k08_kernel_risk" -> withDomain(
-      s""", ${Sql.influencePairsCte}
+      s""", ${Sql.influencePairsCte()}
          |SELECT route_id,
          |       round(${Sql.normalizeRisk("sum(influence)")}, 4) AS risk_score,
          |       count(*) FILTER (WHERE influence > ${SafetyKernel.SignificanceFloor}) AS n_contributing
@@ -194,7 +213,7 @@ object KernelQueries {
          |ORDER BY route_id""".stripMargin),
 
     "k09_kernel_topk" -> withDomain(
-      s""", ${Sql.influencePairsCte},
+      s""", ${Sql.influencePairsCte()},
          |ranked AS (
          |  SELECT route_id, accident_id, influence,
          |         row_number() OVER (PARTITION BY route_id
@@ -205,8 +224,26 @@ object KernelQueries {
          |FROM ranked WHERE rank <= 5
          |ORDER BY route_id, rank""".stripMargin),
 
+    "k14_kernel_weather" -> withDomain(
+      s""", ${WeatherQueries.similarityCtes},
+         |sims AS (${WeatherQueries.similaritySelect}),
+         |acc2 AS (SELECT a.*, sims.wsim FROM accidents a JOIN sims USING (accident_id)),
+         |${Sql.pairInfluenceSelectFrom("routes CROSS JOIN acc2", ", wsim")
+        .replaceFirst("SELECT", "wpairs AS (SELECT")}),
+         |winfl AS (
+         |  SELECT route_id, accident_id,
+         |         spatial_w * temporal_w * elevation_w * route_type_w * severity_w * grade_w * (${Sql.weatherFactor("wsim")}) AS influence
+         |  FROM wpairs)
+         |SELECT route_id,
+         |       round(${Sql.normalizeRisk("sum(influence)")}, 4) AS risk_score,
+         |       count(*) FILTER (WHERE influence > ${SafetyKernel.SignificanceFloor}) AS n_contributing
+         |FROM winfl
+         |WHERE route_id <= 300
+         |GROUP BY route_id
+         |ORDER BY route_id""".stripMargin),
+
     "k10_color_hist" -> withDomain(
-      s""", ${Sql.influencePairsCte},
+      s""", ${Sql.influencePairsCte()},
          |risks AS (
          |  SELECT route_id, ${Sql.normalizeRisk("sum(influence)")} AS risk_score
          |  FROM influences GROUP BY route_id)

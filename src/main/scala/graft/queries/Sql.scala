@@ -174,9 +174,15 @@ object Sql {
     * (missing-pattern path) — multiplication order mirrors
     * SafetyKernel.pairInfluence exactly.
     */
-  def pairInfluenceSelect: String = {
+  def pairInfluenceSelect: String =
+    pairInfluenceSelectFrom("routes CROSS JOIN accidents", "")
+
+  /** Parametrized variant: custom FROM clause (e.g. accidents pre-joined
+    * with per-accident weather similarities) and extra pass-through columns.
+    */
+  def pairInfluenceSelectFrom(from: String, extraCols: String): String = {
     val dist = haversine("lat", "lon", "a_lat", "a_lon")
-    s"""SELECT route_id, accident_id,
+    s"""SELECT route_id, accident_id$extraCols,
        |       $dist AS dist_km,
        |       ${spatialWeight(dist, "route_type")} AS spatial_w,
        |       ${temporalWeight(PlanDate, "a_date", "route_type")} AS temporal_w,
@@ -184,12 +190,16 @@ object Sql {
        |       ${routeTypeWeight("route_type", "acc_type")} AS route_type_w,
        |       ${severityWeight("severity_raw")} AS severity_w,
        |       ${gradeWeight("difficulty", "a_difficulty")} AS grade_w
-       |FROM routes CROSS JOIN accidents""".stripMargin
+       |FROM $from""".stripMargin
   }
 
-  /** CTE producing (route_id, accident_id, influence) pairs. */
-  def influencePairsCte: String = {
-    val wf = weatherFactor(SafetyKernelNeutral)
+  /** CTE producing (route_id, accident_id, influence) pairs. `wsim` is the
+    * per-pair weather-similarity expression (default: the missing-pattern
+    * neutral 0.5; pass a column name to use per-accident similarities
+    * joined into the `pairs` CTE).
+    */
+  def influencePairsCte(wsim: String = SafetyKernelNeutral): String = {
+    val wf = weatherFactor(wsim)
     s"""pairs AS ($pairInfluenceSelect),
        |influences AS (
        |  SELECT route_id, accident_id,

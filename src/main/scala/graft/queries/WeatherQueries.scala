@@ -125,6 +125,20 @@ object WeatherQueries {
       ", CAST(count(*) FILTER (WHERE tmin_y < 0 AND tmax_y > 0) AS BIGINT) AS ft_y" +
       " FROM n JOIN m USING (accident_id) GROUP BY n.accident_id)"
 
+  /** All similarity CTEs + the final per-accident similarity select —
+    * exposed for composition into the full-kernel-with-weather oracle
+    * (KernelQueries k14).
+    */
+  private[queries] def similarityCtes: String =
+    s"$seriesCte,\n$meansCte,\n$statsCte"
+
+  private[queries] def similaritySelect: String = {
+    val fw = WeatherExprs.FactorWeight
+    val scoreSum = factors.map(f => s"(${corrCase(f)}) * $fw").mkString(" + ")
+    val ftSim = s"greatest(0.0, 1.0 - abs(ft_x - ft_y) / (greatest(ft_x, ft_y, 1) + 7))"
+    s"SELECT accident_id, $scoreSum + ($ftSim) * $fw AS wsim FROM s"
+  }
+
   val oracles: Map[String, String] = Map(
     "w01_freeze_thaw" ->
       s"""WITH acc AS (SELECT s_suppkey AS accident_id FROM supplier)
