@@ -248,6 +248,19 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // --- JSON extraction over the events props column ---------------------
+    "q19_json_props" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum("k").as("total_k"),
+          min("k").as("min_k"),
+          max("k").as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // --- tumbling 1-hour windows (batch twin of the streaming window) -----
     "q18_hourly_windows" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -432,6 +445,17 @@ object CoreQueries {
         |         AS purchase_per_1k_views
         |FROM agged
         |ORDER BY user_id""".stripMargin,
+
+    "q19_json_props" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(k) AS BIGINT) AS total_k,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM e
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q18_hourly_windows" ->
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
