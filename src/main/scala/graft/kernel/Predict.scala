@@ -1,0 +1,93 @@
+package graft.kernel
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expr.GradeParser
+import graft.weather.WeatherExprs
+
+/** The interactive prediction surface (SURVEY §3.1) — what the reference's
+  * `POST /api/v1/predict` computes, as a library call: one planned route
+  * scored against the accident corpus, returning the risk score, color,
+  * and the top-k contributing accidents with full factor breakdowns.
+  *
+  * Plan shape: a 1-row routes frame through the same broadcast kernel as
+  * the batch — literally `SafetyKernel` with |routes| = 1, so interactive
+  * and batch semantics can never drift.
+  */
+object Predict {
+
+  case class PredictionRequest(
+      latitude: Double, longitude: Double,
+      elevation: Option[Double], routeType: String,
+      plannedDate: String, routeGrade: Option[String] = None)
+
+  case class Prediction(
+      riskScore: Double, colorCode: String, numContributing: Long,
+      topAccidents: Seq[Row])
+
+  /** Score one route. `accidents` uses the kernel schema (accident_id,
+    * a_lat, a_lon, a_elev, acc_type, severity_raw, a_date, a_difficulty,
+    * optional wsim); pass `currentWeather`/`accidentPatterns` upstream by
+    * pre-computing a `wsim` column (WeatherExprs.withWeatherSimilarity) —
+    * absent, the missing-pattern neutral 0.5 applies, exactly like the
+    * reference (`safety_algorithm.py:265-269`).
+    */
+  def predict(spark: SparkSession, req: PredictionRequest, accidents: DataFrame,
+              topK: Int = 50): Prediction = {
+    import spark.implicits._
+    val difficulty: Option[Double] = req.routeGrade.flatMap(GradeParser.parse)
+    val route = Seq((1L, req.latitude, req.longitude, req.elevation,
+      req.routeType, difficulty))
+      .toDF("route_id", "lat", "lon", "elev", "route_type", "difficulty")
+
+    val pairs = SafetyKernel.pairInfluence(route, accidents,
+      to_date(lit(req.plannedDate))).cache()
+    try {
+      val scored = SafetyKernel.scoreRoutes(pairs).collect()
+      val top = SafetyKernel.topContributors(pairs, topK)
+        .select("rank", "accident_id", "influence", "dist_km", "spatial_w",
+          "temporal_w", "elevation_w", "route_type_w", "severity_w", "grade_w")
+        .orderBy("rank")
+        .collect().toSeq
+      scored.headOption match {
+        case Some(r) => Prediction(
+          r.getAs[Double]("risk_score"), r.getAs[String]("color_code"),
+          r.getAs[Long]("n_contributing"), top)
+        case None => Prediction(0.0, "green", 0L, Seq.empty) // no accidents
+      }
+    } finally {
+      pairs.unpersist()
+    }
+  }
+
+  /** The 7-day forecast loop (`mp_routes.py:670-796`): one prediction per
+    * date — expressed as a single batch over a dates × route frame rather
+    * than seven sequential queries.
+    */
+  def forecast(spark: SparkSession, req: PredictionRequest, accidents: DataFrame,
+               days: Int = 7): DataFrame = {
+    import spark.implicits._
+    val difficulty: Option[Double] = req.routeGrade.flatMap(GradeParser.parse)
+    val routes = (0 until days).map { d =>
+      (d.toLong, req.latitude, req.longitude, req.elevation, req.routeType, difficulty)
+    }.toDF("route_id", "lat", "lon", "elev", "route_type", "difficulty")
+    // route_id doubles as the day offset; each day's plan date shifts
+    val pairs = SafetyKernel.influenceColumns(
+      SafetyKernel.enrichRoutes(routes).crossJoin(
+        broadcast(SafetyKernel.enrichAccidents(accidents, to_date(lit(req.plannedDate)))))
+        // re-derive day-dependent factors per forecast day: days offset
+        .withColumn("__days",
+          abs(datediff(date_add(to_date(lit(req.plannedDate)), col("route_id").cast("int")),
+            col("a_date"))).cast("double"))
+        .withColumn("__same_season",
+          graft.expr.WeightExprs.seasonOf(
+            date_add(to_date(lit(req.plannedDate)), col("route_id").cast("int"))) ===
+            graft.expr.WeightExprs.seasonOf(col("a_date"))))
+    SafetyKernel.scoreRoutes(pairs)
+      .withColumn("forecast_date",
+        date_add(to_date(lit(req.plannedDate)), col("route_id").cast("int")))
+      .drop("route_id")
+      .orderBy("forecast_date")
+  }
+}

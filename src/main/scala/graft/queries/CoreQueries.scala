@@ -248,6 +248,16 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // --- W5-class: sliding window frame (7-day moving average) ------------
+    "q20_moving_avg" -> ((s, dir) => {
+      val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+      Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("ma7", avg("n").over(w))
+        .orderBy("day")
+    }),
+
     // --- JSON extraction over the events props column ---------------------
     "q19_json_props" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -445,6 +455,15 @@ object CoreQueries {
         |         AS purchase_per_1k_views
         |FROM agged
         |ORDER BY user_id""".stripMargin,
+
+    "q20_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+        |  FROM events GROUP BY day)
+        |SELECT day, n,
+        |       avg(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
+        |FROM daily
+        |ORDER BY day""".stripMargin,
 
     "q19_json_props" ->
       """WITH e AS (
