@@ -112,6 +112,26 @@ object Dedup {
       (acc, v) => acc * 2L + when(v > 0, 1L).otherwise(0L))
   }
 
+  /** Bulk SimHash signatures as explode → hash-aggregate (same shape as
+    * [[minhashSignatures]]): one row per (doc, token), 63 codegen'd
+    * conditional-sum aggregates (one per bit), Horner-packed in a final
+    * projection. Agrees bit-for-bit with [[simhash63]].
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol),
+      explode(TextExprs.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 63).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L)).as(s"b$j")
+    }
+    val packed = (0 until 63).reverse.foldLeft(lit(0L)) { (acc, j) =>
+      acc * 2L + when(col(s"b$j") > 0, 1L).otherwise(0L)
+    }
+    exploded.groupBy(idCol)
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
+  }
+
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -76,11 +76,10 @@ object PipelineQueries {
 
     // --- SimHash fingerprints + fingerprint dedup (rows-only) -------------
     "d06_simhash" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .select(
-          col("doc_id"),
-          Dedup.simhash63(col("text")).as("simhash"),
-          TextExprs.fingerprint(col("text")).as("fingerprint"))
+      val docs = Tables.documents(s, dir)
+      Dedup.simhashSignatures(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"),
+          TextExprs.fingerprint(col("text")).as("fingerprint")), "doc_id")
         .orderBy("doc_id")
     }),
 

@@ -61,6 +61,10 @@ class DedupSpec extends SparkSpec {
   test("simhash: near-dups close in hamming space, unrelated docs far") {
     val hashes = docs.select(col("doc_id"), Dedup.simhash63(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bulk exploded-aggregate form agrees with the column form
+    val bulk = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bulk == hashes)
     def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     assert(ham(hashes(1L), hashes(4L)) == 0)
     assert(ham(hashes(1L), hashes(2L)) < ham(hashes(1L), hashes(3L)))
