@@ -35,5 +35,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Forcing compilation of huge methods is the standard setting for wide
   // Spark codegen workloads.
   "-XX:-DontCompileHugeMethods",
+  // ...and keep most generated methods small in the first place so JIT
+  // compiles them promptly (bounds the worst case: without splitting, the
+  // fused kernel method's compile/deopt lottery swung 25 s ↔ 400 s).
+  "-Dspark.sql.codegen.methodSplitThreshold=256",
   "-XX:ReservedCodeCacheSize=512m",
 ) ++ sys.env.get("GRAFT_JVM_EXTRA").toSeq.flatMap(_.split(" "))

@@ -19,17 +19,14 @@ object Scratch {
       println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
     val dir = "/root/testdata/sf0.1"
+    t("k10_color_hist") {
+      SparkEntry.queries("k10_color_hist")(spark, dir).write.format("noop").mode("overwrite").save()
+    }
+    t("q01_pricing_summary") {
+      SparkEntry.queries("q01_pricing_summary")(spark, dir).write.format("noop").mode("overwrite").save()
+    }
     t("kernel_batch_168k") {
       Bench.kernelBatch168k(spark).write.format("noop").mode("overwrite").save()
-    }
-    t("kernel_batch_pruned") {
-      Bench.kernelBatch168kPruned(spark).write.format("noop").mode("overwrite").save()
-    }
-    t("d05_minhash_lsh") {
-      SparkEntry.queries("d05_minhash_lsh")(spark, dir).write.format("noop").mode("overwrite").save()
-    }
-    t("d06_simhash") {
-      SparkEntry.queries("d06_simhash")(spark, dir).write.format("noop").mode("overwrite").save()
     }
     spark.stop()
   }
