@@ -30,7 +30,42 @@ object OpsQueries {
       |         ((s_suppkey * 13 + i * 5) % 60) * 0.5 - 5.0 AS v
       |  FROM supplier, range(60) t(i))""".stripMargin
 
+  /** Derived accident free-text fields exercising every branch of the F13
+    * inference cascade (Spark side; SQL twin in the oracle).
+    */
+  private def inferenceInputs(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir).select(
+      col("s_suppkey").as("accident_id"),
+      when(col("s_suppkey") % 8 === 0, lit(null).cast("string"))
+        .when(col("s_suppkey") % 8 === 1, "Ice Climbing, Alpine")
+        .when(col("s_suppkey") % 8 === 2, "Sport Climbing, grade:5.12a")
+        .when(col("s_suppkey") % 8 === 3, "grade:5.9, Roped")
+        .when(col("s_suppkey") % 8 === 4, "Bouldering, V5")
+        .when(col("s_suppkey") % 8 === 5, "unroped solo")
+        .when(col("s_suppkey") % 8 === 6, "")
+        .otherwise("Mixed Climbing").as("tags"),
+      when(col("s_suppkey") % 5 === 0, "Climbing")
+        .when(col("s_suppkey") % 5 === 1, "Backcountry Tourer")
+        .when(col("s_suppkey") % 5 === 2, "Hiker")
+        .when(col("s_suppkey") % 5 === 3, lit(null).cast("string"))
+        .otherwise("Mountaineer").as("activity"),
+      when(col("s_suppkey") % 6 === 0, "fall")
+        .when(col("s_suppkey") % 6 === 1, "ice_climbing")
+        .when(col("s_suppkey") % 6 === 2, "avalanche")
+        .when(col("s_suppkey") % 6 === 3, "rockfall")
+        .when(col("s_suppkey") % 6 === 4, lit(null).cast("string"))
+        .otherwise("rappel").as("accident_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // F13: route-type inference rule cascade over derived free text.
+    "k15_type_inference" -> ((s, dir) => {
+      inferenceInputs(s, dir)
+        .select(col("accident_id"), col("tags"), col("activity"), col("accident_type"),
+          graft.expr.RouteTypeExprs.inferFromAccident(
+            col("activity"), col("accident_type"), col("tags")).as("inferred_type"))
+        .orderBy("accident_id")
+    }),
 
     // P6: keep accident if close (≤50km) OR strict type match (rtw ≥ 0.85).
     "k11_distance_gate" -> ((s, dir) => {
@@ -97,7 +132,73 @@ object OpsQueries {
         .orderBy("bucket", "month")
     }))
 
+  /** Independently-written SQL mirror of the F13 cascade
+    * (route_type_mapper.py:13-165 — including the faithful `roped`
+    * substring behavior).
+    */
+  private val inferenceOracle: String = {
+    val high = (11 to 15).map(i => s"contains(t, '5.$i')").mkString(" OR ")
+    val low = (1 to 10).map(i => s"contains(t, '5.$i')").mkString(" OR ")
+    s"""WITH inp AS (
+       |  SELECT s_suppkey AS accident_id,
+       |         CASE (s_suppkey % 8) WHEN 0 THEN NULL
+       |              WHEN 1 THEN 'Ice Climbing, Alpine'
+       |              WHEN 2 THEN 'Sport Climbing, grade:5.12a'
+       |              WHEN 3 THEN 'grade:5.9, Roped'
+       |              WHEN 4 THEN 'Bouldering, V5'
+       |              WHEN 5 THEN 'unroped solo'
+       |              WHEN 6 THEN ''
+       |              ELSE 'Mixed Climbing' END AS tags,
+       |         CASE (s_suppkey % 5) WHEN 0 THEN 'Climbing'
+       |              WHEN 1 THEN 'Backcountry Tourer'
+       |              WHEN 2 THEN 'Hiker'
+       |              WHEN 3 THEN NULL
+       |              ELSE 'Mountaineer' END AS activity,
+       |         CASE (s_suppkey % 6) WHEN 0 THEN 'fall'
+       |              WHEN 1 THEN 'ice_climbing'
+       |              WHEN 2 THEN 'avalanche'
+       |              WHEN 3 THEN 'rockfall'
+       |              WHEN 4 THEN NULL
+       |              ELSE 'rappel' END AS accident_type
+       |  FROM supplier),
+       |lowered AS (
+       |  SELECT *, lower(coalesce(tags, '')) AS t,
+       |         lower(coalesce(accident_type, '')) AS at,
+       |         lower(coalesce(activity, '')) AS act
+       |  FROM inp)
+       |SELECT accident_id, tags, activity, accident_type,
+       |  coalesce(
+       |    CASE WHEN contains(t, 'ice climbing') OR contains(t, 'ice climb') THEN 'ice'
+       |         WHEN contains(t, 'mixed climbing') OR contains(t, 'mixed climb') THEN 'mixed'
+       |         WHEN contains(t, 'alpine') OR contains(t, 'mountaineering') THEN 'alpine'
+       |         WHEN contains(t, 'sport climbing') OR contains(t, 'sport climb') THEN 'sport'
+       |         WHEN contains(t, 'trad') OR contains(t, 'traditional climbing') THEN 'trad'
+       |         WHEN contains(t, 'aid climbing') OR contains(t, 'aid climb') THEN 'aid'
+       |         WHEN contains(t, 'boulder') THEN 'boulder'
+       |         WHEN contains(t, 'grade:') AND ($high) AND NOT contains(t, 'trad') THEN 'sport'
+       |         WHEN contains(t, 'grade:') AND ($low) AND NOT contains(t, 'sport') THEN 'trad'
+       |         WHEN contains(t, 'roped') THEN 'trad'
+       |         WHEN contains(t, 'unroped') AND contains(t, 'solo') THEN 'alpine' END,
+       |    CASE WHEN contains(at, 'ice_climbing') OR contains(at, 'ice') THEN 'ice'
+       |         WHEN contains(at, 'avalanche') THEN 'alpine'
+       |         WHEN contains(at, 'rockfall') THEN 'alpine'
+       |         WHEN contains(at, 'roped_climbing') THEN 'trad'
+       |         WHEN contains(at, 'rappel') THEN 'trad'
+       |         WHEN contains(at, 'solo') THEN 'alpine' END,
+       |    CASE WHEN contains(act, 'backcountry') THEN 'alpine'
+       |         WHEN contains(act, 'climber') OR contains(act, 'climbing') THEN 'trad'
+       |         WHEN contains(act, 'mountaineer') THEN 'alpine'
+       |         WHEN contains(act, 'canyoneering') THEN 'trad'
+       |         WHEN contains(act, 'ski') THEN 'alpine'
+       |         WHEN contains(act, 'hiker') OR contains(act, 'motorist')
+       |              OR contains(act, 'rescuer') OR contains(act, 'rider') THEN 'default' END,
+       |    'default') AS inferred_type
+       |FROM lowered
+       |ORDER BY accident_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "k15_type_inference" -> inferenceOracle,
     "k11_distance_gate" -> {
       val dist = Sql.haversine("lat", "lon", "a_lat", "a_lon")
       val rtw = Sql.routeTypeWeight("route_type", "acc_type")
