@@ -1,0 +1,26 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Robustness guard: every registered query must run under ANSI mode +
+  * AQE (the defaults of a session we don't control — e.g. the driver's own
+  * smoke-check session). Run ad hoc: `sbt 'runMain graft.AnsiCheck'`.
+  */
+object AnsiCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.ansi.enabled", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println("[ansi] entry rows = " + SparkEntry.entry(spark).count())
+    // every query under ANSI at sf0.001
+    var failed = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => failed += 1; println(s"[ansi] FAIL $name: ${e.getMessage.take(150)}") }
+    }
+    println(s"[ansi] failures: $failed")
+    spark.stop()
+  }
+}
