@@ -132,15 +132,16 @@ object KernelQueries {
         .orderBy("color_code")
     }),
 
-    // §2.7 complete: kernel with REAL per-accident weather similarity
-    // (A5 staged composite feeding the cubic weather factor) — the whole
-    // influence formula end-to-end, oracle-checked.
+    // §2.7 complete: kernel with REAL per-accident weather similarity —
+    // now the FULL reference dataflow: weather ROWS table → 7-day window
+    // join → defaults → sort_array(collect_list) assembly → ≥5-day
+    // validity → A5 similarity (invalid accidents: neutral 0.5,
+    // safety_algorithm.py:265-269) → quadratic weather factor → kernel.
     "k14_kernel_weather" -> ((s, dir) => {
-      val accWithSim = graft.weather.WeatherExprs.withWeatherSimilarity(
+      val accWithSim = graft.weather.WeatherAssembly.accidentsWithSimilarity(
         Derived.accidents(s, dir),
-        Derived.weatherPattern(lit(Derived.CurrentKey)),
-        Derived.weatherPattern(col("accident_id")),
-        "wsim")
+        Derived.weatherRows(s, dir),
+        Derived.weatherPattern(lit(Derived.CurrentKey)))
       SafetyKernel.scoreRoutes(
         Derived.routes(s, dir).where(col("route_id") <= 300),
         accWithSim, Derived.planDate)
@@ -225,9 +226,10 @@ object KernelQueries {
          |ORDER BY route_id, rank""".stripMargin),
 
     "k14_kernel_weather" -> withDomain(
-      s""", ${WeatherQueries.similarityCtes},
-         |sims AS (${WeatherQueries.similaritySelect}),
-         |acc2 AS (SELECT a.*, sims.wsim FROM accidents a JOIN sims USING (accident_id)),
+      s""", ${WeatherQueries.assembledSimilarityCtes},
+         |acc2 AS (SELECT a.*, coalesce(sims.wsim, ${SafetyKernel.NeutralWeatherSimilarity})
+         |           AS wsim
+         |         FROM accidents a LEFT JOIN sims USING (accident_id)),
          |${Sql.pairInfluenceSelectFrom("routes CROSS JOIN acc2", ", wsim")
         .replaceFirst("SELECT", "wpairs AS (SELECT")}),
          |winfl AS (

@@ -212,6 +212,30 @@ object Sql {
   // --- deterministic 7-day weather series (twins of Derived.tempAvg etc.;
   // `a` = key expression, `k` = day index 0..6) ------------------------------
 
+  /** DuckDB twin of Derived.weatherRows — the planted-hazard weather ROWS
+    * table (expects the `accidents` CTE in scope).
+    */
+  val WeatherRowsCte: String = {
+    def nullWhen(cond: String, v: String): String =
+      s"CASE WHEN $cond THEN NULL ELSE $v END"
+    val A = "accident_id"
+    s"""wrows AS (
+       |  SELECT accident_id,
+       |         a_date + CAST(CASE WHEN k <= 6 THEN k - 6 WHEN k = 7 THEN 1 ELSE -8 END AS INT) AS date,
+       |         ${nullWhen(s"($A * 3 + k) % 10 = 0", tempAvg(A, "k"))} AS temperature_avg,
+       |         ${nullWhen(s"($A + k * 3) % 8 = 0", tempMin(A, "k"))} AS temperature_min,
+       |         ${nullWhen(s"($A * 9 + k) % 8 = 0", tempMax(A, "k"))} AS temperature_max,
+       |         ${nullWhen(s"($A * 5 + k) % 14 = 0", precip(A, "k"))} AS precipitation_total,
+       |         ${nullWhen(s"($A + k * 5) % 11 = 0", wind(A, "k"))} AS wind_speed_avg,
+       |         ${nullWhen(s"($A * 2 + k) % 12 = 0", visib(A, "k"))} AS visibility_avg,
+       |         ${nullWhen(s"($A + k) % 13 = 0", cloud(A, "k"))} AS cloud_cover_avg
+       |  FROM accidents, range(9) t(k)
+       |  WHERE (k <= 6 OR accident_id % 4 = 0)
+       |    AND NOT ((accident_id * 7 + k * 11) % 9 = 0)
+       |    AND NOT (accident_id % 13 = 0 AND k >= 3)
+       |    AND NOT (accident_id % 11 = 3 AND (k = 1 OR k = 4)))""".stripMargin
+  }
+
   def tempAvg(a: String, k: String): String = s"(($a) * 13 + ($k) * 7) % 41 - 10 + ($k) * 0.5"
   def tempMin(a: String, k: String): String = s"(${tempAvg(a, k)}) - (($a) + ($k)) % 6"
   def tempMax(a: String, k: String): String = s"(${tempAvg(a, k)}) + (($a) + ($k) * 2) % 7"

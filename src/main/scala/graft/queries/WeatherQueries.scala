@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expr.StatsExprs
-import graft.weather.WeatherExprs
+import graft.weather.{WeatherAssembly, WeatherExprs}
 
 /** Weather-pattern operators (SURVEY A2-A5, W3) oracle-checked on the
   * deterministic derived series. The Spark side computes per-row over array
@@ -69,6 +69,34 @@ object WeatherQueries {
           col("accident_id"),
           round(col("wsim_raw"), 6).as("weather_similarity"))
         .orderBy("accident_id")
+    }),
+
+    // S4/A2/J3: the REAL pattern assembly — weather ROWS table → window
+    // join → Python-`or` defaults → sort_array(collect_list) → ≥5-day
+    // validity — dumped back to per-day scalars through the assembled
+    // arrays (so ordering, defaults, window gating AND validity are all
+    // oracle-load-bearing).
+    "w07_pattern_assembly" -> ((s, dir) => {
+      val pats = WeatherAssembly.assemblePatterns(
+        Derived.weatherRows(s, dir), Derived.accidents(s, dir))
+      pats.select(
+        col("accident_id"), col("n_days").cast("long").as("n_days"),
+        posexplode(arrays_zip(
+          col("pattern.temperature"), col("pattern.precipitation"),
+          col("pattern.wind_speed"), col("pattern.visibility"),
+          col("pattern.cloud_cover"), col("pattern.daily_temps"))))
+        .select(
+          col("accident_id"),
+          col("pos").cast("long").as("day_idx"),
+          col("n_days"),
+          col("col.temperature").as("temperature"),
+          col("col.precipitation").as("precipitation"),
+          col("col.wind_speed").as("wind_speed"),
+          col("col.visibility").as("visibility"),
+          col("col.cloud_cover").as("cloud_cover"),
+          col("col.daily_temps.min").as("temp_min"),
+          col("col.daily_temps.max").as("temp_max"))
+        .orderBy("accident_id", "day_idx")
     }))
 
   // --- oracle SQL -----------------------------------------------------------
@@ -139,6 +167,76 @@ object WeatherQueries {
     s"SELECT accident_id, $scoreSum + ($ftSim) * $fw AS wsim FROM s"
   }
 
+  // --- assembled-pattern CTEs (weather ROWS table → defaults → order) ------
+
+  private def falsySql(c: String, d: String): String =
+    s"CASE WHEN $c IS NULL OR $c = 0.0 THEN $d ELSE $c END"
+
+  private val tAvgSql = falsySql("temperature_avg", WeatherAssembly.TempDefaultC.toString)
+
+  /** wrows → window-gated defaulted rows → per-accident day numbering.
+    * Mirrors WeatherAssembly.defaultedRecords + the sort_array ordering
+    * (row_number over date == array position after sort_array).
+    * Expects the `accidents` CTE in scope.
+    */
+  private[queries] val assemblyCtes: String =
+    s"""${Sql.WeatherRowsCte},
+       |wdef AS (
+       |  SELECT w.accident_id, w.date,
+       |         $tAvgSql AS temperature,
+       |         ${falsySql("precipitation_total", WeatherAssembly.PrecipDefaultMm.toString)} AS precipitation,
+       |         ${falsySql("wind_speed_avg", WeatherAssembly.WindDefaultMs.toString)} AS wind_speed,
+       |         ${falsySql("visibility_avg", WeatherAssembly.VisibilityDefaultM.toString)} AS visibility,
+       |         ${falsySql("cloud_cover_avg", WeatherAssembly.CloudDefaultPct.toString)} AS cloud_cover,
+       |         ${falsySql("temperature_min", s"($tAvgSql)")} AS temp_min,
+       |         ${falsySql("temperature_max", s"($tAvgSql)")} AS temp_max
+       |  FROM wrows w JOIN accidents a USING (accident_id)
+       |  WHERE w.date BETWEEN a.a_date - ${WeatherAssembly.WindowDays} AND a.a_date),
+       |wnum AS (
+       |  SELECT *,
+       |         row_number() OVER (PARTITION BY accident_id ORDER BY date) - 1 AS day_idx,
+       |         count(*) OVER (PARTITION BY accident_id) AS n
+       |  FROM wdef)""".stripMargin
+
+  /** Variable-length similarity of each VALID assembled pattern vs the
+    * 7-day current pattern: x = current series (first n days), y =
+    * assembled series; weights pow(0.85, n-1-day_idx) normalized;
+    * freeze-thaw of current over its FULL 7 days (weatherSimilarity does
+    * not slice daily_temps). Ends in `sims(accident_id, wsim)` — valid
+    * accidents only; callers LEFT JOIN + coalesce(wsim, 0.5) for the
+    * missing-pattern neutral path.
+    */
+  private[queries] val assembledSimilarityCtes: String = {
+    val C = Derived.CurrentKey.toString
+    val fw = WeatherExprs.FactorWeight
+    val scoreSum = factors.map(f => s"(${corrCase(f)}) * $fw").mkString(" + ")
+    val ftSim = s"greatest(0.0, 1.0 - abs(ft_x - ft_y) / (greatest(ft_x, ft_y, 1) + 7))"
+    s"""$assemblyCtes,
+       |wd AS (
+       |  SELECT accident_id, day_idx, n,
+       |         ${Sql.tempAvg(C, "day_idx")} AS t_x, temperature AS t_y,
+       |         ${Sql.precip(C, "day_idx")} AS p_x, precipitation AS p_y,
+       |         ${Sql.wind(C, "day_idx")} AS w_x, wind_speed AS w_y,
+       |         ${Sql.visib(C, "day_idx")} AS v_x, visibility AS v_y,
+       |         ${Sql.cloud(C, "day_idx")} AS c_x, cloud_cover AS c_y,
+       |         temp_min AS tmin_y, temp_max AS tmax_y,
+       |         pow(${StatsExprs.WithinWindowDecay}, CAST(n - 1 - day_idx AS DOUBLE)) AS wr
+       |  FROM wnum
+       |  WHERE n >= ${WeatherExprs.MinWeatherDaysRequired}),
+       |wn2 AS (SELECT *, wr / sum(wr) OVER (PARTITION BY accident_id) AS wn FROM wd),
+       |wm AS (SELECT accident_id, ${factors.map(f =>
+            s"sum(wn * ${f}_x) AS m${f}x, sum(wn * ${f}_y) AS m${f}y").mkString(", ")}
+       |       FROM wn2 GROUP BY accident_id),
+       |ws AS (SELECT wn2.accident_id, ${factors.map(momentSums).mkString(", ")},
+       |              CAST(count(*) FILTER (WHERE tmin_y < 0 AND tmax_y > 0) AS BIGINT) AS ft_y
+       |       FROM wn2 JOIN wm USING (accident_id) GROUP BY wn2.accident_id),
+       |ftx AS (SELECT CAST(count(*) FILTER (WHERE (${Sql.tempMin(C, "k")}) < 0
+       |                                       AND (${Sql.tempMax(C, "k")}) > 0) AS BIGINT) AS ft_x
+       |        FROM range(7) t(k)),
+       |sims AS (SELECT accident_id, $scoreSum + ($ftSim) * $fw AS wsim
+       |         FROM ws CROSS JOIN ftx)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "w01_freeze_thaw" ->
       s"""WITH acc AS (SELECT s_suppkey AS accident_id FROM supplier)
@@ -179,5 +277,15 @@ object WeatherQueries {
          |       round($scoreSum + ($ftSim) * $fw, 6) AS weather_similarity
          |FROM s
          |ORDER BY accident_id""".stripMargin
-    })
+    },
+
+    "w07_pattern_assembly" ->
+      s"""WITH ${Sql.AccidentsCte},
+         |$assemblyCtes
+         |SELECT accident_id, day_idx, CAST(n AS BIGINT) AS n_days,
+         |       temperature, precipitation, wind_speed, visibility, cloud_cover,
+         |       temp_min, temp_max
+         |FROM wnum
+         |WHERE n >= ${WeatherExprs.MinWeatherDaysRequired}
+         |ORDER BY accident_id, day_idx""".stripMargin)
 }
