@@ -107,8 +107,18 @@ object SafetyKernel {
   /** The per-pair kernel over an already-joined (enriched-routes ×
     * enriched-accidents) frame — shared by the exact cross-join path and
     * the grid-pruned equi-join path (KernelPruning).
+    *
+    * If the ROUTE side carries a `wmult` column (the A7 extreme-weather
+    * multiplier from the route-location bucket's historical stats,
+    * `weather_similarity.py:221-344` / batch per-bucket caching in
+    * `safety_computation_optimized.py:516-560`), the weather factor is
+    * computed per PAIR from the amplified similarity
+    * `wsim × wmult` (final_similarity = base × multiplier,
+    * `weather_similarity.py:473`) instead of the accident-hoisted factor —
+    * exclusion threshold and quadratic power apply to the amplified value.
     */
   def influenceColumns(pairs: DataFrame): DataFrame = {
+    val amplified = pairs.columns.contains("wmult")
     // spatial: exp(-d²/(2h²)) with per-route bandwidth
     val spatial = exp(-(pow(col("dist_km"), 2)) / (lit(2.0) * pow(col("__h"), 2)))
     // temporal: 1 − 0.35·(1 − (λ^days)^1.5), ×1.05 same season
@@ -145,7 +155,9 @@ object SafetyKernel {
       .withColumn("base_influence",
         col("spatial_w") * col("temporal_w") * col("elevation_w") *
           col("route_type_w") * col("severity_w") * col("grade_w"))
-      .withColumn("weather_factor", col("__wfactor"))
+      .withColumn("weather_factor",
+        if (amplified) WeightExprs.weatherFactor(col("wsim") * col("wmult"))
+        else col("__wfactor"))
       .withColumn("influence", col("base_influence") * col("weather_factor"))
       .drop("__rt_lc", "__h", "__lam", "__elev_c", "__rt_idx",
         "__sev_w", "__acc_idx", "__days", "__same_season", "__wfactor")

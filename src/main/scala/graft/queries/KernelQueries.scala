@@ -150,6 +150,31 @@ object KernelQueries {
           round(col("risk_score"), 4).as("risk_score"),
           col("n_contributing"))
         .orderBy("route_id")
+    }),
+
+    // §2.7 + A7: the kernel with EXTREME-WEATHER AMPLIFICATION — archive
+    // stats (A6) → per-route-bucket multiplier (A7) broadcast onto the
+    // route side, per-accident assembled similarity (S4→A5) on the
+    // accident side, weather factor computed per pair from the amplified
+    // similarity wsim × wmult (weather_similarity.py:473, batch per-bucket
+    // caching safety_computation_optimized.py:516-560).
+    "k16_kernel_extreme" -> ((s, dir) => {
+      val accWithSim = graft.weather.WeatherAssembly.accidentsWithSimilarity(
+        Derived.accidents(s, dir),
+        Derived.weatherRows(s, dir),
+        Derived.weatherPattern(lit(Derived.CurrentKey)))
+      val mult = WeatherQueries.bucketMultipliers(s, dir)
+        .select(col("bucket"), col("wmult"))
+      val routes = Derived.routes(s, dir).where(col("route_id") <= 300)
+        .withColumn("bucket", col("route_id") % 10)
+        .join(broadcast(mult), Seq("bucket"))
+        .drop("bucket")
+      SafetyKernel.scoreRoutes(routes, accWithSim, Derived.planDate)
+        .select(
+          col("route_id"),
+          round(col("risk_score"), 4).as("risk_score"),
+          col("n_contributing"))
+        .orderBy("route_id")
     }))
 
   private val distExpr = Sql.haversine("lat", "lon", "a_lat", "a_lon")
@@ -241,6 +266,29 @@ object KernelQueries {
          |       count(*) FILTER (WHERE influence > ${SafetyKernel.SignificanceFloor}) AS n_contributing
          |FROM winfl
          |WHERE route_id <= 300
+         |GROUP BY route_id
+         |ORDER BY route_id""".stripMargin),
+
+    "k16_kernel_extreme" -> withDomain(
+      s""", ${WeatherQueries.assembledSimilarityCtes},
+         |acc2 AS (SELECT a.*, coalesce(sims.wsim, ${SafetyKernel.NeutralWeatherSimilarity})
+         |           AS wsim
+         |         FROM accidents a LEFT JOIN sims USING (accident_id)),
+         |${Sql.extremeMultCtes(7, Derived.CurrentKey.toString)},
+         |routes2 AS (
+         |  SELECT r.*, m.wmult
+         |  FROM (SELECT *, route_id % 10 AS bucket FROM routes WHERE route_id <= 300) r
+         |  JOIN mult m USING (bucket)),
+         |${Sql.pairInfluenceSelectFrom("routes2 CROSS JOIN acc2", ", wsim, wmult")
+        .replaceFirst("SELECT", "wpairs AS (SELECT")}),
+         |winfl AS (
+         |  SELECT route_id, accident_id,
+         |         spatial_w * temporal_w * elevation_w * route_type_w * severity_w * grade_w * (${Sql.weatherFactor("wsim * wmult")}) AS influence
+         |  FROM wpairs)
+         |SELECT route_id,
+         |       round(${Sql.normalizeRisk("sum(influence)")}, 4) AS risk_score,
+         |       count(*) FILTER (WHERE influence > ${SafetyKernel.SignificanceFloor}) AS n_contributing
+         |FROM winfl
          |GROUP BY route_id
          |ORDER BY route_id""".stripMargin),
 

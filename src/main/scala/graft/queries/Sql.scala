@@ -212,6 +212,66 @@ object Sql {
   // --- deterministic 7-day weather series (twins of Derived.tempAvg etc.;
   // `a` = key expression, `k` = day index 0..6) ------------------------------
 
+  /** DuckDB twin of Derived.archive4 (3-factor extreme-weather archive). */
+  val Archive4Cte: String =
+    """arch AS (
+      |  SELECT s_suppkey % 10 AS bucket,
+      |         ((i * 7) % 12) + 1 AS month,
+      |         ((s_suppkey * 13 + i * 5) % 60) * 0.5 - 5.0 AS temperature,
+      |         ((s_suppkey * 7 + i * 3) % 40) * 0.25 AS precipitation,
+      |         14.0 + (s_suppkey % 10) + ((s_suppkey * 11 + i * 3) % 17) * 0.25 - 2.0 AS wind_speed
+      |  FROM supplier, range(60) t(i))""".stripMargin
+
+  /** A7 extreme-weather stats→multiplier CTE chain (DuckDB twin of
+    * WeatherStats.bucketFactorStats + WeatherExprs.extremeMultiplier over
+    * the archive4 table): ends in `mult(bucket, wmult, w_mu, w_sd)`.
+    * Visibility is the service's fixed (10000.0, 0.0) stat
+    * (`weather_service.py:455`) → that factor can never trigger.
+    */
+  def extremeMultCtes(refMonth: Int, curKey: String): String = {
+    import graft.weather.{WeatherExprs, WeatherStats}
+    val pen = WeatherExprs.ExtremePenalty
+    val thr = WeatherExprs.ExtremeSdThreshold
+    def zterm(mu: String, sd: String, cur: String, penalty: Double): String =
+      s"CASE WHEN $sd IS NULL OR $sd = 0.0 THEN 0.0 " +
+        s"WHEN abs(($cur - $mu) / $sd) > $thr " +
+        s"THEN (abs(($cur - $mu) / $sd) - $thr) * $penalty ELSE 0.0 END"
+    val terms = Seq( // order mirrors WeatherExprs.extremeMultiplier exactly
+      zterm("w_mu", "w_sd", "cur_w", pen("wind_speed")),
+      zterm("p_mu", "p_sd", "cur_p", pen("precipitation")),
+      zterm("t_mu", "t_sd", "cur_t", pen("temperature")),
+      zterm("10000.0", "0.0", "cur_v", pen("visibility")))
+    def meanStd(f: String, mu: String, sd: String): String =
+      s"s_$f / sw AS $mu, CASE WHEN n_samples >= ${WeatherStats.MinSamples} " +
+        s"THEN sqrt(greatest(s2_$f / sw - (s_$f / sw) * (s_$f / sw), 0.0)) END AS $sd"
+    s"""$Archive4Cte,
+       |aw AS (
+       |  SELECT *, exp(-CAST(least(abs(month - $refMonth), 12 - abs(month - $refMonth)) AS DOUBLE)
+       |              / ${WeatherStats.MonthDecayScale}) AS w
+       |  FROM arch),
+       |stat AS (
+       |  SELECT bucket, count(*) AS n_samples, sum(w) AS sw,
+       |         sum(w * temperature) AS s_t, sum(w * temperature * temperature) AS s2_t,
+       |         sum(w * precipitation) AS s_p, sum(w * precipitation * precipitation) AS s2_p,
+       |         sum(w * wind_speed) AS s_w, sum(w * wind_speed * wind_speed) AS s2_w
+       |  FROM aw GROUP BY bucket),
+       |fstat AS (
+       |  SELECT bucket, ${meanStd("t", "t_mu", "t_sd")},
+       |         ${meanStd("p", "p_mu", "p_sd")},
+       |         ${meanStd("w", "w_mu", "w_sd")}
+       |  FROM stat),
+       |cur AS (
+       |  SELECT sum(${tempAvg(curKey, "k")}) / 7 AS cur_t,
+       |         sum(${precip(curKey, "k")}) / 7 AS cur_p,
+       |         sum(${wind(curKey, "k")}) / 7 AS cur_w,
+       |         sum(${visib(curKey, "k")}) / 7 AS cur_v
+       |  FROM range(7) t(k)),
+       |mult AS (
+       |  SELECT bucket, w_mu, w_sd,
+       |         1.0 + (${terms.mkString(" + ")}) AS wmult
+       |  FROM fstat CROSS JOIN cur)""".stripMargin
+  }
+
   /** DuckDB twin of Derived.weatherRows — the planted-hazard weather ROWS
     * table (expects the `accidents` CTE in scope).
     */

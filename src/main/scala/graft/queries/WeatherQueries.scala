@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expr.StatsExprs
-import graft.weather.{WeatherAssembly, WeatherExprs}
+import graft.weather.{WeatherAssembly, WeatherExprs, WeatherStats}
 
 /** Weather-pattern operators (SURVEY A2-A5, W3) oracle-checked on the
   * deterministic derived series. The Spark side computes per-row over array
@@ -16,6 +16,30 @@ object WeatherQueries {
 
   private def accidentIds(s: SparkSession, dir: String): DataFrame =
     graft.Tables.supplier(s, dir).select(col("s_suppkey").as("accident_id"))
+
+  /** A6→A7 composition: per-bucket archive stats → extreme-weather
+    * multiplier vs the current pattern (ref month = month(planDate) = 7).
+    * Output: (bucket, …stats…, wmult) — a tiny frame meant to be
+    * broadcast onto the route side of the kernel.
+    */
+  private[queries] def bucketMultipliers(s: SparkSession, dir: String): DataFrame = {
+    val stats = WeatherStats.bucketFactorStats(
+      Derived.archive4(s, dir),
+      Seq("temperature", "precipitation", "wind_speed"), refMonth = 7)
+    // visibility stat is the service's fixed (10000.0, 0.0) — never triggers
+    // (weather_service.py:455)
+    val statsStruct = struct(
+      col("wind_speed_mean").as("wind_speed_mean"),
+      col("wind_speed_std").as("wind_speed_std"),
+      col("precipitation_mean").as("precipitation_mean"),
+      col("precipitation_std").as("precipitation_std"),
+      col("temperature_mean").as("temperature_mean"),
+      col("temperature_std").as("temperature_std"),
+      lit(10000.0).as("visibility_mean"), lit(0.0).as("visibility_std"))
+    stats.withColumn("wmult",
+      WeatherExprs.extremeMultiplier(
+        Derived.weatherPattern(lit(Derived.CurrentKey)), statsStruct))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -97,6 +121,18 @@ object WeatherQueries {
           col("col.daily_temps.min").as("temp_min"),
           col("col.daily_temps.max").as("temp_max"))
         .orderBy("accident_id", "day_idx")
+    }),
+
+    // A7: archive stats → extreme-weather multiplier per location bucket
+    // (wind engineered so some buckets trigger the >2σ rule, others not).
+    "w08_extreme_mult" -> ((s, dir) => {
+      bucketMultipliers(s, dir)
+        .select(
+          col("bucket"),
+          round(col("wind_speed_mean"), 6).as("wind_mean"),
+          round(col("wind_speed_std"), 6).as("wind_std"),
+          round(col("wmult"), 6).as("wmult"))
+        .orderBy("bucket")
     }))
 
   // --- oracle SQL -----------------------------------------------------------
@@ -287,5 +323,12 @@ object WeatherQueries {
          |       temp_min, temp_max
          |FROM wnum
          |WHERE n >= ${WeatherExprs.MinWeatherDaysRequired}
-         |ORDER BY accident_id, day_idx""".stripMargin)
+         |ORDER BY accident_id, day_idx""".stripMargin,
+
+    "w08_extreme_mult" ->
+      s"""WITH ${Sql.extremeMultCtes(7, Derived.CurrentKey.toString)}
+         |SELECT bucket, round(w_mu, 6) AS wind_mean, round(w_sd, 6) AS wind_std,
+         |       round(wmult, 6) AS wmult
+         |FROM mult
+         |ORDER BY bucket""".stripMargin)
 }

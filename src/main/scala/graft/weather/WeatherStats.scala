@@ -45,6 +45,32 @@ object WeatherStats {
       .drop("w_sum", "w_sq")
   }
 
+  /** Single-pass per-bucket weighted mean/std for SEVERAL factor columns
+    * at once — the shape `weather_service.get_historical_stats`
+    * (`weather_service.py:386-471`) hands the extreme-weather multiplier:
+    * per factor `(mean, std)`, with a factor dropped (std → NULL here)
+    * when its bucket has fewer than [[MinSamples]] samples
+    * (`weather_service.py:437-442`). One hash aggregation, map-side
+    * partial, factor count × 3 running sums per bucket.
+    */
+  def bucketFactorStats(archive: DataFrame, factorCols: Seq[String],
+                        refMonth: Int): DataFrame = {
+    val w = monthWeight(col("month"), lit(refMonth))
+    val aggs = factorCols.flatMap { f =>
+      Seq(sum(w * col(f)).as(s"__s_$f"), sum(w * col(f) * col(f)).as(s"__s2_$f"))
+    }
+    factorCols.foldLeft(
+      archive.groupBy("bucket")
+        .agg(count(lit(1)).as("n_samples"), (sum(w).as("__sw") +: aggs): _*)
+    ) { (df, f) =>
+      val mean = col(s"__s_$f") / col("__sw")
+      val std = sqrt(greatest(col(s"__s2_$f") / col("__sw") - mean * mean, lit(0.0)))
+      df.withColumn(s"${f}_mean", mean)
+        .withColumn(s"${f}_std",
+          when(col("n_samples") >= MinSamples, std).otherwise(lit(null).cast("double")))
+    }.drop("__sw" +: factorCols.flatMap(f => Seq(s"__s_$f", s"__s2_$f")): _*)
+  }
+
   /** Per-(bucket, month) volatility groups: plain mean/std/count. */
   def monthlyVolatility(archive: DataFrame, valueCol: String): DataFrame =
     archive.groupBy("bucket", "month")
