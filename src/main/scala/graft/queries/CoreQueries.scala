@@ -204,10 +204,21 @@ object CoreQueries {
           .otherwise("stable").as("trend"))
     }),
 
-    // --- W6: pagination via row_number range ------------------------------
+    // --- W6: pagination, scale-safe form ----------------------------------
+    // Deep-pagination is inherently a global order, but the full table must
+    // NOT move to one partition: `orderBy().limit(offset+n)` compiles to
+    // TakeOrderedAndProject (per-partition top-k, then a single merge of
+    // offset+n rows), and the row_number window runs over those ≤150 rows
+    // only — on a constant partition key so WindowExec never sees an
+    // unpartitioned full-table spec.
     "q14_pagination" -> ((s, dir) => {
-      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-      Tables.customer(s, dir)
+      val order = Seq(col("c_acctbal").desc, col("c_custkey").asc)
+      val top = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(order: _*)
+        .limit(150)
+      val w = Window.partitionBy(graft.expr.WindowKeys.pinned(col("c_acctbal"))).orderBy(order: _*)
+      top
         .withColumn("rn", row_number().over(w).cast("long"))
         .where(col("rn") >= 101 && col("rn") <= 150)
         .select("rn", "c_custkey", "c_name", "c_acctbal")
@@ -250,7 +261,10 @@ object CoreQueries {
 
     // --- W5-class: sliding window frame (7-day moving average) ------------
     "q20_moving_avg" -> ((s, dir) => {
-      val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+      // per-day counts: key-cardinality = #days, bounded — constant
+      // partition key avoids the unpartitioned-window warning
+      val w = Window.partitionBy(graft.expr.WindowKeys.pinned(col("day")))
+        .orderBy("day").rowsBetween(-6, Window.currentRow)
       Tables.events(s, dir)
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("n"))
@@ -259,9 +273,13 @@ object CoreQueries {
     }),
 
     // --- JSON extraction over the events props column ---------------------
+    // `from_json` with a 1-field schema parses each props string ONCE into
+    // a struct (get_json_object re-ran a full JSON path query per row —
+    // 42 s of the sf0.1 bench; this form is a plain schema projection).
     "q19_json_props" -> ((s, dir) => {
       Tables.events(s, dir)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("k",
+          from_json(col("props"), "k BIGINT", Map.empty[String, String]).getField("k"))
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n_events"),
