@@ -13,10 +13,10 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    for (q <- Seq("q19_json_props", "q19_json_props")) {
+    for (q <- Seq("d06_simhash", "d06_simhash", "d05_minhash_lsh")) {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
-      println(s"$q: ${(System.nanoTime() - t0) / 1e9}%.1f s".replace("%.1f",""))
+      println(s"$q: ${(System.nanoTime() - t0) / 1e9} s")
     }
     spark.stop()
   }
