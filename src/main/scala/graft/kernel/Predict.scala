@@ -61,6 +61,59 @@ object Predict {
     }
   }
 
+  /** End-to-end interactive predict (S5 complete): the caller supplies the
+    * INPUT tables — `weatherRows` (accident weather rows, FIXTURES.md §2)
+    * and `currentWeather` (forecast table, FIXTURES.md §5) — and this
+    * method runs the reference's whole prep flow before the kernel
+    * (`predict.py:203-270`):
+    *
+    *   1. current pattern for the request's 0.01° bucket, 7-day window
+    *      ending at the planned date (Forecast.currentPattern);
+    *   2. per-accident pattern assembly (WeatherAssembly, ≥5-day rule);
+    *   3. A5 similarity current×accident, with the optional A7 extreme
+    *      amplification from `historicalStats` (one row of
+    *      `<factor>_mean`/`<factor>_std`, e.g. one bucket of
+    *      WeatherQueries-style archive stats) — `final = base × mult`
+    *      applied only where a real pattern exists;
+    *   4. missing current pattern (service returned None: no rows or <5
+    *      days) or missing accident pattern → neutral 0.5
+    *      (`safety_algorithm.py:265-269`);
+    *   5. the same broadcast kernel as `predict`.
+    */
+  def predictWithWeather(spark: SparkSession, req: PredictionRequest,
+                         accidents: DataFrame, weatherRows: DataFrame,
+                         currentWeather: DataFrame,
+                         historicalStats: Option[DataFrame] = None,
+                         topK: Int = 50): Prediction = {
+    import graft.weather.{Forecast, WeatherAssembly, WeatherExprs}
+    val target = to_date(lit(req.plannedDate))
+    val cur = Forecast.currentPattern(currentWeather, req.latitude, req.longitude, target)
+    val curValid = cur.select(col("cur_days")).head().getInt(0) >=
+      WeatherExprs.MinWeatherDaysRequired
+    if (!curValid) return predict(spark, req, accidents, topK)
+
+    val withPat = accidents
+      .join(WeatherAssembly.assemblePatterns(weatherRows, accidents),
+        Seq("accident_id"), "left")
+      .crossJoin(broadcast(cur.select("cur_pattern")))
+    val simmed = WeatherExprs.withWeatherSimilarity(
+      withPat, col("cur_pattern"), col("pattern"), "__ws")
+    val mult = historicalStats match {
+      case Some(stats) =>
+        val statsStruct = struct(stats.columns.map(c => col(c).as(c)): _*)
+        simmed.crossJoin(broadcast(stats))
+          .withColumn("__wmult", WeatherExprs.extremeMultiplier(col("cur_pattern"), statsStruct))
+          .drop(stats.columns: _*)
+      case None => simmed.withColumn("__wmult", lit(1.0))
+    }
+    val accWithSim = mult
+      .withColumn("wsim",
+        when(col("pattern").isNull, lit(SafetyKernel.NeutralWeatherSimilarity))
+          .otherwise(col("__ws") * col("__wmult")))
+      .drop("pattern", "n_days", "cur_pattern", "__ws", "__wmult")
+    predict(spark, req, accWithSim, topK)
+  }
+
   /** The 7-day forecast loop (`mp_routes.py:670-796`): one prediction per
     * date — expressed as a single batch over a dates × route frame rather
     * than seven sequential queries.

@@ -47,6 +47,58 @@ class PredictSpec extends SparkSpec {
     assert(graded.riskScore < without.riskScore) // grade mismatch dampens acc 1
   }
 
+  test("predictWithWeather: end-to-end S5 — real weather replaces neutral 0.5") {
+    import java.sql.Date
+    import java.time.LocalDate
+    import graft.weather.WeatherAssemblySpec.W
+
+    // current_weather rows for the Longs Peak bucket (40.25, -105.64),
+    // 7 days ending at the planned date (FIXTURES.md §8 forecast series)
+    val temps = Seq(15.0, 16.0, 17.0, 18.0, 19.0, 18.0, 17.0)
+    val prec = Seq(0.0, 0.0, 2.0, 1.0, 0.0, 0.0, 0.0)
+    val wind = Seq(5.0, 6.0, 7.0, 8.0, 6.0, 5.0, 4.0)
+    val cloud = Seq(20.0, 30.0, 60.0, 50.0, 30.0, 20.0, 10.0)
+    val cw = (0 to 6).map { k =>
+      (40.25, -105.64, Date.valueOf(LocalDate.parse("2024-07-09").plusDays(k)),
+        temps(k), temps(k) - 5.0, temps(k) + 5.0, prec(k), wind(k), cloud(k))
+    }.toDF("bucket_lat", "bucket_lon", "date", "temperature_mean",
+      "temperature_min", "temperature_max", "precipitation_sum",
+      "wind_speed_max", "cloud_cover_mean")
+
+    // weather ROWS: accidents 1/3/4 get full 7-day coverage, accident 2
+    // only 3 days (→ invalid pattern → neutral 0.5)
+    val aDates = Map(1 -> "2023-07-15", 2 -> "2023-07-15",
+      3 -> "2014-07-15", 4 -> "2023-07-15")
+    val wrows = (for {
+      (a, d) <- aDates.toSeq
+      k <- 0 to 6
+      if a != 2 || k >= 4
+    } yield W(a, Date.valueOf(LocalDate.parse(d).minusDays(6 - k)),
+      Some(10.0 + a + k), Some(5.0 + k), Some(20.0 + k),
+      Some(if ((a + k) % 3 == 0) 1.5 else 0.0), Some(4.0 + (a + k) % 5),
+      Some(9000.0), Some(10.0 * ((a + k) % 8)))).toDF()
+
+    val pNeutral = Predict.predict(spark, longsPeak, accidents)
+    val pWeather = Predict.predictWithWeather(spark, longsPeak, accidents, wrows, cw)
+    assert(pWeather.riskScore !== pNeutral.riskScore)
+    assert(pWeather.riskScore > 0 && pWeather.riskScore <= 100)
+
+    // bucket miss → service-None path → identical to the neutral predict
+    val pMiss = Predict.predictWithWeather(spark, longsPeak, accidents, wrows,
+      cw.where(col("bucket_lat") === 0.0))
+    assert(pMiss.riskScore == pNeutral.riskScore)
+
+    // A7 amplification: wind stats far from the current mean with tiny σ
+    // → multiplier > 1 → amplified similarity → higher risk
+    val stats = Seq((2.0, 1.0, 0.0, 0.0, 0.0, 0.0, 10000.0, 0.0)).toDF(
+      "wind_speed_mean", "wind_speed_std", "precipitation_mean",
+      "precipitation_std", "temperature_mean", "temperature_std",
+      "visibility_mean", "visibility_std")
+    val pAmp = Predict.predictWithWeather(spark, longsPeak, accidents, wrows,
+      cw, historicalStats = Some(stats))
+    assert(pAmp.riskScore > pWeather.riskScore)
+  }
+
   test("forecast: one row per day, dates advance, scores vary smoothly") {
     val f = Predict.forecast(spark, longsPeak, accidents, days = 7).collect()
     assert(f.length == 7)
