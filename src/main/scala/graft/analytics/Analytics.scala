@@ -216,12 +216,31 @@ object Analytics {
       .drop("island")
   }
 
+  /** US state / country names that stop the breadcrumb walk
+    * (`mp_routes.py:64-76`): the matching location and everything above it
+    * are excluded from the path.
+    */
+  val StateStopNames: Set[String] = Set(
+    "alabama", "alaska", "arizona", "arkansas", "california", "colorado",
+    "connecticut", "delaware", "florida", "georgia", "hawaii", "idaho",
+    "illinois", "indiana", "iowa", "kansas", "kentucky", "louisiana",
+    "maine", "maryland", "massachusetts", "michigan", "minnesota",
+    "mississippi", "missouri", "montana", "nebraska", "nevada",
+    "new hampshire", "new jersey", "new mexico", "new york",
+    "north carolina", "north dakota", "ohio", "oklahoma", "oregon",
+    "pennsylvania", "rhode island", "south carolina", "south dakota",
+    "tennessee", "texas", "utah", "vermont", "virginia", "washington",
+    "west virginia", "wisconsin", "wyoming", "district of columbia",
+    "united states", "usa", "canada", "mexico", "international")
+
   /** J4: location breadcrumb via iterative parent-pointer walk, ≤15 levels
-    * (`mp_routes.py:49-106`). Locations are small (≤45K in the reference) —
-    * collected to a driver map; for larger hierarchies use
+    * (`mp_routes.py:49-106`), stopping at state/country names when
+    * `excludeStates` (the reference default). Locations are small (≤45K in
+    * the reference) — collected to a driver map; for larger hierarchies use
     * [[breadcrumbDistributed]].
     */
-  def breadcrumb(locations: DataFrame, locationId: Long, maxLevels: Int = 15): Seq[String] = {
+  def breadcrumb(locations: DataFrame, locationId: Long, maxLevels: Int = 15,
+                 excludeStates: Boolean = true): Seq[String] = {
     val byId = locations.select("mp_id", "name", "parent_id").collect()
       .map(r => r.getLong(0) -> (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
       .toMap
@@ -230,6 +249,9 @@ object Analytics {
     var level = 0
     while (cur.isDefined && level < maxLevels) {
       byId.get(cur.get) match {
+        case Some((name, parent))
+          if excludeStates && StateStopNames.contains(name.toLowerCase.trim) =>
+          cur = None
         case Some((name, parent)) => out.prepend(name); cur = parent
         case None => cur = None
       }
@@ -242,19 +264,32 @@ object Analytics {
     * location — each iteration extends paths by one level; terminates when
     * no row changed or maxLevels reached.
     */
-  def breadcrumbDistributed(locations: DataFrame, maxLevels: Int = 15): DataFrame = {
+  def breadcrumbDistributed(locations: DataFrame, maxLevels: Int = 15,
+                            excludeStates: Boolean = true): DataFrame = {
+    // a START node that is itself a state yields the reference's empty path
+    val ownStop =
+      if (excludeStates) lower(trim(col("name"))).isInCollection(StateStopNames)
+      else lit(false)
     val base = locations.select(
-      col("mp_id"), col("parent_id").as("cursor"), col("name").as("path"))
+      col("mp_id"),
+      when(ownStop, lit(null).cast("long")).otherwise(col("parent_id")).as("cursor"),
+      when(ownStop, lit("")).otherwise(col("name")).as("path"))
     val parents = locations.select(
       col("mp_id").as("p_id"), col("parent_id").as("p_parent"), col("name").as("p_name"))
+    // state/country stop (mp_routes.py:97-98): the matching ancestor is not
+    // appended and the walk ends there (cursor → null)
+    val isStop =
+      if (excludeStates) lower(trim(col("p_name"))).isInCollection(StateStopNames)
+      else lit(false)
     var current = base
     var level = 0
     while (level < maxLevels) {
       current = current.join(broadcast(parents), col("cursor") === col("p_id"), "left")
         .select(
           col("mp_id"),
-          col("p_parent").as("cursor"),
-          when(col("p_name").isNotNull, concat(col("p_name"), lit(" > "), col("path")))
+          when(col("p_name").isNotNull && isStop, lit(null).cast("long"))
+            .otherwise(col("p_parent")).as("cursor"),
+          when(col("p_name").isNotNull && !isStop, concat(col("p_name"), lit(" > "), col("path")))
             .otherwise(col("path")).as("path"))
       level += 1
     }

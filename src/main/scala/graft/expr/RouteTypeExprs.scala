@@ -76,6 +76,29 @@ object RouteTypeExprs {
     when(t.contains("unroped") && t.contains("solo"), "alpine").otherwise(base)
   }
 
+  /** F13 confidence variant: how confident the inference cascade is, 0.0-1.0
+    * (ref: `backend/app/services/route_type_mapper.py:168-241`). Early-return
+    * priority order reproduced exactly; note the generic-accident-type rule
+    * (0.50) fires BEFORE any activity rule, and an empty or "unknown"
+    * accident_type falls through (Python falsy / explicit != check).
+    */
+  def inferenceConfidence(activity: Column, accidentType: Column, tags: Column): Column = {
+    val t = lower(coalesce(tags, lit("")))
+    val at = lower(coalesce(accidentType, lit("")))
+    val act = lower(coalesce(activity, lit("")))
+    val explicitTags = Seq("ice climbing", "sport climbing", "trad", "alpine",
+      "mountaineering", "mixed climbing", "aid climbing", "boulder")
+      .map(t.contains).reduce(_ || _)
+    when(explicitTags, 0.95)
+      .when(at.contains("ice_climbing") || at.contains("ice"), 0.85)
+      .when(at.contains("avalanche"), 0.80)
+      .when(t.contains("grade:") || t.contains("roped"), 0.60)
+      .when(at =!= "" && at =!= "unknown", 0.50)
+      .when(act.contains("backcountry") || act.contains("mountaineer"), 0.60)
+      .when(act.contains("climber") || act.contains("climbing"), 0.40)
+      .otherwise(0.20)
+  }
+
   /** Normalize a raw Mountain-Project style `type` string to the canonical
     * 7 types, default "trad"
     * (ref: `backend/app/api/v1/mp_routes.py:109-150`; simpler batch variant

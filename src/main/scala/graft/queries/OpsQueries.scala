@@ -67,6 +67,18 @@ object OpsQueries {
         .orderBy("accident_id")
     }),
 
+    // F13 confidence variant: same cascade returning the inference
+    // confidence (route_type_mapper.py:168-241).
+    "k17_type_confidence" -> ((s, dir) => {
+      inferenceInputs(s, dir)
+        .select(col("accident_id"),
+          graft.expr.RouteTypeExprs.inferFromAccident(
+            col("activity"), col("accident_type"), col("tags")).as("inferred_type"),
+          graft.expr.RouteTypeExprs.inferenceConfidence(
+            col("activity"), col("accident_type"), col("tags")).as("confidence"))
+        .orderBy("accident_id")
+    }),
+
     // P6: keep accident if close (≤50km) OR strict type match (rtw ≥ 0.85).
     "k11_distance_gate" -> ((s, dir) => {
       val pairs = Derived.routes(s, dir).where(col("route_id") <= 200)
@@ -136,38 +148,41 @@ object OpsQueries {
     * (route_type_mapper.py:13-165 — including the faithful `roped`
     * substring behavior).
     */
-  private val inferenceOracle: String = {
+  /** Shared derived-inputs CTEs for the F13 oracles (k15, k17). */
+  private val inferenceInputCtes: String =
+    """inp AS (
+      |  SELECT s_suppkey AS accident_id,
+      |         CASE (s_suppkey % 8) WHEN 0 THEN NULL
+      |              WHEN 1 THEN 'Ice Climbing, Alpine'
+      |              WHEN 2 THEN 'Sport Climbing, grade:5.12a'
+      |              WHEN 3 THEN 'grade:5.9, Roped'
+      |              WHEN 4 THEN 'Bouldering, V5'
+      |              WHEN 5 THEN 'unroped solo'
+      |              WHEN 6 THEN ''
+      |              ELSE 'Mixed Climbing' END AS tags,
+      |         CASE (s_suppkey % 5) WHEN 0 THEN 'Climbing'
+      |              WHEN 1 THEN 'Backcountry Tourer'
+      |              WHEN 2 THEN 'Hiker'
+      |              WHEN 3 THEN NULL
+      |              ELSE 'Mountaineer' END AS activity,
+      |         CASE (s_suppkey % 6) WHEN 0 THEN 'fall'
+      |              WHEN 1 THEN 'ice_climbing'
+      |              WHEN 2 THEN 'avalanche'
+      |              WHEN 3 THEN 'rockfall'
+      |              WHEN 4 THEN NULL
+      |              ELSE 'rappel' END AS accident_type
+      |  FROM supplier),
+      |lowered AS (
+      |  SELECT *, lower(coalesce(tags, '')) AS t,
+      |         lower(coalesce(accident_type, '')) AS at,
+      |         lower(coalesce(activity, '')) AS act
+      |  FROM inp)""".stripMargin
+
+  /** The F13 type cascade as one SQL expression over `t`/`at`/`act`. */
+  private val inferredTypeSql: String = {
     val high = (11 to 15).map(i => s"contains(t, '5.$i')").mkString(" OR ")
     val low = (1 to 10).map(i => s"contains(t, '5.$i')").mkString(" OR ")
-    s"""WITH inp AS (
-       |  SELECT s_suppkey AS accident_id,
-       |         CASE (s_suppkey % 8) WHEN 0 THEN NULL
-       |              WHEN 1 THEN 'Ice Climbing, Alpine'
-       |              WHEN 2 THEN 'Sport Climbing, grade:5.12a'
-       |              WHEN 3 THEN 'grade:5.9, Roped'
-       |              WHEN 4 THEN 'Bouldering, V5'
-       |              WHEN 5 THEN 'unroped solo'
-       |              WHEN 6 THEN ''
-       |              ELSE 'Mixed Climbing' END AS tags,
-       |         CASE (s_suppkey % 5) WHEN 0 THEN 'Climbing'
-       |              WHEN 1 THEN 'Backcountry Tourer'
-       |              WHEN 2 THEN 'Hiker'
-       |              WHEN 3 THEN NULL
-       |              ELSE 'Mountaineer' END AS activity,
-       |         CASE (s_suppkey % 6) WHEN 0 THEN 'fall'
-       |              WHEN 1 THEN 'ice_climbing'
-       |              WHEN 2 THEN 'avalanche'
-       |              WHEN 3 THEN 'rockfall'
-       |              WHEN 4 THEN NULL
-       |              ELSE 'rappel' END AS accident_type
-       |  FROM supplier),
-       |lowered AS (
-       |  SELECT *, lower(coalesce(tags, '')) AS t,
-       |         lower(coalesce(accident_type, '')) AS at,
-       |         lower(coalesce(activity, '')) AS act
-       |  FROM inp)
-       |SELECT accident_id, tags, activity, accident_type,
-       |  coalesce(
+    s"""coalesce(
        |    CASE WHEN contains(t, 'ice climbing') OR contains(t, 'ice climb') THEN 'ice'
        |         WHEN contains(t, 'mixed climbing') OR contains(t, 'mixed climb') THEN 'mixed'
        |         WHEN contains(t, 'alpine') OR contains(t, 'mountaineering') THEN 'alpine'
@@ -192,13 +207,43 @@ object OpsQueries {
        |         WHEN contains(act, 'ski') THEN 'alpine'
        |         WHEN contains(act, 'hiker') OR contains(act, 'motorist')
        |              OR contains(act, 'rescuer') OR contains(act, 'rider') THEN 'default' END,
-       |    'default') AS inferred_type
+       |    'default')""".stripMargin
+  }
+
+  private val inferenceOracle: String =
+    s"""WITH $inferenceInputCtes
+       |SELECT accident_id, tags, activity, accident_type,
+       |  $inferredTypeSql AS inferred_type
+       |FROM lowered
+       |ORDER BY accident_id""".stripMargin
+
+  /** F13 confidence cascade (route_type_mapper.py:168-241), independent SQL
+    * mirror: explicit tags 0.95 → specific accident type 0.85/0.80 →
+    * grade/roped tags 0.60 → generic non-empty accident type 0.50 →
+    * activity 0.60/0.40 → 0.20.
+    */
+  private val confidenceOracle: String = {
+    val explicit = Seq("ice climbing", "sport climbing", "trad", "alpine",
+      "mountaineering", "mixed climbing", "aid climbing", "boulder")
+      .map(x => s"contains(t, '$x')").mkString(" OR ")
+    s"""WITH $inferenceInputCtes
+       |SELECT accident_id,
+       |  $inferredTypeSql AS inferred_type,
+       |  CASE WHEN $explicit THEN 0.95
+       |       WHEN contains(at, 'ice_climbing') OR contains(at, 'ice') THEN 0.85
+       |       WHEN contains(at, 'avalanche') THEN 0.80
+       |       WHEN contains(t, 'grade:') OR contains(t, 'roped') THEN 0.60
+       |       WHEN at <> '' AND at <> 'unknown' THEN 0.50
+       |       WHEN contains(act, 'backcountry') OR contains(act, 'mountaineer') THEN 0.60
+       |       WHEN contains(act, 'climber') OR contains(act, 'climbing') THEN 0.40
+       |       ELSE 0.20 END AS confidence
        |FROM lowered
        |ORDER BY accident_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "k15_type_inference" -> inferenceOracle,
+    "k17_type_confidence" -> confidenceOracle,
     "k11_distance_gate" -> {
       val dist = Sql.haversine("lat", "lon", "a_lat", "a_lon")
       val rtw = Sql.routeTypeWeight("route_type", "acc_type")

@@ -109,19 +109,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(row.getAs[String]("trend") == "increasing")
   }
 
-  test("breadcrumb: driver walk and distributed agree") {
+  test("breadcrumb: state-name stop rule (mp_routes.py:62-98), both forms") {
     val locations = Seq(
-      (1L, "Colorado", Option.empty[Long]),
+      (0L, "USA", Option.empty[Long]),
+      (1L, "Colorado", Some(0L)),
       (2L, "RMNP", Some(1L)),
       (3L, "Longs Peak", Some(2L)),
       (4L, "The Diamond", Some(3L)))
       .toDF("mp_id", "name", "parent_id")
+    // default: the walk stops AT the state — state and country excluded
     assert(Analytics.breadcrumb(locations, 4L) ==
-      Seq("Colorado", "RMNP", "Longs Peak", "The Diamond"))
+      Seq("RMNP", "Longs Peak", "The Diamond"))
     val dist = Analytics.breadcrumbDistributed(locations, maxLevels = 5)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(dist(4L) == "Colorado > RMNP > Longs Peak > The Diamond")
-    assert(dist(1L) == "Colorado")
+    assert(dist(4L) == "RMNP > Longs Peak > The Diamond")
+    assert(dist(2L) == "RMNP")
+    assert(dist(1L) == "") // a state start node yields the empty path
+    // excludeStates = false keeps the full chain
+    assert(Analytics.breadcrumb(locations, 4L, excludeStates = false) ==
+      Seq("USA", "Colorado", "RMNP", "Longs Peak", "The Diamond"))
+    val full = Analytics.breadcrumbDistributed(locations, maxLevels = 5,
+      excludeStates = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full(4L) == "USA > Colorado > RMNP > Longs Peak > The Diamond")
   }
 
   test("mapWithSafety: season filter, blacklist, score left join") {

@@ -40,6 +40,40 @@ class RouteTypeExprsSpec extends SparkSpec {
       assert(infer(a, t, tg) == expected, s"($a, $t, $tg)")
   }
 
+  private def confidence(activity: String, accidentType: String, tags: String): Double =
+    evalDouble(RouteTypeExprs.inferenceConfidence(
+      Option(activity).map(lit).getOrElse(lit(null).cast("string")),
+      Option(accidentType).map(lit).getOrElse(lit(null).cast("string")),
+      Option(tags).map(lit).getOrElse(lit(null).cast("string"))))
+
+  test("confidence cascade matches reference (route_type_mapper.py:168-241)") {
+    val cases = Seq(
+      // explicit tag types → 0.95 (incl. the docstring example)
+      ("Climbing", "ice_climbing", "Ice Climbing, Alpine/Mountaineering", 0.95),
+      ("Climbing", "fall", "Sport Climbing", 0.95),
+      (null, null, "Bouldering, V5", 0.95),
+      // specific accident types
+      (null, "ice_climbing", null, 0.85),
+      (null, "ice", null, 0.85),
+      (null, "avalanche", null, 0.80),
+      // grade / roped tags (incl. the 'unroped' substring quirk)
+      (null, null, "grade:5.9", 0.60),
+      ("Climbing", null, "unroped solo", 0.60),
+      // generic accident type fires BEFORE activity rules
+      ("Climbing", "fall", null, 0.50),
+      ("Mountaineer", "rappel", null, 0.50),
+      // empty / 'unknown' accident type falls through to activity
+      (null, "unknown", "", 0.20),
+      ("Mountaineer", "unknown", null, 0.60),
+      ("Backcountry Tourer", null, null, 0.60),
+      ("Climbing", null, null, 0.40),
+      ("Rock Climber", null, null, 0.40),
+      ("Hiker", null, null, 0.20),
+      (null, null, null, 0.20))
+    for ((a, t, tg, expected) <- cases)
+      assert(confidence(a, t, tg) == expected, s"($a, $t, $tg)")
+  }
+
   test("reference quirk reproduced: 'unroped' matches the roped→trad rule") {
     // python: `"roped" in "unroped solo"` is True → trad (unroped-solo rule
     // is dead code); the strictRoped variant gives the intended alpine
