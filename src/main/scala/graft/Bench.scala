@@ -64,6 +64,34 @@ object Bench {
     KernelPruning.scoreRoutesPruned(
       syntheticRoutes(spark, 168000), syntheticAccidents(spark, 6900), planDate)
 
+  /** The serving join at production scale (BASELINE.md: 2-3 s for 168K
+    * routes, `mp_routes.py:393-397`): routes ⋈ broadcast locations dim
+    * (coordinate inheritance) + left ⋈ scores, season filter + blacklist.
+    */
+  def mapWithSafety168k(spark: SparkSession): DataFrame = {
+    val routes = spark.range(168000).select(
+      col("id").as("mp_route_id"),
+      concat(lit("route "), col("id")).as("name"),
+      (col("id") % 5000).as("location_id"),
+      typeName(col("id") % 8).as("type"),
+      when(col("id") % 7 === 0, lit(null).cast("double"))
+        .otherwise(lit(40.0) + (col("id") % 2000) / 100.0).as("latitude"),
+      when(col("id") % 7 === 0, lit(null).cast("double"))
+        .otherwise(lit(-120.0) + (col("id") % 3000) / 100.0).as("longitude"))
+    val locations = spark.range(5000).select(
+      col("id").as("mp_id"),
+      (lit(40.0) + (col("id") % 2000) / 100.0).as("loc_lat"),
+      (lit(-120.0) + (col("id") % 3000) / 100.0).as("loc_lon"))
+    // partial score coverage so the left join's null side is exercised
+    val scores = spark.range(168000).where(col("id") % 3 === 0).select(
+      col("id").as("mp_route_id"),
+      (col("id") % 101).cast("double").as("risk_score"),
+      when(col("id") % 101 < 30, "green").when(col("id") % 101 < 50, "yellow")
+        .when(col("id") % 101 < 70, "orange").otherwise("red").as("color_code"))
+    graft.analytics.Analytics.mapWithSafety(
+      routes, locations, scores, season = "all", blacklist = Seq("route 13"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -103,6 +131,7 @@ object Bench {
     }
     results("kernel_batch_168k") = time(kernelBatch168k(spark))
     results("kernel_batch_168k_pruned") = time(kernelBatch168kPruned(spark))
+    results("map_with_safety_168k") = time(mapWithSafety168k(spark))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

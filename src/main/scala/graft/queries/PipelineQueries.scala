@@ -97,6 +97,26 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- embedding near-dup at SCALE: LSH bucket join, exact verify -------
+    // (the 100 TB twin of d07's exact all-pairs contract; rows-only —
+    // hyperplane buckets aren't SQL-mirrorable — recall floor in DedupSpec).
+    // The raw corpus has no cosine≥0.95 pairs, so near-dups are PLANTED:
+    // each vector gets a deterministically jittered copy (±0.01/dim →
+    // cosine ≈ 0.998 against its source).
+    "d09_embedding_lsh_neardup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val planted = e.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + ((col("vec_id") + i.cast("long")) % 3 - 1).cast("double") * 0.01)
+          .as("embedding"))
+      Similarity.nearDupPairsLsh(e.union(planted), "vec_id", "embedding",
+        dim = 64, bits = 8, threshold = 0.95)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- brute-force cosine top-k (exact ANN baseline) --------------------
     "s01_cosine_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)

@@ -68,6 +68,35 @@ object Similarity {
     }.reduce(_ + _) // sum of distinct powers of two < 2^63 — ANSI-safe
   }
 
+  /** Near-duplicate PAIRS at corpus scale (the scale twin of the exact
+    * all-pairs d07 contract): hyperplane-signature bucket equi-join with
+    * 1-bit multi-probe on one side, exact-cosine verification of the
+    * candidates. All-pairs never materializes — each vector meets only
+    * same-bucket and adjacent-bucket (hamming-1) vectors, so the join
+    * fan-out is bucket-bounded. Precision is 1.0 by construction (every
+    * emitted pair passed the exact threshold); recall for cosine ≥ 0.99
+    * at 8 bits is ≈ p^b + b·p^(b-1)(1−p) with p = 1 − θ/π ≈ 0.95
+    * (DedupSpec asserts a measured floor on planted near-dups).
+    */
+  def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, bits: Int, threshold: Double): DataFrame = {
+    require(bits <= 16, "multi-probe signature is meant to be short")
+    val b = withNorm(df, idCol, vecCol, "id_b", "v_b", "n_b")
+      .withColumn("bucket", hyperplaneSignature(col("v_b"), dim, bits))
+    val a = withNorm(df, idCol, vecCol, "id_a", "v_a", "n_a")
+      .withColumn("sig", hyperplaneSignature(col("v_a"), dim, bits))
+      .select(col("id_a"), col("v_a"), col("n_a"),
+        explode(concat(array(col("sig")),
+          transform(sequence(lit(0), lit(bits - 1)),
+            i => col("sig").bitwiseXOR(pow(lit(2.0), i).cast("long"))))).as("bucket"))
+    a.join(b, "bucket")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        VectorExprs.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine").distinct()
+  }
+
   /** Approximate top-k via LSH bucketing with multi-probe fallback: probe
     * the exact bucket plus all 1-bit-flip neighbors (bits+1 probes), rank
     * candidates by exact cosine. Trades recall for pruning the corpus scan:

@@ -84,4 +84,35 @@ class DedupSpec extends SparkSpec {
       .select(TextExprs.fingerprint(col("text"))).head().getLong(0)
     assert(reversed != fps(1L))
   }
+
+  test("LSH recall floor on planted near-dups at sf0.01 and sf0.1") {
+    // Plant near-duplicates into the real corpus: one appended token on a
+    // >=62-token doc keeps exact shingle-Jaccard >= ~0.95, where 16 hashes /
+    // 4 bands give a >=99.8% deterministic catch rate per pair. The spec
+    // asserts an end-to-end recall floor AND that the candidate set stays
+    // far below all-pairs (the 100 TB contract: banding, not cross join).
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val offset = 10000000L
+      val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      val longDocs = docs
+        .where(size(split(col("text"), " ")) >= 62 && col("doc_id") < 300)
+      val planted = longDocs.select(
+        (col("doc_id") + offset).as("doc_id"),
+        concat(col("text"), lit(" zzzplantedzzz")).as("text"))
+      val plantedIds = longDocs.select("doc_id").as[Long].collect().toSet
+      assert(plantedIds.size >= 50, s"corpus $dir too small for the plant")
+
+      val corpus = docs.union(planted)
+      val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", 16, 3)
+      val cands = Dedup.lshCandidatePairs(sigs, "doc_id", 16, 4)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+      val caught = plantedIds.count(id => cands.contains((id, id + offset)))
+      val recall = caught.toDouble / plantedIds.size
+      assert(recall >= 0.9, s"$dir: LSH recall $recall below floor")
+      // no all-pairs blowup: candidates ≪ n²/2
+      val n = corpus.count()
+      assert(cands.size < n * 20, s"$dir: candidate set ${cands.size} too large for $n docs")
+    }
+  }
 }

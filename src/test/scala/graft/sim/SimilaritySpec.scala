@@ -59,4 +59,33 @@ class SimilaritySpec extends SparkSpec {
     assert(sigs(1L) == sigs(2L)) // nearly identical vectors share a bucket
     assert(sigs(1L) != sigs(3L)) // antipodal vectors do not
   }
+
+  test("nearDupPairsLsh: precision 1.0 and recall floor on planted near-dups") {
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.Tables.embeddings(spark, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val planted = e.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x + ((col("vec_id") + i.cast("long")) % 3 - 1).cast("double") * 0.01)
+        .as("embedding"))
+    val corpus = e.union(planted)
+
+    val lsh = Similarity.nearDupPairsLsh(corpus, "vec_id", "embedding",
+      dim = 64, bits = 8, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    // exact truth by brute force over the 1000-vector corpus
+    val a = Similarity.withNorm(corpus, "vec_id", "embedding", "id_a", "v_a", "n_a")
+    val b = Similarity.withNorm(corpus, "vec_id", "embedding", "id_b", "v_b", "n_b")
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .where(graft.expr.VectorExprs.dot(col("v_a"), col("v_b")) /
+        (col("n_a") * col("n_b")) >= 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    assert(exact.size >= 400, s"plant produced only ${exact.size} true pairs")
+    assert(lsh.subsetOf(exact)) // exact-verified candidates: precision 1.0
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall below floor")
+  }
 }
