@@ -13,7 +13,10 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    for (q <- Seq("d06_simhash", "d06_simhash", "d05_minhash_lsh")) {
+    val routes = graft.queries.Derived.routes(spark, dir)
+    val accidents = graft.queries.Derived.accidents(spark, dir)
+    println("routes=" + routes.count() + " accidents=" + accidents.count())
+    for (q <- Seq("k08_kernel_risk", "k08_kernel_risk", "k10_color_hist", "k14_kernel_weather", "k16_kernel_extreme")) {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
       println(s"$q: ${(System.nanoTime() - t0) / 1e9} s")

@@ -69,7 +69,18 @@ object SafetyKernel {
     */
   def pairInfluence(routes: DataFrame, accidents: DataFrame, planDate: Column): DataFrame =
     influenceColumns(
-      enrichRoutes(routes).crossJoin(broadcast(enrichAccidents(accidents, planDate))))
+      enrichRoutes(balance(routes)).crossJoin(broadcast(enrichAccidents(accidents, planDate))))
+
+  /** The broadcast-NLJ kernel parallelizes over ROUTE partitions only — a
+    * small single-file parquet scan (one split) would run the whole
+    * routes × accidents loop on one core. Spread such inputs across the
+    * cluster; at real scale a scan already has ≥ cores splits and this is
+    * a no-op (no shuffle added).
+    */
+  private def balance(routes: DataFrame): DataFrame = {
+    val target = routes.sparkSession.sparkContext.defaultParallelism
+    if (routes.rdd.getNumPartitions < target) routes.repartition(target) else routes
+  }
 
   /** Route-side enrichment: every type-dependent constant hoisted out of
     * the pair loop.
