@@ -55,7 +55,7 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleWidth: Int): DataFrame = {
-    val exploded = df.select(col(idCol),
+    val exploded = graft.Partitioning.balanced(df).select(col(idCol),
       explode(TextExprs.shingleHashes(col(textCol), shingleWidth)).as("sh"))
     val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
     exploded.groupBy(idCol)
@@ -121,7 +121,7 @@ object Dedup {
     * sf0.1 vs scan throughput for this form.
     */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
+    graft.Partitioning.balanced(df).select(col(idCol),
       graft.expr.SimHashExpr.simhash63(TextExprs.tokens(col(textCol))).as("simhash"))
 
   /** Hamming distance between two 64-bit hashes. */
@@ -131,7 +131,7 @@ object Dedup {
     * shingle. For bounded candidate sets (or post-LSH verification).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+    val sh = graft.Partitioning.balanced(df).select(col(idCol).as("id"),
       explode(TextExprs.shingleHashes(col(textCol), w)).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val common = sh.as("a").join(sh.as("b"),

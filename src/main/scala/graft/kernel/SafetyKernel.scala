@@ -73,14 +73,9 @@ object SafetyKernel {
 
   /** The broadcast-NLJ kernel parallelizes over ROUTE partitions only — a
     * small single-file parquet scan (one split) would run the whole
-    * routes × accidents loop on one core. Spread such inputs across the
-    * cluster; at real scale a scan already has ≥ cores splits and this is
-    * a no-op (no shuffle added).
+    * routes × accidents loop on one core (graft.Partitioning.balanced).
     */
-  private def balance(routes: DataFrame): DataFrame = {
-    val target = routes.sparkSession.sparkContext.defaultParallelism
-    if (routes.rdd.getNumPartitions < target) routes.repartition(target) else routes
-  }
+  private def balance(routes: DataFrame): DataFrame = graft.Partitioning.balanced(routes)
 
   /** Route-side enrichment: every type-dependent constant hoisted out of
     * the pair loop.

@@ -85,8 +85,8 @@ object PipelineQueries {
 
     // --- embedding near-dup pairs above cosine threshold ------------------
     "d07_embedding_neardup" -> ((s, dir) => {
-      val a = Similarity.withNorm(Tables.embeddings(s, dir), "vec_id", "embedding",
-        "id_a", "v_a", "n_a")
+      val a = Similarity.withNorm(graft.Partitioning.balanced(Tables.embeddings(s, dir)),
+        "vec_id", "embedding", "id_a", "v_a", "n_a")
       val b = Similarity.withNorm(Tables.embeddings(s, dir), "vec_id", "embedding",
         "id_b", "v_b", "n_b")
       a.join(b, col("id_a") < col("id_b"))

@@ -42,7 +42,8 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_n"))
-    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "c_vec", "c_n")
+    val c = withNorm(graft.Partitioning.balanced(corpus), idCol, vecCol,
+      "neighbor_id", "c_vec", "c_n")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     q.crossJoin(c)
@@ -83,7 +84,7 @@ object Similarity {
     require(bits <= 16, "multi-probe signature is meant to be short")
     val b = withNorm(df, idCol, vecCol, "id_b", "v_b", "n_b")
       .withColumn("bucket", hyperplaneSignature(col("v_b"), dim, bits))
-    val a = withNorm(df, idCol, vecCol, "id_a", "v_a", "n_a")
+    val a = withNorm(graft.Partitioning.balanced(df), idCol, vecCol, "id_a", "v_a", "n_a")
       .withColumn("sig", hyperplaneSignature(col("v_a"), dim, bits))
       .select(col("id_a"), col("v_a"), col("n_a"),
         explode(concat(array(col("sig")),
