@@ -81,4 +81,41 @@ object StreamingOps {
 
   private def closed(userId: Long, s: SessionState): SessionOut =
     SessionOut(userId, s.sessionStartUs, s.nEvents, s.totalValueCents / 100.0)
+
+  /** Streaming ingestion dedup — the streaming twin of exact dedup (the
+    * training-pipeline "drop re-crawled documents" step): keep the first
+    * row per content digest, with dedup state BOUNDED by the watermark
+    * horizon (`dropDuplicatesWithinWatermark`): a digest older than the
+    * horizon is evicted from state, which is the only contract that
+    * survives unbounded ingest. Works identically on a batch frame
+    * (unified API), where it degenerates to plain digest-dedup.
+    */
+  def streamingExactDedup(docs: DataFrame, tsCol: String, textCol: String,
+                          watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+
+  /** §2.8 row 1 — the nightly recompute as an INCREMENTAL query: a stream
+    * of `prediction_date` strings drives one kernel batch per arriving
+    * date, landed via the idempotent partition-overwrite sink
+    * (ScoringPipeline.writeScores). Run with `Trigger.AvailableNow()` for
+    * the Celery-beat replacement (process all pending dates, then stop);
+    * leave the default trigger for a continuously-fed date feed. Retries
+    * are safe: re-delivering a date overwrites exactly its partition.
+    */
+  def incrementalScoring(dates: DataFrame, routes: DataFrame, accidents: DataFrame,
+                         outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    dates.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ds = batch.select(col("prediction_date").cast("string"))
+          .distinct().collect().map(_.getString(0)).sorted.toSeq
+        if (ds.nonEmpty) {
+          graft.pipeline.ScoringPipeline.writeScores(
+            graft.pipeline.ScoringPipeline.computeDailyScores(routes, accidents, ds),
+            outPath)
+        }
+      }
 }
