@@ -16,6 +16,16 @@ import graft.text.TextExprs
   */
 object PipelineQueries {
 
+  /** Language-marker tokens shared by the d08 query and its oracle. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " und ", " die "),
+    "en" -> Seq(" the ", " a ", " of "),
+    "es" -> Seq(" el ", " y ", " los "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "zh" -> Seq("\u7684", "\u662f", "\u4e86"))
+
+  private val Stopwords = Seq("the", "a", "of", "and")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- exact dedup inventory (hash-groupBy; md5 matches DuckDB's) -------
@@ -139,23 +149,48 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // --- language-ID heuristic + quality scoring (rows-only) --------------
+    // --- language-ID heuristic + quality scoring (oracle-checked: the
+    // argmax tie-break is mirrored via packed score*8+langIdx encoding) ----
     "d08_lang_quality" -> ((s, dir) => {
-      val markers = Map(
-        "en" -> Seq(" the ", " a ", " of "),
-        "de" -> Seq(" der ", " und ", " die "),
-        "fr" -> Seq(" le ", " et ", " les "),
-        "es" -> Seq(" el ", " y ", " los "),
-        "zh" -> Seq("的", "是", "了"))
       Tables.documents(s, dir)
         .select(
           col("doc_id"), col("lang"),
-          TextExprs.langIdGuess(col("text"), markers).as("lang_guess"),
-          TextExprs.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
+          TextExprs.langIdGuess(col("text"), LangMarkers.toMap).as("lang_guess"),
+          TextExprs.qualityScore(col("text"), Stopwords).as("quality"))
         .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
+    "d08_lang_quality" -> {
+      val langs = LangMarkers.map(_._1) // lex-sorted; index = tie-break rank
+      val byLang = LangMarkers.toMap
+      def score(l: String): String =
+        byLang(l).map(m => s"(CASE WHEN contains(text, '$m') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+      val packed = langs.zipWithIndex.map { case (l, i) => s"(s_$l * 8 + $i)" }
+      val arms = langs.zipWithIndex.map { case (l, i) => s"WHEN (s_$l * 8 + $i) THEN '$l'" }
+      val swList = Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH sw AS (
+         |  SELECT doc_id,
+         |         CAST(count(*) FILTER (WHERE tok IN ($swList)) AS DOUBLE) AS n_sw
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY doc_id),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |         ${langs.map(l => s"${score(l)} AS s_$l").mkString(", ")},
+         |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS ntok,
+         |         CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
+         |           / length(text) AS punct
+         |  FROM documents)
+         |SELECT s.doc_id, s.lang,
+         |       CASE greatest(${packed.mkString(", ")}) ${arms.mkString(" ")} END AS lang_guess,
+         |       round(least(ntok / 20.0, 1.0) * (CASE WHEN ntok > 1000 THEN 0.5 ELSE 1.0 END)
+         |             * (1.0 - least(punct * 5.0, 1.0))
+         |             * (0.5 + least(n_sw / ntok * 4.0, 1.0) * 0.5), 6) AS quality
+         |FROM scored s JOIN sw USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "d01_exact_dedup" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper_id
         |FROM documents
