@@ -16,11 +16,12 @@ object Scratch {
     val routes = graft.queries.Derived.routes(spark, dir)
     val accidents = graft.queries.Derived.accidents(spark, dir)
     println("routes=" + routes.count() + " accidents=" + accidents.count())
-    for (q <- Seq("d05_minhash_lsh", "d05_minhash_lsh", "d07_embedding_neardup", "d07_embedding_neardup", "d09_embedding_lsh_neardup", "d09_embedding_lsh_neardup")) {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
-      println(s"$q: ${(System.nanoTime() - t0) / 1e9} s")
-    }
+    val t0 = System.nanoTime()
+    graft.Bench.kernelBatch168kPruned(spark).write.format("noop").mode("overwrite").save()
+    println(s"pruned168k: ${(System.nanoTime() - t0) / 1e9} s")
+    val t1 = System.nanoTime()
+    graft.Bench.kernelBatch168kPruned(spark).write.format("noop").mode("overwrite").save()
+    println(s"pruned168k: ${(System.nanoTime() - t1) / 1e9} s")
     spark.stop()
   }
 }

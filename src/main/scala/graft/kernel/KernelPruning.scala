@@ -84,7 +84,19 @@ object KernelPruning {
 
     val joined = routesCelled.join(broadcast(accCelled), Seq("__cell_lat", "__cell_lon"))
       .drop("__cell_lat", "__cell_lon")
-    SafetyKernel.influenceColumns(joined)
+    // PER-TYPE radius gate, sharper than the (uniform, h_max-sized) grid:
+    // a pair with influence ≥ floor needs spatial ≥ floor/B, i.e.
+    // d ≤ h_route·√(2·ln(B/floor)). The grid can't use per-type cells (the
+    // equi-join key must be uniform), but the post-join filter can — narrow
+    // types (sport h=25 vs alpine 75) drop ~(1−(25/75)²) ≈ 89% of their
+    // cell-neighborhood pairs BEFORE any factor math. Still lossless above
+    // the floor: only pairs with guaranteed sub-floor influence are cut.
+    val radiusFactor = math.sqrt(2.0 * math.log(NonSpatialBound / floor))
+    val gated = joined
+      .withColumn("dist_km", graft.expr.GeoExprs.haversineKm(
+        col("lat"), col("lon"), col("a_lat"), col("a_lon")))
+      .where(col("dist_km") <= col("__h") * radiusFactor)
+    SafetyKernel.influenceColumns(gated)
   }
 
   /** Pruned end-to-end scoring — drop-in for SafetyKernel.scoreRoutes with

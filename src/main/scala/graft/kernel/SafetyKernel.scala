@@ -147,9 +147,13 @@ object SafetyKernel {
       .otherwise(WeightExprs.DefaultRouteTypeWeight)
     val grW = WeightExprs.gradeWeight(col("difficulty"), col("a_difficulty"))
 
-    pairs
-      .withColumn("dist_km",
+    // reuse a dist_km the caller already computed (e.g. the pruned path's
+    // per-type radius gate) — identical expression, evaluated once
+    val withDist =
+      if (pairs.columns.contains("dist_km")) pairs
+      else pairs.withColumn("dist_km",
         GeoExprs.haversineKm(col("lat"), col("lon"), col("a_lat"), col("a_lon")))
+    withDist
       .withColumn("spatial_w", spatial)
       .withColumn("temporal_w", temporal)
       .withColumn("elevation_w", elevW)
