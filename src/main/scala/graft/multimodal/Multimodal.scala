@@ -28,8 +28,10 @@ object Multimodal {
       StructField("duration_ms", LongType, nullable = true))), nullable = true)))
 
   /** Derive a deterministic media table from the documents corpus: payload
-    * = UTF-8 bytes, metadata derived from stable hashes. Stands in for a
-    * real binary ingest while keeping every downstream op testable.
+    * = UTF-8 bytes, metadata from modular arithmetic on the id (pure
+    * integer math so a DuckDB oracle can re-derive it — see
+    * m01_media_meta). Stands in for a real binary ingest while keeping
+    * every downstream op testable.
     */
   def deriveMedia(documents: DataFrame): DataFrame =
     documents.select(
@@ -39,9 +41,9 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       struct(
         lit("application/octet-stream").as("mime"),
-        (pmod(xxhash64(col("doc_id")), lit(1920)) + 1).cast("int").as("width"),
-        (pmod(xxhash64(col("doc_id"), lit(2)), lit(1080)) + 1).cast("int").as("height"),
-        (pmod(xxhash64(col("doc_id"), lit(3)), lit(600000)) + 1).as("duration_ms")).as("meta"))
+        ((col("doc_id") * 37) % 1920 + 1).cast("int").as("width"),
+        ((col("doc_id") * 53) % 1080 + 1).cast("int").as("height"),
+        ((col("doc_id") * 97) % 600000 + 1).as("duration_ms")).as("meta"))
 
   val FeatureDim = 16
 

@@ -127,6 +127,25 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- multimodal column plumbing: binary payloads, typed metadata, ----
+    // frame sampling, resize math — everything EXCEPT the codec decode is
+    // real and oracle-checked (byte lengths, sampled frame bytes, aspect-
+    // preserving resize); the decode itself is the documented stub.
+    "m01_media_meta" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.deriveMedia(Tables.documents(s, dir))
+      val frames = graft.multimodal.Multimodal.frameSample(media, 4)
+      val resized = graft.multimodal.Multimodal.resizeMeta(media, 512)
+      media
+        .select(col("media_id"), col("kind"),
+          length(col("payload")).cast("long").as("payload_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .join(resized, Seq("media_id"))
+        .join(frames.select(col("media_id"),
+          hex(element_at(col("sampled_frames"), 1)).as("frame0_hex"),
+          hex(element_at(col("sampled_frames"), 3)).as("frame2_hex")), Seq("media_id"))
+        .orderBy("media_id")
+    }),
+
     // --- brute-force cosine top-k (exact ANN baseline) --------------------
     "s01_cosine_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -196,6 +215,30 @@ object PipelineQueries {
         |FROM documents
         |GROUP BY 1
         |ORDER BY text_hash""".stripMargin,
+
+    // binary plumbing mirror: byte semantics (substring/octet_length on the
+    // UTF-8 BLOB), truncating frame offsets (floor = Spark's int cast),
+    // aspect-preserving resize math operation-for-operation
+    "m01_media_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |         encode(text) AS payload,
+        |         CAST((doc_id * 37) % 1920 + 1 AS INT) AS width,
+        |         CAST((doc_id * 53) % 1080 + 1 AS INT) AS height
+        |  FROM documents),
+        |s AS (
+        |  SELECT *, CAST(octet_length(payload) AS BIGINT) AS payload_bytes,
+        |         least(512 / greatest(CAST(width AS DOUBLE), CAST(height AS DOUBLE)), 1.0) AS scale,
+        |         greatest(octet_length(payload), 1) AS plen
+        |  FROM m)
+        |SELECT media_id, kind, payload_bytes, width, height,
+        |       CAST(round(CAST(width AS DOUBLE) * scale) AS INT) AS new_width,
+        |       CAST(round(CAST(height AS DOUBLE) * scale) AS INT) AS new_height,
+        |       substring(hex(payload), 2 * CAST(floor(0 * plen / 4 + 1) AS INT) - 1, 2) AS frame0_hex,
+        |       substring(hex(payload), 2 * CAST(floor(2 * plen / 4 + 1) AS INT) - 1, 2) AS frame2_hex
+        |FROM s
+        |ORDER BY media_id""".stripMargin,
 
     "d02_token_stats" ->
       """SELECT doc_id,
