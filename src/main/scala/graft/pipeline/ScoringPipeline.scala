@@ -59,6 +59,35 @@ object ScoringPipeline {
     written
   }
 
+  /** Row-grain MERGE upsert (the exact semantics of the reference's
+    * `INSERT … ON CONFLICT (route_id, prediction_date) DO UPDATE`,
+    * `safety_computation_optimized.py:827-873`) for callers updating a
+    * SUBSET of a partition's rows: read the affected date partitions,
+    * anti-join out the updated keys, union the updates, overwrite exactly
+    * those partitions (dynamic overwrite keeps the rest of the table
+    * untouched). At scale the rewrite cost is bounded by the touched
+    * partitions, never the table — the same shape a Delta/Iceberg MERGE
+    * compiles to on parquet-class storage.
+    */
+  def mergeScores(spark: SparkSession, updates: DataFrame, outPath: String): Unit = {
+    val dates = updates.select("prediction_date").distinct()
+    val existing =
+      if (new Path(outPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new Path(outPath))) {
+        spark.read.parquet(outPath)
+          // partition pruning keeps this scan to the touched dates
+          .join(broadcast(dates), Seq("prediction_date"), "left_semi")
+          .join(updates.select("route_id", "prediction_date"),
+            Seq("route_id", "prediction_date"), "left_anti")
+      } else updates.limit(0)
+    // materialize before writing: the sink overwrites partitions the plan
+    // is reading (Spark refuses a self-overwriting lineage otherwise)
+    val merged = existing
+      .unionByName(updates.select(existing.columns.map(col): _*))
+      .localCheckpoint()
+    writeScores(merged, outPath)
+  }
+
   /** S10 retention: drop partitions whose date is not in the keep set —
     * partition-directory removal, the table-format analog of the
     * reference's stale-Redis-key cleanup.

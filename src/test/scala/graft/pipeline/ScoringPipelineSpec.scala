@@ -60,4 +60,33 @@ class ScoringPipelineSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(scores(1L) > scores(2L)) // route 1 sits at the accident
   }
+
+  test("mergeScores: row-grain upsert touches only updated keys/partitions") {
+    val out = Files.createTempDirectory("merge-scores").toString
+    ScoringPipeline.runDaily(spark, routes, accidents,
+      Seq("2024-07-15", "2024-07-16"), out)
+
+    // update ONE route on ONE date
+    // localCheckpoint: the update frame must not lazily re-read the target
+    // files after the merge rewrites them
+    val update = spark.read.parquet(out)
+      .where(col("route_id") === 1L && col("prediction_date") === "2024-07-15")
+      .withColumn("risk_score", lit(99.0))
+      .withColumn("color_code", lit("red"))
+      .localCheckpoint()
+    ScoringPipeline.mergeScores(spark, update, out)
+
+    val after = spark.read.parquet(out)
+    assert(after.count() == 4) // still 2 routes x 2 dates — upsert, not append
+    val k = after.select("route_id", "prediction_date", "risk_score").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) -> r.getDouble(2)).toMap
+    assert(k((1L, "2024-07-15")) == 99.0)
+    assert(k((2L, "2024-07-15")) != 99.0) // untouched row of the same partition
+    assert(k((1L, "2024-07-16")) != 99.0) // untouched partition
+    // merging a brand-new key inserts it
+    val newRow = update
+      .withColumn("route_id", lit(7L)).withColumn("risk_score", lit(1.0))
+    ScoringPipeline.mergeScores(spark, newRow, out)
+    assert(spark.read.parquet(out).count() == 5)
+  }
 }
