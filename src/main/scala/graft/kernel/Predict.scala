@@ -26,12 +26,48 @@ object Predict {
       riskScore: Double, colorCode: String, numContributing: Long,
       topAccidents: Seq[Row])
 
+  val LocalRadiusKm = 50.0
+  val StrictRouteTypeThreshold = 0.85
+
+  /** P6 distance-gated route-type filter, applied to the accident corpus
+    * before the kernel exactly like the reference predict flow
+    * (`predict.py:132-173`): local accidents (≤50 km) always pass; distant
+    * ones only with a strict type match (route-type weight ≥ 0.85, i.e.
+    * exact matches and ice↔alpine).
+    */
+  def gateAccidents(req: PredictionRequest, accidents: DataFrame): DataFrame =
+    accidents.where(
+      graft.expr.GeoExprs.haversineKm(
+        lit(req.latitude), lit(req.longitude), col("a_lat"), col("a_lon"))
+        <= LocalRadiusKm ||
+        graft.expr.WeightExprs.routeTypeWeight(lit(req.routeType), col("acc_type"))
+          >= StrictRouteTypeThreshold)
+
+  /** Step 1.5 (`predict.py:105-115`): auto-detect elevation from the S7
+    * rounded-coordinate lookup table (columns g_lat, g_lon, elevation_m at
+    * 3-decimal grid) when the request has none. A grid miss leaves
+    * elevation empty — the kernel's null-elevation path (weight 1.0)
+    * handles it, like the reference's graceful missing-elevation handling.
+    */
+  def resolveElevation(req: PredictionRequest, elevation: DataFrame): PredictionRequest =
+    if (req.elevation.isDefined) req
+    else {
+      val gLat = math.rint(req.latitude * 1000) / 1000.0
+      val gLon = math.rint(req.longitude * 1000) / 1000.0
+      val hit = elevation
+        .where(col("g_lat") === gLat && col("g_lon") === gLon)
+        .select(col("elevation_m").cast("double"))
+        .take(1).headOption.map(_.getDouble(0))
+      req.copy(elevation = hit)
+    }
+
   /** Score one route. `accidents` uses the kernel schema (accident_id,
     * a_lat, a_lon, a_elev, acc_type, severity_raw, a_date, a_difficulty,
     * optional wsim); pass `currentWeather`/`accidentPatterns` upstream by
     * pre-computing a `wsim` column (WeatherExprs.withWeatherSimilarity) —
     * absent, the missing-pattern neutral 0.5 applies, exactly like the
-    * reference (`safety_algorithm.py:265-269`).
+    * reference (`safety_algorithm.py:265-269`). The P6 gate runs here,
+    * mirroring the reference's step 1.6.
     */
   def predict(spark: SparkSession, req: PredictionRequest, accidents: DataFrame,
               topK: Int = 50): Prediction = {
@@ -41,7 +77,7 @@ object Predict {
       req.routeType, difficulty))
       .toDF("route_id", "lat", "lon", "elev", "route_type", "difficulty")
 
-    val pairs = SafetyKernel.pairInfluence(route, accidents,
+    val pairs = SafetyKernel.pairInfluence(route, gateAccidents(req, accidents),
       to_date(lit(req.plannedDate))).cache()
     try {
       val scored = SafetyKernel.scoreRoutes(pairs).collect()
@@ -128,7 +164,8 @@ object Predict {
     // route_id doubles as the day offset; each day's plan date shifts
     val pairs = SafetyKernel.influenceColumns(
       SafetyKernel.enrichRoutes(routes).crossJoin(
-        broadcast(SafetyKernel.enrichAccidents(accidents, to_date(lit(req.plannedDate)))))
+        broadcast(SafetyKernel.enrichAccidents(gateAccidents(req, accidents),
+          to_date(lit(req.plannedDate)))))
         // re-derive day-dependent factors per forecast day: days offset
         .withColumn("__days",
           abs(datediff(date_add(to_date(lit(req.plannedDate)), col("route_id").cast("int")),

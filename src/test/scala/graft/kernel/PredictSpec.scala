@@ -33,6 +33,35 @@ class PredictSpec extends SparkSpec {
     assert(top.getAs[Double]("dist_km") == 0.0)
   }
 
+  test("P6 gate: distant incompatible accidents are excluded, local kept") {
+    // a distant (>50km) boulder accident vs an alpine request: rtw
+    // (alpine, boulder) < 0.85 → gated out; same accident nearby → kept
+    val distantBoulder = accidents.unionByName(
+      Seq((9, 42.2549, -105.6426, Option.empty[Double], "boulder", "Serious Injury",
+        "2023-07-15"))
+        .toDF("accident_id", "a_lat", "a_lon", "a_elev", "acc_type", "severity_raw", "d")
+        .withColumn("a_date", to_date(col("d"))).drop("d")
+        .withColumn("a_difficulty", lit(null).cast("double")))
+    val gated = Predict.gateAccidents(longsPeak, distantBoulder)
+      .select("accident_id").collect().map(_.getInt(0)).toSet
+    assert(gated == Set(1, 2, 3, 4)) // 9 dropped: distant + incompatible
+    // the exact fixture is unchanged by the gate (all four pass it)
+    val p = Predict.predict(spark, longsPeak, distantBoulder)
+    assert(approx(p.riskScore, 3.30406861212714, 1e-9))
+  }
+
+  test("elevation auto-resolution from the S7 rounded-coord lookup") {
+    val elev = Seq((40.255, -105.643, 4346.0), (40.0, -105.0, 1500.0))
+      .toDF("g_lat", "g_lon", "elevation_m")
+    val resolved = Predict.resolveElevation(longsPeak.copy(elevation = None), elev)
+    assert(resolved.elevation.contains(4346.0))
+    // provided elevation wins; grid miss stays empty
+    assert(Predict.resolveElevation(longsPeak, elev).elevation.contains(4346.0))
+    val miss = Predict.resolveElevation(
+      longsPeak.copy(latitude = 10.0, longitude = 10.0, elevation = None), elev)
+    assert(miss.elevation.isEmpty)
+  }
+
   test("no accidents → zero prediction") {
     val p = Predict.predict(spark, longsPeak, accidents.limit(0))
     assert(p.riskScore == 0.0 && p.numContributing == 0 && p.topAccidents.isEmpty)
