@@ -1,0 +1,119 @@
+package graft.kernel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expr.{GeoExprs, WeightExprs}
+
+/** The LOCATION-FACTORIZED batch kernel — the reference's real production
+  * engine (`location_safety_computation.py:300-556`, driven by
+  * `safety_computation_optimized.py:652-687`): routes sharing a location
+  * also share every (location × accident) factor, so the expensive kernel
+  * runs once per LOCATION and each route applies only its own
+  * route-type × grade adjustment (~3.7× less kernel work at the
+  * reference's 168K routes over 45K locations).
+  *
+  * This path has its OWN semantics — deliberate reference divergences from
+  * the interactive kernel, all reproduced faithfully:
+  *
+  *  - weather factor is CUBIC with the 0.25 exclusion gate
+  *    (`WEATHER_POWER = 3`, :387-390 — the interactive path is quadratic);
+  *  - the seasonal boost is a CONSTANT average
+  *    `1 + (boost−1)·impact·0.25` (:368-371) instead of per-date season
+  *    matching;
+  *  - elevation is the PENALIZE-ONLY batch variant (:375-384): accidents
+  *    at or below the location get 1.0, higher ones decay — vs the
+  *    interactive bonus-only form;
+  *  - days-elapsed is clipped at 0 (:364), not absolute-valued;
+  *  - spatial/temporal/elevation parameters come from the location's
+  *    default route type (the A11 mode type, "trad" absent);
+  *  - per-(location, accident) base influences below 1e-6 are dropped
+  *    (:408-411) before the route join.
+  *
+  * Spark shape: locations × broadcast(accidents) → base-influence select →
+  * significance filter → equi-join routes on location_id (the route side
+  * never meets the accident table directly) → per-route adjustment →
+  * hash agg. At 100 TB of routes the kernel cost scales with |locations|,
+  * not |routes|.
+  */
+object LocationKernel {
+
+  /** Cubic weather dominance — this batch path only (:361-390). */
+  val BatchWeatherPower = 3
+  /** Constant aggregate seasonal boost (:368-371). */
+  val AvgSeasonalBoost: Double =
+    1.0 + (WeightExprs.SeasonalBoost - 1.0) * WeightExprs.TemporalSeasonalImpact * 0.25
+
+  /** Per-(location, accident) base influence for every pair above the
+    * significance floor. `locations` needs (location_id, loc_lat, loc_lon,
+    * loc_elev, loc_type); `accidents` the kernel schema (+ optional wsim,
+    * neutral 0.5 when absent, :360-363). Passes through acc_type and
+    * a_difficulty for the per-route adjustment.
+    */
+  def locationBaseInfluence(locations: DataFrame, accidents: DataFrame,
+                            targetDate: Column,
+                            floor: Double = SafetyKernel.SignificanceFloor): DataFrame = {
+    val locEnriched = locations
+      .withColumn("__lt", lower(coalesce(col("loc_type"), lit("trad"))))
+      .withColumn("__h", WeightExprs.spatialBandwidthKm(col("__lt")))
+      .withColumn("__lam", WeightExprs.temporalLambda(col("__lt")))
+      .withColumn("__c",
+        WeightExprs.ElevationDecayConstant.foldLeft(when(lit(false), lit(0.0))) {
+          case (acc, (k, v)) => acc.when(col("__lt") === k, v)
+        }.otherwise(WeightExprs.ElevationDecayDefault))
+
+    val accBase =
+      if (accidents.columns.contains("wsim")) accidents
+      else accidents.withColumn("wsim", lit(SafetyKernel.NeutralWeatherSimilarity))
+    val accEnriched = accBase
+      .withColumn("__sev_w", WeightExprs.severityWeightKernel(col("severity_raw")))
+      // cubic weather factor with the exclusion gate — per accident
+      .withColumn("__wf",
+        when(col("wsim") < WeightExprs.WeatherExclusionThreshold, 0.0)
+          .otherwise(pow(col("wsim"), BatchWeatherPower)))
+      // clipped (not absolute) day count
+      .withColumn("__days",
+        greatest(datediff(targetDate, col("a_date")), lit(0)).cast("double"))
+      .select(col("accident_id"), col("a_lat"), col("a_lon"), col("a_elev"),
+        col("acc_type"), col("a_difficulty"), col("__sev_w"), col("__wf"), col("__days"))
+
+    val dist = GeoExprs.haversineKm(col("loc_lat"), col("loc_lon"), col("a_lat"), col("a_lon"))
+    val spatial = exp(-pow(col("__dist"), 2) / (lit(2.0) * pow(col("__h"), 2)))
+    val temporal = (lit(1.0) - lit(WeightExprs.TemporalDecayImpact) *
+      (lit(1.0) - pow(pow(col("__lam"), col("__days")), WeightExprs.TemporalDecayShape))) *
+      lit(AvgSeasonalBoost)
+    // batch elevation variant: at-or-below → 1.0, higher decays
+    val elevDiff = col("a_elev") - col("loc_elev")
+    val elevW = when(col("loc_elev").isNull || col("a_elev").isNull || elevDiff <= 0.0, 1.0)
+      .otherwise(exp(-pow(elevDiff / col("__c"), 2)))
+
+    locEnriched.crossJoin(broadcast(accEnriched))
+      .withColumn("__dist", dist)
+      .withColumn("base_influence",
+        spatial * temporal * elevW * col("__sev_w") * col("__wf"))
+      .where(col("base_influence") > floor)
+      .select(col("location_id"), col("accident_id"), col("base_influence"),
+        col("acc_type"), col("a_difficulty"))
+  }
+
+  /** Full factorized batch: base per location, per-route type/grade
+    * adjustment, batch color thresholds (25/50/75). `routes` needs
+    * (route_id, location_id, route_type, difficulty).
+    */
+  def scoreRoutesViaLocations(routes: DataFrame, locations: DataFrame,
+                              accidents: DataFrame, targetDate: Column): DataFrame = {
+    val base = locationBaseInfluence(locations, accidents, targetDate)
+    routes
+      .join(base, Seq("location_id"))
+      .withColumn("influence",
+        col("base_influence") *
+          WeightExprs.routeTypeWeight(col("route_type"), col("acc_type")) *
+          WeightExprs.gradeWeight(col("difficulty"), col("a_difficulty")))
+      .select("route_id", "influence")
+      .groupBy("route_id")
+      .agg(sum("influence").as("total_influence"),
+        count(lit(1)).as("n_contributing"))
+      .withColumn("risk_score", WeightExprs.normalizeRiskScore(col("total_influence")))
+      .withColumn("color_code", WeightExprs.colorCode(col("risk_score"), batchThresholds = true))
+  }
+}

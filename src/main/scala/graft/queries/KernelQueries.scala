@@ -152,6 +152,27 @@ object KernelQueries {
         .orderBy("route_id")
     }),
 
+    // §3.2/§4.2: the LOCATION-FACTORIZED batch kernel — the reference's
+    // production engine with its own semantics (cubic weather, constant
+    // seasonal boost, penalize-only elevation, mode-type parameters,
+    // per-route type/grade adjustment, 25/50/75 colors), kernel cost
+    // scaling with |locations| not |routes|.
+    "k18_location_kernel" -> ((s, dir) => {
+      val accWithSim = graft.weather.WeatherAssembly.accidentsWithSimilarity(
+        Derived.accidents(s, dir),
+        Derived.weatherRows(s, dir),
+        Derived.weatherPattern(lit(Derived.CurrentKey)))
+      graft.kernel.LocationKernel.scoreRoutesViaLocations(
+        Derived.routesWithLocation(s, dir),
+        Derived.locations(s, dir),
+        accWithSim, Derived.planDate)
+        .select(
+          col("route_id"),
+          round(col("risk_score"), 4).as("risk_score"),
+          col("n_contributing"), col("color_code"))
+        .orderBy("route_id")
+    }),
+
     // §2.7 + A7: the kernel with EXTREME-WEATHER AMPLIFICATION — archive
     // stats (A6) → per-route-bucket multiplier (A7) broadcast onto the
     // route side, per-accident assembled similarity (S4→A5) on the
@@ -289,6 +310,48 @@ object KernelQueries {
          |       round(${Sql.normalizeRisk("sum(influence)")}, 4) AS risk_score,
          |       count(*) FILTER (WHERE influence > ${SafetyKernel.SignificanceFloor}) AS n_contributing
          |FROM winfl
+         |GROUP BY route_id
+         |ORDER BY route_id""".stripMargin),
+
+    "k18_location_kernel" -> withDomain(
+      s""", ${WeatherQueries.assembledSimilarityCtes},
+         |acc2 AS (SELECT a.*, coalesce(sims.wsim, ${SafetyKernel.NeutralWeatherSimilarity})
+         |           AS wsim
+         |         FROM accidents a LEFT JOIN sims USING (accident_id)),
+         |${Sql.LocationsCte},
+         |base AS (
+         |  SELECT location_id, accident_id, acc_type, a_difficulty,
+         |         (${Sql.spatialWeight(Sql.haversine("loc_lat", "loc_lon", "a_lat", "a_lon"),
+              "coalesce(loc_type, 'trad')")})
+         |         * ((1.0 - ${WeightExprs.TemporalDecayImpact} * (1.0 - pow(pow(
+              ${Sql.typeLookupCase("coalesce(loc_type, 'trad')",
+                WeightExprs.TemporalLambda, WeightExprs.TemporalLambdaDefault)},
+              CAST(greatest(date_diff('day', a_date, ${Sql.PlanDate}), 0) AS DOUBLE)),
+              ${WeightExprs.TemporalDecayShape}))) * ${graft.kernel.LocationKernel.AvgSeasonalBoost})
+         |         * (CASE WHEN loc_elev IS NULL OR a_elev IS NULL OR (a_elev - loc_elev) <= 0.0 THEN 1.0
+         |                 ELSE exp(-pow((a_elev - loc_elev) / (${Sql.typeLookupCase(
+              "coalesce(loc_type, 'trad')", WeightExprs.ElevationDecayConstant,
+              WeightExprs.ElevationDecayDefault)}), 2)) END)
+         |         * (${Sql.severityWeight("severity_raw")})
+         |         * (CASE WHEN wsim < ${WeightExprs.WeatherExclusionThreshold} THEN 0.0
+         |                 ELSE pow(wsim, ${graft.kernel.LocationKernel.BatchWeatherPower}) END)
+         |           AS base_influence
+         |  FROM locations CROSS JOIN acc2),
+         |sig AS (SELECT * FROM base WHERE base_influence > ${SafetyKernel.SignificanceFloor}),
+         |infl AS (
+         |  SELECT r.route_id,
+         |         base_influence * (${Sql.routeTypeWeight("route_type", "acc_type")})
+         |                        * (${Sql.gradeWeight("difficulty", "a_difficulty")}) AS influence
+         |  FROM (SELECT *, route_id % 150 + 1 AS location_id FROM routes) r
+         |  JOIN sig USING (location_id))
+         |SELECT route_id,
+         |       round(${Sql.normalizeRisk("sum(influence)")}, 4) AS risk_score,
+         |       count(*) AS n_contributing,
+         |       CASE WHEN ${Sql.normalizeRisk("sum(influence)")} < 25 THEN 'green'
+         |            WHEN ${Sql.normalizeRisk("sum(influence)")} < 50 THEN 'yellow'
+         |            WHEN ${Sql.normalizeRisk("sum(influence)")} < 75 THEN 'orange'
+         |            ELSE 'red' END AS color_code
+         |FROM infl
          |GROUP BY route_id
          |ORDER BY route_id""".stripMargin),
 

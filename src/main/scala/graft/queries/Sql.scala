@@ -66,6 +66,16 @@ object Sql {
     */
   val PlanDate = "DATE '2024-07-15'"
 
+  /** DuckDB twin of Derived.locations (factorized-batch location dim). */
+  val LocationsCte: String =
+    s"""locations AS (
+       |  SELECT c_custkey AS location_id,
+       |         35.0 + ((c_custkey * 41) % 1000) / 100.0 AS loc_lat,
+       |         -120.0 + ((c_custkey * 59) % 700) / 70.0 AS loc_lon,
+       |         CASE WHEN c_custkey % 6 = 0 THEN NULL ELSE 900.0 + (c_custkey * 23) % 3200 END AS loc_elev,
+       |         ${typeCase("(c_custkey * 43) % 8")} AS loc_type
+       |  FROM customer WHERE c_custkey <= 150)""".stripMargin
+
   // --- scalar fragments -----------------------------------------------------
 
   /** Haversine, structured exactly like GeoExprs.haversineKm. */
