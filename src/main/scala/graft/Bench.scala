@@ -64,6 +64,27 @@ object Bench {
     KernelPruning.scoreRoutesPruned(
       syntheticRoutes(spark, 168000), syntheticAccidents(spark, 6900), planDate)
 
+  /** The factorized batch at the reference's production shape — 45K
+    * locations carry the kernel, 168K routes only the type/grade
+    * adjustment (`location_safety_computation.py:300-556`).
+    */
+  def kernelBatch168kFactorized(spark: SparkSession): DataFrame = {
+    val locations = spark.range(45000).select(
+      col("id").as("location_id"),
+      (lit(35.0) + (col("id") % 2000) / 100.0).as("loc_lat"),
+      (lit(-125.0) + (col("id") % 3000) / 100.0).as("loc_lon"),
+      when(col("id") % 6 === 0, lit(null).cast("double"))
+        .otherwise(lit(900.0) + (col("id") % 3200)).as("loc_elev"),
+      typeName(col("id") % 8).as("loc_type"))
+    val routes = spark.range(168000).select(
+      col("id").as("route_id"),
+      (col("id") % 45000).as("location_id"),
+      typeName(col("id") % 8).as("route_type"),
+      (lit(5.0) + (col("id") % 11)).as("difficulty"))
+    graft.kernel.LocationKernel.scoreRoutesViaLocations(
+      routes, locations, syntheticAccidents(spark, 6900), planDate)
+  }
+
   /** The serving join at production scale (BASELINE.md: 2-3 s for 168K
     * routes, `mp_routes.py:393-397`): routes ⋈ broadcast locations dim
     * (coordinate inheritance) + left ⋈ scores, season filter + blacklist.
@@ -131,6 +152,7 @@ object Bench {
     }
     results("kernel_batch_168k") = time(kernelBatch168k(spark))
     results("kernel_batch_168k_pruned") = time(kernelBatch168kPruned(spark))
+    results("kernel_batch_168k_factorized") = time(kernelBatch168kFactorized(spark))
     results("map_with_safety_168k") = time(mapWithSafety168k(spark))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
