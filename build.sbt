@@ -28,7 +28,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] shares one JVM across driver + 32 task threads; an 8g heap
+  // left the full 59-query bench GC-bound (broadcasts from earlier queries
+  // pile up until ContextCleaner GC cycles) — the host has 128 GiB, so
+  // give the suite real headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   // Whole-stage codegen for the influence kernel emits generated methods
   // beyond HotSpot's 8000-bytecode JIT threshold; by default those run in
   // the interpreter (~9× slower on the 1.16B-pair batch, A/B-measured).

@@ -6,14 +6,25 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    // plan inspection entry point, e.g.:
-    SparkEntry.entry(spark).explain("formatted")
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        println(f"[scratch] $name ok ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } catch {
+        case e: Throwable =>
+          println(s"[scratch] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

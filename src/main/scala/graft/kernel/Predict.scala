@@ -132,8 +132,8 @@ object Predict {
       .join(WeatherAssembly.assemblePatterns(weatherRows, accidents),
         Seq("accident_id"), "left")
       .crossJoin(broadcast(cur.select("cur_pattern")))
-    val simmed = WeatherExprs.withWeatherSimilarity(
-      withPat, col("cur_pattern"), col("pattern"), "__ws")
+    val simmed = withPat.withColumn("__ws",
+      graft.expr.WeatherPatternSimilarity.similarity(col("cur_pattern"), col("pattern")))
     val mult = historicalStats match {
       case Some(stats) =>
         val statsStruct = struct(stats.columns.map(c => col(c).as(c)): _*)

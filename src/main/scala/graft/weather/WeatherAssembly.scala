@@ -99,11 +99,14 @@ object WeatherAssembly {
                               current: Column): DataFrame = {
     val withPat = accidents
       .join(assemblePatterns(weather, accidents), Seq("accident_id"), "left")
-    WeatherExprs.withWeatherSimilarity(withPat, current, col("pattern"), "__wsim_pat")
+    // native single-node similarity kernel (bit-identical to the staged
+    // Column form — WeatherSimExprSpec): keeps the downstream kernel plans
+    // free of the ~10k-node staged expression tree
+    withPat
       .withColumn("wsim",
         when(col("pattern").isNull,
           lit(graft.kernel.SafetyKernel.NeutralWeatherSimilarity))
-          .otherwise(col("__wsim_pat")))
-      .drop("pattern", "n_days", "__wsim_pat")
+          .otherwise(graft.expr.WeatherPatternSimilarity.similarity(current, col("pattern"))))
+      .drop("pattern", "n_days")
   }
 }
