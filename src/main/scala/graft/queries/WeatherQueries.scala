@@ -123,6 +123,23 @@ object WeatherQueries {
         .orderBy("accident_id", "day_idx")
     }),
 
+    // compute_weather_similarities_cached twin (safety_computation_optimized
+    // .py:516-568): the per-bucket similarity MEMO table — locations sharing
+    // a weather bucket share the current pattern, so similarity is computed
+    // once per (bucket, accident) and fanned back out by equi-join. Buckets
+    // get DISTINCT current patterns (keyed CurrentKey+bucket) so the
+    // factorization is load-bearing; invalid accidents carry neutral 0.5.
+    "w09_similarity_memo" -> ((s, dir) => {
+      val locs = Derived.locations(s, dir)
+        .withColumn("bucket", col("location_id") % 10)
+      graft.weather.WeatherMemo.similarityMemo(
+        locs, "bucket", Derived.accidents(s, dir), Derived.weatherRows(s, dir),
+        b => Derived.weatherPattern(lit(Derived.CurrentKey) + b))
+        .select(col("bucket"), col("accident_id"),
+          round(col("wsim"), 6).as("wsim"))
+        .orderBy("bucket", "accident_id")
+    }),
+
     // A7: archive stats → extreme-weather multiplier per location bucket
     // (wind engineered so some buckets trigger the >2σ rule, others not).
     "w08_extreme_mult" -> ((s, dir) => {
@@ -273,6 +290,47 @@ object WeatherQueries {
        |         FROM ws CROSS JOIN ftx)""".stripMargin
   }
 
+  /** Memo-grain (bucket × accident) variant of [[assembledSimilarityCtes]]:
+    * x = the BUCKET's current pattern (key CurrentKey+bucket), y = the
+    * accident's assembled pattern; partitions/groups carry both keys.
+    * Ends in `bsims(bucket, accident_id, wsim)` — valid accidents only.
+    */
+  private[queries] val memoSimilarityCtes: String = {
+    val B = s"(${Derived.CurrentKey} + bucket)"
+    val fw = WeatherExprs.FactorWeight
+    val scoreSum = factors.map(f => s"(${corrCase(f)}) * $fw").mkString(" + ")
+    val ftSim = s"greatest(0.0, 1.0 - abs(ft_x - ft_y) / (greatest(ft_x, ft_y, 1) + 7))"
+    s"""$assemblyCtes,
+       |bkt AS (SELECT DISTINCT c_custkey % 10 AS bucket FROM customer
+       |        WHERE c_custkey <= 150),
+       |bwd AS (
+       |  SELECT bucket, accident_id, day_idx, n,
+       |         ${Sql.tempAvg(B, "day_idx")} AS t_x, temperature AS t_y,
+       |         ${Sql.precip(B, "day_idx")} AS p_x, precipitation AS p_y,
+       |         ${Sql.wind(B, "day_idx")} AS w_x, wind_speed AS w_y,
+       |         ${Sql.visib(B, "day_idx")} AS v_x, visibility AS v_y,
+       |         ${Sql.cloud(B, "day_idx")} AS c_x, cloud_cover AS c_y,
+       |         temp_min AS tmin_y, temp_max AS tmax_y,
+       |         pow(${StatsExprs.WithinWindowDecay}, CAST(n - 1 - day_idx AS DOUBLE)) AS wr
+       |  FROM wnum CROSS JOIN bkt
+       |  WHERE n >= ${WeatherExprs.MinWeatherDaysRequired}),
+       |bwn AS (SELECT *, wr / sum(wr) OVER (PARTITION BY bucket, accident_id) AS wn
+       |        FROM bwd),
+       |bwm AS (SELECT bucket, accident_id, ${factors.map(f =>
+              s"sum(wn * ${f}_x) AS m${f}x, sum(wn * ${f}_y) AS m${f}y").mkString(", ")}
+       |        FROM bwn GROUP BY bucket, accident_id),
+       |bws AS (SELECT bwn.bucket, bwn.accident_id, ${factors.map(momentSums).mkString(", ")},
+       |               CAST(count(*) FILTER (WHERE tmin_y < 0 AND tmax_y > 0) AS BIGINT) AS ft_y
+       |        FROM bwn JOIN bwm USING (bucket, accident_id)
+       |        GROUP BY bwn.bucket, bwn.accident_id),
+       |bftx AS (SELECT bucket,
+       |                CAST(count(*) FILTER (WHERE (${Sql.tempMin(B, "k")}) < 0
+       |                                        AND (${Sql.tempMax(B, "k")}) > 0) AS BIGINT) AS ft_x
+       |         FROM bkt, range(7) t(k) GROUP BY bucket),
+       |bsims AS (SELECT bucket, bws.accident_id, $scoreSum + ($ftSim) * $fw AS wsim
+       |          FROM bws JOIN bftx USING (bucket))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "w01_freeze_thaw" ->
       s"""WITH acc AS (SELECT s_suppkey AS accident_id FROM supplier)
@@ -330,5 +388,14 @@ object WeatherQueries {
          |SELECT bucket, round(w_mu, 6) AS wind_mean, round(w_sd, 6) AS wind_std,
          |       round(wmult, 6) AS wmult
          |FROM mult
-         |ORDER BY bucket""".stripMargin)
+         |ORDER BY bucket""".stripMargin,
+
+    "w09_similarity_memo" ->
+      s"""WITH ${Sql.AccidentsCte},
+         |$memoSimilarityCtes
+         |SELECT bucket, accident_id, round(coalesce(wsim, 0.5), 6) AS wsim
+         |FROM bkt
+         |CROSS JOIN (SELECT s_suppkey AS accident_id FROM supplier) a2
+         |LEFT JOIN bsims USING (bucket, accident_id)
+         |ORDER BY bucket, accident_id""".stripMargin)
 }
