@@ -180,4 +180,49 @@ object Predict {
       .drop("route_id")
       .orderBy("forecast_date")
   }
+
+  /** Cache-warming twin (`backend/app/tasks/cache_warming.py:25-154`): the
+    * reference pre-computes safety for the top-200 valid-coordinate routes
+    * × the next 7 days, one kernel call per (route, date), into Redis with
+    * a 6-hour TTL. The Spark form is ONE batch: routes limited exactly like
+    * the reference (ORDER BY route_id LIMIT n over non-null coordinates),
+    * date-expanded, scored through the same broadcast kernel with per-row
+    * plan dates — 1400 predictions in a single plan instead of 1400
+    * requests. The "cache" is the scores-by-date table itself (idempotent
+    * partition overwrite S8/S9; TTL ↔ retention S10), so warming is just
+    * an upsert of this frame.
+    *
+    * Output mirrors the cached `MpRouteSafetyResponse`: risk rounded to
+    * 1 decimal (`cache_warming.py:125`), color from the UNROUNDED score.
+    */
+  def warmPopularRoutes(routes: DataFrame, accidents: DataFrame,
+                        startDate: Column, days: Int = 7,
+                        topN: Int = 200): DataFrame = {
+    import graft.expr.WeightExprs
+    val popular = routes
+      .where(col("lat").isNotNull && col("lon").isNotNull)
+      .orderBy("route_id").limit(topN)
+    // limit() collapses to one partition — respread before the pair loop
+    val expanded = graft.Partitioning.balanced(popular)
+      .withColumn("target_date",
+        explode(sequence(startDate, date_add(startDate, days - 1))))
+    val pairs = SafetyKernel.influenceColumns(
+      SafetyKernel.enrichRoutes(expanded).crossJoin(
+        broadcast(SafetyKernel.enrichAccidents(accidents, startDate)))
+        // re-derive date-dependent factors per (route, target_date) row
+        .withColumn("__days",
+          abs(datediff(col("target_date"), col("a_date"))).cast("double"))
+        .withColumn("__same_season",
+          WeightExprs.seasonOf(col("target_date")) ===
+            WeightExprs.seasonOf(col("a_date"))))
+    pairs
+      .select("route_id", "target_date", "influence")
+      .groupBy("route_id", "target_date")
+      .agg(sum("influence").as("total_influence"))
+      .withColumn("risk_score",
+        round(WeightExprs.normalizeRiskScore(col("total_influence")), 1))
+      .withColumn("color_code", WeightExprs.colorCode(
+        WeightExprs.normalizeRiskScore(col("total_influence"))))
+      .drop("total_influence")
+  }
 }

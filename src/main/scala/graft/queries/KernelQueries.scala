@@ -173,6 +173,15 @@ object KernelQueries {
         .orderBy("route_id")
     }),
 
+    // Cache-warming twin (cache_warming.py:25-154): top-200 valid-coord
+    // routes × next-7-days, kernel-scored in ONE batch — the reference's
+    // 1400 sequential predict calls as a single date-expanded plan.
+    "k19_cache_warming" -> ((s, dir) => {
+      graft.kernel.Predict.warmPopularRoutes(
+        Derived.routes(s, dir), Derived.accidents(s, dir), Derived.planDate)
+        .orderBy("route_id", "target_date")
+    }),
+
     // §2.7 + A7: the kernel with EXTREME-WEATHER AMPLIFICATION — archive
     // stats (A6) → per-route-bucket multiplier (A7) broadcast onto the
     // route side, per-accident assembled similarity (S4→A5) on the
@@ -270,6 +279,29 @@ object KernelQueries {
          |SELECT route_id, rank, accident_id, round(influence, 6) AS influence
          |FROM ranked WHERE rank <= 5
          |ORDER BY route_id, rank""".stripMargin),
+
+    "k19_cache_warming" -> withDomain(
+      s""", top AS (SELECT * FROM routes
+         |          WHERE lat IS NOT NULL AND lon IS NOT NULL
+         |          ORDER BY route_id LIMIT 200),
+         |dts AS (SELECT (${Sql.PlanDate} + CAST(d AS INT)) AS target_date
+         |        FROM range(7) t(d)),
+         |winfl AS (
+         |  SELECT route_id, target_date,
+         |         (${Sql.spatialWeight(distExpr, "route_type")})
+         |         * (${Sql.temporalWeight("target_date", "a_date", "route_type")})
+         |         * (${Sql.elevationWeight("elev", "a_elev", "route_type")})
+         |         * (${Sql.routeTypeWeight("route_type", "acc_type")})
+         |         * (${Sql.severityWeight("severity_raw")})
+         |         * (${Sql.gradeWeight("difficulty", "a_difficulty")})
+         |         * (${Sql.weatherFactor("0.5")}) AS influence
+         |  FROM top CROSS JOIN dts CROSS JOIN accidents)
+         |SELECT route_id, target_date,
+         |       round(${Sql.normalizeRisk("sum(influence)")}, 1) AS risk_score,
+         |       ${Sql.colorCase(Sql.normalizeRisk("sum(influence)"))} AS color_code
+         |FROM winfl
+         |GROUP BY route_id, target_date
+         |ORDER BY route_id, target_date""".stripMargin),
 
     "k14_kernel_weather" -> withDomain(
       s""", ${WeatherQueries.assembledSimilarityCtes},
