@@ -1,0 +1,191 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** REAL byte-format decode for the codec-free slice of the multimodal
+  * contract: container/header parsing (PNG dimensions, WAV audio format,
+  * AVI video header) needs no image/audio codec — just byte arithmetic —
+  * so unlike the pixel/sample decode (still `Multimodal.decodeStub`, the
+  * container has no codecs) this path is fully real and oracle-checked.
+  *
+  * Two halves, deliberately independent:
+  *
+  *  - [[plantHeaders]] SERIALIZES metadata into spec-conformant header
+  *    bytes with pure column ops (`hex`/`unhex`/`concat` — endianness as
+  *    hex-pair shuffles), prepended to the payload;
+  *  - [[parseHeaders]] PARSES bytes back with a ByteBuffer reader inside
+  *    `mapPartitions` — magic-number dispatch, chunk walk for RIFF/WAVE,
+  *    the exact shape a real decoder integration has (no per-row task
+  *    overhead, nulls for malformed input).
+  *
+  * The m02 oracle closes the loop: DuckDB predicts every parsed field
+  * from first-principles integer arithmetic on `media_id`, so a parser
+  * reading the wrong offset or endianness hash-mismatches immediately.
+  */
+object MediaCodecs {
+
+  // --- column-space serializers --------------------------------------------
+
+  /** 4-byte big-endian from a non-negative int column (< 2^32). */
+  private def be4(x: Column): Column = unhex(lpad(hex(x.cast("long")), 8, "0"))
+
+  private def leHex(x: Column, hexDigits: Int): Column = {
+    val h = lpad(hex(x.cast("long")), hexDigits, "0")
+    // byte-reverse via hex-pair shuffle
+    val pairs = (hexDigits - 1 to 1 by -2).map(i => substring(h, i, 2))
+    unhex(concat(pairs: _*))
+  }
+
+  /** 4-/2-byte little-endian from a non-negative int column. */
+  private def le4(x: Column): Column = leHex(x, 8)
+  private def le2(x: Column): Column = leHex(x, 4)
+
+  private def ascii(s: String): Column = lit(s.getBytes("US-ASCII"))
+
+  /** PNG signature + IHDR: width/height live at fixed offsets 16/20 as
+    * 4-byte big-endian (PNG spec §5.2, §11.2.2); bit depth 8, color type
+    * 6 (RGBA). The IHDR CRC is zeroed — dimension parsing never checks it.
+    */
+  def pngHeader(width: Column, height: Column): Column = concat(
+    lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)),
+    be4(lit(13)), ascii("IHDR"), be4(width), be4(height),
+    lit(Array[Byte](8, 6, 0, 0, 0)), be4(lit(0)))
+
+  /** Canonical RIFF/WAVE header: PCM fmt chunk + data chunk size
+    * (everything little-endian). `dataBytes` is the declared data-chunk
+    * length — duration follows as dataBytes·1000/byteRate.
+    */
+  def wavHeader(sampleRate: Column, channels: Column, dataBytes: Column): Column = {
+    val byteRate = sampleRate * channels * lit(2) // 16-bit PCM
+    concat(
+      ascii("RIFF"), le4(dataBytes + lit(36)), ascii("WAVE"),
+      ascii("fmt "), le4(lit(16)), le2(lit(1)), le2(channels),
+      le4(sampleRate), le4(byteRate), le2(channels * lit(2)), le2(lit(16)),
+      ascii("data"), le4(dataBytes))
+  }
+
+  /** Minimal RIFF/AVI: LIST hdrl with the MainAVIHeader (`avih`) laid out
+    * canonically — µs-per-frame at byte 32, total frames at 48, width at
+    * 64, height at 68 (all little-endian).
+    */
+  def aviHeader(width: Column, height: Column, microSecPerFrame: Column,
+                totalFrames: Column): Column = concat(
+    ascii("RIFF"), le4(lit(0)), ascii("AVI "),
+    ascii("LIST"), le4(lit(4 + 8 + 56)), ascii("hdrl"),
+    ascii("avih"), le4(lit(56)),
+    le4(microSecPerFrame), le4(lit(0)), le4(lit(0)), le4(lit(0)),
+    le4(totalFrames), le4(lit(0)), le4(lit(1)), le4(lit(0)),
+    le4(width), le4(height), le4(lit(0)), le4(lit(0)), le4(lit(0)), le4(lit(0)))
+
+  val VideoMicroSecPerFrame = 33333L // ~30 fps
+
+  /** Serialize each media row's metadata into a real format header for its
+    * kind (image→PNG, audio→WAV, video→AVI), prepended to the payload.
+    * Audio fields derive deterministically from `media_id` (rate
+    * 8000·(1+id%5) Hz, 1-2 channels); the WAV/AVI declared sizes encode
+    * `meta.duration_ms` through the format's own integer arithmetic.
+    */
+  def plantHeaders(media: DataFrame): DataFrame = {
+    val id = col("media_id")
+    val sampleRate = (lit(8000) * (lit(1) + pmod(id, lit(5)))).cast("long")
+    val channels = (lit(1) + pmod(id, lit(2))).cast("long")
+    val byteRate = sampleRate * channels * lit(2)
+    val dataBytes = floor(col("meta.duration_ms") * byteRate / lit(1000))
+    val frames = floor(col("meta.duration_ms") * lit(1000) / lit(VideoMicroSecPerFrame))
+    media.withColumn("payload",
+      concat(
+        when(col("kind") === "image",
+          pngHeader(col("meta.width"), col("meta.height")))
+          .when(col("kind") === "audio", wavHeader(sampleRate, channels, dataBytes))
+          .otherwise(aviHeader(col("meta.width"), col("meta.height"),
+            lit(VideoMicroSecPerFrame), frames)),
+        col("payload")))
+  }
+
+  // --- the decoder-shaped parser -------------------------------------------
+
+  val ParsedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", LongType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  private def u16le(b: ByteBuffer, off: Int): Int = b.getShort(off) & 0xffff
+  private def u32le(b: ByteBuffer, off: Int): Long = b.getInt(off) & 0xffffffffL
+  private def u32be(b: ByteBuffer, off: Int): Long = {
+    val o = b.order(); b.order(ByteOrder.BIG_ENDIAN)
+    val v = b.getInt(off) & 0xffffffffL; b.order(o); v
+  }
+
+  /** Parse one payload's header. Null-safe: unknown magic, truncated input,
+    * or a missing expected chunk yields format=null / all-null fields —
+    * never an exception (a decoder in a 100 TB pipeline cannot throw on
+    * one bad file).
+    */
+  def parseHeader(payload: Array[Byte]): (Option[String], Option[Int], Option[Int],
+      Option[Long], Option[Int], Option[Long]) = {
+    if (payload == null || payload.length < 12)
+      return (None, None, None, None, None, None)
+    val b = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String =
+      new String(payload, off, 4, "US-ASCII")
+
+    if (payload.length >= 24 && payload.take(8).sameElements(PngMagic) &&
+        tag(12) == "IHDR") {
+      val w = u32be(b, 16); val h = u32be(b, 20)
+      (Some("png"), Some(w.toInt), Some(h.toInt), None, None, None)
+    } else if (tag(0) == "RIFF" && tag(8) == "WAVE") {
+      // chunk walk: fmt then data (canonical files have both in order)
+      var off = 12
+      var rate = Option.empty[Long]; var ch = Option.empty[Int]
+      var dur = Option.empty[Long]; var byteRate = 0L
+      while (off >= 0 && off + 8 <= payload.length && (rate.isEmpty || dur.isEmpty)) {
+        val id = tag(off); val size = u32le(b, off + 4)
+        if (id == "fmt " && off + 24 <= payload.length) {
+          ch = Some(u16le(b, off + 10))
+          rate = Some(u32le(b, off + 12))
+          byteRate = u32le(b, off + 16)
+        } else if (id == "data" && byteRate > 0) {
+          dur = Some(size * 1000L / byteRate)
+        }
+        // declared size may exceed the bytes present (we parse headers, not
+        // whole files) — any further chunk is then out of range; guard the
+        // int overflow a hostile 4-byte size could cause
+        off = if (size > payload.length.toLong) payload.length else off + 8 + size.toInt
+      }
+      if (rate.isEmpty) (None, None, None, None, None, None)
+      else (Some("wav"), None, None, rate, ch, dur)
+    } else if (tag(0) == "RIFF" && tag(8) == "AVI " && payload.length >= 72 &&
+        tag(24) == "avih") {
+      val uspf = u32le(b, 32); val frames = u32le(b, 48)
+      (Some("avi"), Some(u32le(b, 64).toInt), Some(u32le(b, 68).toInt),
+        None, None, Some(uspf * frames / 1000L))
+    } else (None, None, None, None, None, None)
+  }
+
+  /** Batch header decode over (media_id, payload) — partition-iterator
+    * shape, exactly like [[Multimodal.extractFeatures]].
+    */
+  def parseHeaders(media: DataFrame): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(ParsedSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (fmt, w, h, rate, ch, dur) = parseHeader(r.getAs[Array[Byte]]("payload"))
+          Row(r.getAs[Long]("media_id"), fmt.orNull,
+            w.map(Int.box).orNull, h.map(Int.box).orNull,
+            rate.map(Long.box).orNull, ch.map(Int.box).orNull,
+            dur.map(Long.box).orNull)
+        }
+      }(encoder)
+  }
+}

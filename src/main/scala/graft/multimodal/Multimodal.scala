@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, and per-partition feature
   * extraction.
   *
-  * The decode step is a clearly-marked STUB — this container has no
-  * image/audio codecs, so `decodeStub` produces a deterministic fake
-  * feature vector (byte-value histogram). The Spark-side plumbing is the
-  * real thing: schema, binary payload handling, partition-wise batch
-  * processing via `mapPartitions` (the JVM analog of `mapInPandas` batch
-  * UDFs), and stride-based frame sampling.
+  * The PIXEL/SAMPLE decode step is a clearly-marked STUB — this container
+  * has no image/audio codecs, so `decodeStub` produces a deterministic
+  * fake feature vector (byte-value histogram). The codec-free slice of
+  * decode — container/header parsing (PNG dimensions, WAV audio format,
+  * AVI video header) — is REAL and oracle-checked in [[MediaCodecs]].
+  * The Spark-side plumbing is the real thing throughout: schema, binary
+  * payload handling, partition-wise batch processing via `mapPartitions`
+  * (the JVM analog of `mapInPandas` batch UDFs), and stride-based frame
+  * sampling.
   */
 object Multimodal {
 

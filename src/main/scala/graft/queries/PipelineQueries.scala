@@ -146,6 +146,18 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // --- REAL container decode (the codec-free slice of multimodal): -----
+    // metadata → spec-conformant PNG/WAV/AVI header bytes (column-space
+    // serializer) → ByteBuffer parser in mapPartitions. The oracle predicts
+    // every parsed field from first-principles integer arithmetic on
+    // media_id, so a wrong offset/endianness in either half mismatches.
+    "m02_media_decode" -> ((s, dir) => {
+      val media = graft.multimodal.MediaCodecs.plantHeaders(
+        graft.multimodal.Multimodal.deriveMedia(Tables.documents(s, dir)))
+      graft.multimodal.MediaCodecs.parseHeaders(media)
+        .orderBy("media_id")
+    }),
+
     // --- brute-force cosine top-k (exact ANN baseline) --------------------
     "s01_cosine_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -238,6 +250,38 @@ object PipelineQueries {
         |       substring(hex(payload), 2 * CAST(floor(0 * plen / 4 + 1) AS INT) - 1, 2) AS frame0_hex,
         |       substring(hex(payload), 2 * CAST(floor(2 * plen / 4 + 1) AS INT) - 1, 2) AS frame2_hex
         |FROM s
+        |ORDER BY media_id""".stripMargin,
+
+    // container-decode mirror: every parsed field re-derived from the same
+    // integer arithmetic the planting uses; division semantics match the
+    // parser exactly (both engines: BIGINT product → double `/` → floor,
+    // mirroring Scala's truncating long division on positive values)
+    "m02_media_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |         CAST((doc_id * 37) % 1920 + 1 AS INT) AS width,
+        |         CAST((doc_id * 53) % 1080 + 1 AS INT) AS height,
+        |         (doc_id * 97) % 600000 + 1 AS dur,
+        |         8000 * (1 + doc_id % 5) AS rate,
+        |         1 + doc_id % 2 AS ch
+        |  FROM documents),
+        |calc AS (
+        |  SELECT *,
+        |         rate * ch * 2 AS byte_rate,
+        |         CAST(floor(dur * (rate * ch * 2) / 1000) AS BIGINT) AS data_bytes,
+        |         CAST(floor(dur * 1000 / 33333) AS BIGINT) AS frames
+        |  FROM m)
+        |SELECT media_id,
+        |       CASE kind WHEN 'image' THEN 'png' WHEN 'audio' THEN 'wav' ELSE 'avi' END AS format,
+        |       CASE WHEN kind IN ('image', 'video') THEN width END AS width,
+        |       CASE WHEN kind IN ('image', 'video') THEN height END AS height,
+        |       CASE WHEN kind = 'audio' THEN CAST(rate AS BIGINT) END AS sample_rate,
+        |       CASE WHEN kind = 'audio' THEN CAST(ch AS INT) END AS channels,
+        |       CASE WHEN kind = 'audio' THEN CAST(floor(data_bytes * 1000 / byte_rate) AS BIGINT)
+        |            WHEN kind = 'video' THEN CAST(floor(33333 * frames / 1000) AS BIGINT)
+        |       END AS duration_ms
+        |FROM calc
         |ORDER BY media_id""".stripMargin,
 
     "d02_token_stats" ->
