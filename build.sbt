@@ -43,5 +43,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // compiles them promptly (bounds the worst case: without splitting, the
   // fused kernel method's compile/deopt lottery swung 25 s ↔ 400 s).
   "-Dspark.sql.codegen.methodSplitThreshold=256",
-  "-XX:ReservedCodeCacheSize=512m",
+  // 62 queries × whole-stage codegen ≈ hundreds of generated classes; a
+  // filled code cache silently disables the JIT for everything after it
+  // (the end-of-suite kernel batch ran 2-8× slower than the same plan in
+  // a fresh JVM). Size it so the suite never hits the ceiling, and let
+  // the sweeper reclaim cold generated methods if it ever does.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 ) ++ sys.env.get("GRAFT_JVM_EXTRA").toSeq.flatMap(_.split(" "))

@@ -141,6 +141,12 @@ object Bench {
       results(name) = time(fn(spark, sfDir))
     }
 
+    // the suite above leaves dead broadcasts + generated classes behind;
+    // give ContextCleaner/GC a chance to reclaim them so the headline
+    // kernels below measure the kernel, not the suite's garbage
+    spark.catalog.clearCache()
+    System.gc()
+
     // interactive predict: collect, like the API would (top-50 included)
     results("predict_single_route") = {
       val t0 = System.nanoTime()

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{DotProductD, GradeParser}
+import graft.expr.{DotProductD, GradeParser, SimHash63, WeatherPatternSimilarity}
 
 /** SQL-surface registration for the engine's custom functions.
   *
@@ -19,6 +19,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotProductD].getName, "dot_f64"),
       (exprs: Seq[Expression]) => DotProductD(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash63].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash63(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("weather_similarity"),
+      new ExpressionInfo(classOf[WeatherPatternSimilarity].getName, "weather_similarity"),
+      (exprs: Seq[Expression]) => WeatherPatternSimilarity(exprs.head, exprs(1))))
   }
 }
 
@@ -26,7 +34,12 @@ object GraftFunctions {
   /** Register every custom function on a live session (SQL-callable). */
   def register(spark: SparkSession): Unit = {
     GradeParser.register(spark)
-    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
-      spark, "dot_f64", exprs => DotProductD(exprs.head, exprs(1)))
+    val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+    bridge.registerFunction(spark, "dot_f64",
+      exprs => DotProductD(exprs.head, exprs(1)))
+    bridge.registerFunction(spark, "simhash64",
+      exprs => SimHash63(exprs.head))
+    bridge.registerFunction(spark, "weather_similarity",
+      exprs => WeatherPatternSimilarity(exprs.head, exprs(1)))
   }
 }

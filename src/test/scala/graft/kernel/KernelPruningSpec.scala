@@ -70,10 +70,29 @@ class KernelPruningSpec extends SparkSpec {
     assert(prunedPairs.length < totalPairs)
   }
 
-  test("SQL function registration: dot_f64 + parse_grade") {
+  test("SQL function registration: dot_f64 + parse_grade + simhash64 + weather_similarity") {
     graft.sql.GraftFunctions.register(spark)
     assert(spark.sql("SELECT dot_f64(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .head().getDouble(0) == 11.0)
     assert(spark.sql("SELECT parse_grade('5.11') AS g").head().getDouble(0) == 11.5)
+    // simhash64 (native expr over a token array) matches the HOF Column
+    // form on the same text
+    spark.range(1)
+      .select(graft.text.TextExprs.tokens(org.apache.spark.sql.functions
+        .lit("the quick brown fox")).as("toks"))
+      .createOrReplaceTempView("tk")
+    val viaSql = spark.sql("SELECT simhash64(toks) AS h FROM tk").head().getLong(0)
+    val viaCol = spark.range(1)
+      .select(graft.dedup.Dedup.simhash63(org.apache.spark.sql.functions
+        .lit("the quick brown fox")).as("h")).head().getLong(0)
+    assert(viaSql == viaCol)
+    // weather_similarity: self-similarity of a 7-day pattern ≈ 1
+    spark.range(1)
+      .select(graft.queries.Derived.weatherPattern(
+        org.apache.spark.sql.functions.lit(1L)).as("p"))
+      .createOrReplaceTempView("wp")
+    val selfSim = spark.sql("SELECT weather_similarity(p, p) AS s FROM wp")
+      .head().getDouble(0)
+    assert(math.abs(selfSim - 1.0) < 1e-9)
   }
 }
