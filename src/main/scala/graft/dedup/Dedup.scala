@@ -75,16 +75,36 @@ object Dedup {
     * Input df must have columns (`idCol`, `sig`). The band exchange is the
     * only shuffle; per-bucket fan-out is bounded by bucket size, not corpus
     * size.
+    *
+    * `maxBucketSize` is the 100 TB skew guard: a degenerate bucket of m
+    * members emits m² pairs, and real corpora HAVE degenerate buckets
+    * (boilerplate pages, empty strings, templated text all share
+    * signatures). A capped bucket is skipped wholesale — its members are
+    * near-identical, which exact dedup (d01) already collapses more
+    * cheaply; the cap bounds the join's worst case at |buckets|·cap²
+    * instead of corpus². None (default) keeps the exact candidate set.
     */
-  def lshCandidatePairs(df: DataFrame, idCol: String, sigLen: Int, bands: Int): DataFrame = {
+  def lshCandidatePairs(df: DataFrame, idCol: String, sigLen: Int, bands: Int,
+                        maxBucketSize: Option[Int] = None): DataFrame = {
     require(sigLen % bands == 0, s"signature length $sigLen not divisible by $bands bands")
     val r = sigLen / bands
-    val banded = df.select(
+    val banded0 = df.select(
       col(idCol), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, concat_ws(",", slice(col("sig"), b * r + 1, lit(r)))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+    val banded = maxBucketSize match {
+      case Some(cap) =>
+        // bucket sizes are one cheap partial-agg pass; the anti-filter
+        // drops over-full buckets before any pair is generated
+        val ok = banded0.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bsz"))
+          .where(col("__bsz") <= cap)
+          .select("band", "bucket")
+        banded0.join(ok, Seq("band", "bucket"))
+      case None => banded0
+    }
     val a = banded.select(col("band"), col("bucket"),
       col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"),

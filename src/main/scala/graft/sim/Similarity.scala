@@ -80,10 +80,22 @@ object Similarity {
     * (DedupSpec asserts a measured floor on planted near-dups).
     */
   def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
-                      dim: Int, bits: Int, threshold: Double): DataFrame = {
+                      dim: Int, bits: Int, threshold: Double,
+                      maxBucketSize: Option[Int] = None): DataFrame = {
     require(bits <= 16, "multi-probe signature is meant to be short")
-    val b = withNorm(df, idCol, vecCol, "id_b", "v_b", "n_b")
+    val b0 = withNorm(df, idCol, vecCol, "id_b", "v_b", "n_b")
       .withColumn("bucket", hyperplaneSignature(col("v_b"), dim, bits))
+    // 100 TB skew guard (same rationale as Dedup.lshCandidatePairs): a
+    // degenerate bucket — duplicated embeddings, all-zero vectors — would
+    // make the bucket join quadratic in its size; capped buckets are
+    // dropped wholesale (their members are exact-dup territory)
+    val b = maxBucketSize match {
+      case Some(cap) =>
+        val ok = b0.groupBy("bucket").agg(count(lit(1)).as("__bsz"))
+          .where(col("__bsz") <= cap).select("bucket")
+        b0.join(ok, Seq("bucket"))
+      case None => b0
+    }
     val a = withNorm(graft.Partitioning.balanced(df), idCol, vecCol, "id_a", "v_a", "n_a")
       .withColumn("sig", hyperplaneSignature(col("v_a"), dim, bits))
       .select(col("id_a"), col("v_a"), col("n_a"),

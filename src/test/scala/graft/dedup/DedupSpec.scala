@@ -58,6 +58,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)))
   }
 
+  test("bucket-size cap drops the hot bucket, keeps everything else") {
+    // 20 copies of one text = one degenerate bucket (190 pairs per band);
+    // plus the regular 4-doc corpus
+    val hot = (100L until 120L).map(i => (i, "boiler plate boiler plate boiler plate legal"))
+    val corpus = docs.union(hot.toDF("doc_id", "text"))
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", 16, 3)
+    val capped = Dedup.lshCandidatePairs(sigs, "doc_id", 16, 4, maxBucketSize = Some(10))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.lshCandidatePairs(sigs, "doc_id", 16, 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // uncapped: quadratic hot-bucket fan-out present
+    assert(uncapped.count { case (a, b) => a >= 100L && b >= 100L } == 190)
+    // capped: the boilerplate cluster is gone...
+    assert(capped.count { case (a, b) => a >= 100L && b >= 100L } == 0)
+    // ...but every pair among the regular docs survives
+    assert(capped.filter { case (a, b) => a < 100L && b < 100L } ==
+      uncapped.filter { case (a, b) => a < 100L && b < 100L })
+  }
+
   test("simhash: near-dups close in hamming space, unrelated docs far") {
     val hashes = docs.select(col("doc_id"), Dedup.simhash63(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
