@@ -97,6 +97,82 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  // --- streaming 7-day pattern assembly (S4/A2 streamed) -------------------
+
+  /** One weather observation for one accident's window (the FIXTURES §2 row
+    * enriched with the accident date the window anchors on).
+    */
+  case class WeatherRowIn(accident_id: Long, a_date: java.sql.Date, date: java.sql.Date,
+                          temperature_avg: Option[Double], temperature_min: Option[Double],
+                          temperature_max: Option[Double], precipitation_total: Option[Double],
+                          wind_speed_avg: Option[Double], visibility_avg: Option[Double],
+                          cloud_cover_avg: Option[Double])
+
+  case class DayRec(temperature: Double, precipitation: Double, windSpeed: Double,
+                    visibility: Double, cloudCover: Double, tempMin: Double, tempMax: Double)
+
+  case class PatternOut(accident_id: Long, n_days: Int,
+                        temperature: Seq[Double], precipitation: Seq[Double],
+                        wind_speed: Seq[Double], visibility: Seq[Double],
+                        cloud_cover: Seq[Double], temp_min: Seq[Double],
+                        temp_max: Seq[Double])
+
+  /** The reference's hottest prep path (7-day pattern assembly,
+    * `predict.py:536-615`) as a STREAMING stateful operator: weather rows
+    * arrive late and out of order; per-accident state holds the defaulted
+    * day slots (keyed by window offset 0-6, so re-delivery is idempotent —
+    * the one semantic upgrade over the batch `collect_list`, which would
+    * duplicate a re-delivered day); every batch that grows a pattern past
+    * the ≥5-day validity floor re-emits it (Update mode). Day defaults are
+    * the batch assembly's Python-`or` semantics exactly, so the streamed
+    * pattern CONVERGES to `WeatherAssembly.assemblePatterns` output on the
+    * same rows (StreamingOpsSpec asserts series-for-series equality).
+    */
+  def streamingPatternAssembly(rows: Dataset[WeatherRowIn]): Dataset[PatternOut] = {
+    import rows.sparkSession.implicits._
+    import graft.weather.{WeatherAssembly => WA}
+
+    def orDefault(v: Option[Double], d: Double): Double =
+      v.filter(_ != 0.0).getOrElse(d) // Python-or: None OR falsy 0.0 → default
+
+    def defaulted(r: WeatherRowIn): DayRec = {
+      val tAvg = orDefault(r.temperature_avg, WA.TempDefaultC)
+      DayRec(
+        temperature = tAvg,
+        precipitation = orDefault(r.precipitation_total, WA.PrecipDefaultMm),
+        windSpeed = orDefault(r.wind_speed_avg, WA.WindDefaultMs),
+        visibility = orDefault(r.visibility_avg, WA.VisibilityDefaultM),
+        cloudCover = orDefault(r.cloud_cover_avg, WA.CloudDefaultPct),
+        tempMin = orDefault(r.temperature_min, tAvg),
+        tempMax = orDefault(r.temperature_max, tAvg))
+    }
+
+    rows
+      .groupByKey(_.accident_id)
+      .flatMapGroupsWithState[Map[Int, DayRec], PatternOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (accId: Long, batch: Iterator[WeatherRowIn], state: GroupState[Map[Int, DayRec]]) =>
+          var days = state.getOption.getOrElse(Map.empty[Int, DayRec])
+          var changed = false
+          batch.foreach { r =>
+            val off = java.time.temporal.ChronoUnit.DAYS.between(
+              r.a_date.toLocalDate.minusDays(WA.WindowDays), r.date.toLocalDate).toInt
+            if (off >= 0 && off <= WA.WindowDays) { // J3 window gate
+              days += off -> defaulted(r)
+              changed = true
+            }
+          }
+          if (changed) state.update(days)
+          if (changed && days.size >= graft.weather.WeatherExprs.MinWeatherDaysRequired) {
+            val ord = days.toSeq.sortBy(_._1).map(_._2) // chronological, oldest first
+            Iterator.single(PatternOut(accId, ord.size,
+              ord.map(_.temperature), ord.map(_.precipitation), ord.map(_.windSpeed),
+              ord.map(_.visibility), ord.map(_.cloudCover),
+              ord.map(_.tempMin), ord.map(_.tempMax)))
+          } else Iterator.empty
+      }
+  }
+
   /** §2.8 row 1 — the nightly recompute as an INCREMENTAL query: a stream
     * of `prediction_date` strings drives one kernel batch per arriving
     * date, landed via the idempotent partition-overwrite sink

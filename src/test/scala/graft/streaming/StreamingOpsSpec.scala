@@ -81,6 +81,55 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pattern assembly converges to the batch assembly") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val enriched = graft.queries.Derived.weatherRows(spark, dir)
+      .join(graft.queries.Derived.accidents(spark, dir)
+        .select(col("accident_id"), col("a_date")), Seq("accident_id"))
+      .select("accident_id", "a_date", "date", "temperature_avg", "temperature_min",
+        "temperature_max", "precipitation_total", "wind_speed_avg", "visibility_avg",
+        "cloud_cover_avg")
+      .as[WeatherRowIn].collect()
+
+    // deterministic out-of-order feed, three micro-batches
+    val shuffled = enriched.sortBy(r => (r.date.hashCode ^ r.accident_id.toInt, r.accident_id))
+    val batches = shuffled.grouped(math.max(1, shuffled.length / 3 + 1)).toSeq
+    val mem = MemoryStream[WeatherRowIn]
+    val q = streamingPatternAssembly(mem.toDS())
+      .writeStream.format("memory").queryName("patterns").outputMode(OutputMode.Update())
+      .start()
+    try {
+      batches.foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      // final state per accident = the emission with the most days (n_days
+      // grows monotonically — each emission follows a new in-window day)
+      val streamed = spark.table("patterns").as[PatternOut].collect()
+        .groupBy(_.accident_id).map { case (id, outs) => id -> outs.maxBy(_.n_days) }
+
+      val batchPats = graft.weather.WeatherAssembly.assemblePatterns(
+        graft.queries.Derived.weatherRows(spark, dir),
+        graft.queries.Derived.accidents(spark, dir)).collect()
+      assert(batchPats.nonEmpty)
+      assert(streamed.keySet == batchPats.map(_.getAs[Long]("accident_id")).toSet,
+        "streamed validity set != batch validity set")
+      batchPats.foreach { r =>
+        val p = r.getAs[org.apache.spark.sql.Row]("pattern")
+        def ser(name: String): List[Double] =
+          p.getSeq[Double](p.fieldIndex(name)).toList
+        val s = streamed(r.getAs[Long]("accident_id"))
+        assert(s.n_days == r.getAs[Int]("n_days"))
+        assert(s.temperature.toList == ser("temperature"))
+        assert(s.precipitation.toList == ser("precipitation"))
+        assert(s.wind_speed.toList == ser("wind_speed"))
+        assert(s.visibility.toList == ser("visibility"))
+        assert(s.cloud_cover.toList == ser("cloud_cover"))
+        val dt = p.getSeq[org.apache.spark.sql.Row](p.fieldIndex("daily_temps")).toList
+        assert(s.temp_min.toList == dt.map(_.getAs[Double]("min")))
+        assert(s.temp_max.toList == dt.map(_.getAs[Double]("max")))
+      }
+    } finally q.stop()
+  }
+
   test("incrementalScoring: per-date micro-batches land idempotent partitions") {
     import org.apache.spark.sql.functions._
     val routes = Seq((1L, 40.0, -105.0, Some(2000.0), "alpine", Some(7.0)),
