@@ -166,6 +166,32 @@ object Bench {
       SafetyKernel.topContributors(pairs, 50).collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // 10 concurrent interactive predicts (BASELINE.md: asyncio 10-way
+    // concurrency < 15-16 s, current ~13 s) — independent single-route
+    // kernels submitted in parallel; Spark's FIFO scheduler interleaves
+    // their stages across the same executor pool
+    results("predict_10_concurrent") = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val acc = syntheticAccidents(spark, 6900)
+      val t0 = System.nanoTime()
+      val reqs = (0 until 10).map { i =>
+        Future {
+          val route = spark.range(1).select(
+            col("id").as("route_id"),
+            lit(38.0 + i * 0.7).as("lat"), lit(-110.0 - i * 0.9).as("lon"),
+            lit(1500.0 + i * 200).as("elev"),
+            lit(Seq("alpine", "trad", "sport", "ice")(i % 4)).as("route_type"),
+            lit(5.0 + i).as("difficulty"))
+          val pairs = SafetyKernel.pairInfluence(route, acc, planDate)
+          SafetyKernel.scoreRoutes(pairs).collect()
+          SafetyKernel.topContributors(pairs, 50).collect()
+        }
+      }
+      Await.result(Future.sequence(reqs), 600.seconds)
+      (System.nanoTime() - t0) / 1e9
+    }
     results("kernel_batch_168k") = time(kernelBatch168k(spark))
     results("kernel_batch_168k_pruned") = time(kernelBatch168kPruned(spark))
     results("kernel_batch_168k_factorized") = time(kernelBatch168kFactorized(spark))

@@ -51,4 +51,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("dotproductd") || plan.contains("DotProductD")
       || plan.toLowerCase.contains("dotproduct"), plan.take(1500))
   }
+
+  test("weather kernels: similarity is ONE native expression node, not the HOF tree") {
+    val plan = planOf("k14_kernel_weather")
+    assert(plan.contains("weather_pattern_similarity"),
+      "native similarity expression missing from the k14 plan")
+    // the staged HOF form would inline hundreds of aggregate/zip_with
+    // lambda nodes — the whole executed plan must stay small
+    assert(plan.length < 100000,
+      s"k14 plan blew up to ${plan.length} chars — staged tree is back")
+  }
+
+  test("memo fan-out joins the bucket memo as a broadcast hash join") {
+    import org.apache.spark.sql.functions._
+    val locs = graft.queries.Derived.locations(spark, dir)
+      .withColumn("bucket", col("location_id") % 10)
+    val memo = graft.weather.WeatherMemo.similarityMemo(
+      locs, "bucket", graft.queries.Derived.accidents(spark, dir),
+      graft.queries.Derived.weatherRows(spark, dir),
+      b => graft.queries.Derived.weatherPattern(lit(graft.queries.Derived.CurrentKey) + b))
+    val plan = graft.weather.WeatherMemo.attachToLocations(locs, memo, "bucket")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "memo fan-out should broadcast the (buckets × accidents) memo")
+  }
+
+  test("cache warming: accidents broadcast, one exchange for the (route, date) agg") {
+    val plan = planOf("k19_cache_warming")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "accidents side not broadcast in the warming batch")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"unexpected extra shuffles in warming plan: $exchanges")
+  }
 }
