@@ -180,6 +180,20 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // --- IVF coarse-quantized top-k (rows-only; recall in spec) -----------
+    // The second classic ANN scale path: deterministic spherical k-means
+    // cells, nprobe-cell probing — each query touches ~nprobe/nlist of the
+    // corpus instead of all of it.
+    "s03_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(
+        e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+        "vec_id", "embedding", nlist = 16, nprobe = 4, k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // --- language-ID heuristic + quality scoring (oracle-checked: the
     // argmax tie-break is mirrored via packed score*8+langIdx encoding) ----
     "d08_lang_quality" -> ((s, dir) => {

@@ -110,6 +110,88 @@ object Similarity {
       .select("id_a", "id_b", "cosine").distinct()
   }
 
+  // --- IVF (inverted-file) — the other classic ANN scale path --------------
+
+  /** Deterministic spherical k-means coarse quantizer: `nlist` centroids
+    * over the L2-normalized corpus, Lloyd's iterations with a fixed count
+    * and id-ordered seeding (the `nlist` lowest-id vectors), so training is
+    * reproducible run-to-run with no stored model. Each iteration is one
+    * distributed assign (cross join against the ≤ few-hundred-row centroid
+    * frame) + one element-wise mean (posexplode → per-(cell, dim) avg);
+    * only the nlist × dim centroid table ever touches the driver.
+    */
+  def ivfTrainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        nlist: Int, iters: Int = 3): Array[(Int, Seq[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val unit = withNorm(corpus, idCol, vecCol, "id", "v", "n")
+      .where(col("n") > 0)
+      .select(col("id"), transform(col("v"), x => x / col("n")).as("v"))
+    var centroids: Array[(Int, Seq[Double])] = unit
+      .orderBy("id").limit(nlist)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](1) }
+    for (_ <- 0 until iters) {
+      val cdf = broadcast(centroids.toSeq.toDF("cell", "c_vec"))
+      val w = Window.partitionBy("id").orderBy(col("sim").desc, col("cell").asc)
+      val assigned = unit.crossJoin(cdf)
+        .withColumn("sim", VectorExprs.dot(col("v"), col("c_vec")))
+        .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy("cell", "pos").agg(avg("col").as("m"))
+        .groupBy("cell")
+        .agg(map_from_arrays(collect_list("pos"), collect_list("m")).as("byPos"))
+        .collect()
+      centroids = means.map { r =>
+        val byPos = r.getMap[Int, Double](1)
+        val raw = Array.tabulate(byPos.size)(byPos(_))
+        val nrm = math.sqrt(raw.map(x => x * x).sum)
+        r.getInt(0) -> (if (nrm > 0) raw.map(_ / nrm).toSeq else raw.toSeq)
+      }.sortBy(_._1)
+    }
+    centroids
+  }
+
+  /** IVF top-k: each query probes its `nprobe` highest-cosine cells and
+    * ranks only corpus vectors assigned there — the cell equi-join replaces
+    * the brute-force cross join, so each query touches ~nprobe/nlist of the
+    * corpus. Same output shape as [[bruteForceTopK]]; exact cosines in the
+    * ranking stage (approximation is only in which cells are probed).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              nlist: Int, nprobe: Int, k: Int, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(
+      ivfTrainCentroids(corpus, idCol, vecCol, nlist, iters).toSeq.toDF("cell", "c_vec"))
+
+    val wAssign = Window.partitionBy("neighbor_id").orderBy(col("sim").desc, col("cell").asc)
+    val assigned = withNorm(graft.Partitioning.balanced(corpus), idCol, vecCol,
+      "neighbor_id", "c_vec0", "c_n")
+      .crossJoin(cdf)
+      .withColumn("sim", VectorExprs.dot(col("c_vec0"), col("c_vec")) / col("c_n"))
+      .withColumn("rk", row_number().over(wAssign)).where(col("rk") === 1)
+      .select(col("cell"), col("neighbor_id"), col("c_vec0").as("c_vec"), col("c_n"))
+
+    val wProbe = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell").asc)
+    val probes = withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_n")
+      .crossJoin(cdf)
+      .withColumn("sim", VectorExprs.dot(col("q_vec"), col("c_vec")) / col("q_n"))
+      .withColumn("rk", row_number().over(wProbe)).where(col("rk") <= nprobe)
+      .select("query_id", "q_vec", "q_n", "cell")
+
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(probes).join(assigned, "cell")
+      .withColumn("cosine",
+        VectorExprs.dot(col("q_vec"), col("c_vec")) / (col("q_n") * col("c_n")))
+      .select("query_id", "neighbor_id", "cosine").distinct()
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Approximate top-k via LSH bucketing with multi-probe fallback: probe
     * the exact bucket plus all 1-bit-flip neighbors (bits+1 probes), rank
     * candidates by exact cosine. Trades recall for pruning the corpus scan:

@@ -50,6 +50,28 @@ class SimilaritySpec extends SparkSpec {
     assert(approxRows.where(col("cosine") > 1.0001 || col("cosine") < -1.0001).count() == 0)
   }
 
+  test("IVF top-k: deterministic training, high recall at nprobe=4/16") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val c = e.where(col("vec_id") >= 5)
+    val exact = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, c, "vec_id", "embedding",
+      nlist = 16, nprobe = 4, k = 3)
+    val ivfTop = ivf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivfTop).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall below floor")
+    // ranking stage uses exact cosines
+    assert(ivf.where(col("cosine") > 1.0001 || col("cosine") < -1.0001).count() == 0)
+    // every query returns exactly k rows (cells cover the corpus)
+    assert(ivf.groupBy("query_id").count().where(col("count") =!= 3).count() == 0)
+    // deterministic: two trainings give identical centroids
+    val c1 = Similarity.ivfTrainCentroids(c, "vec_id", "embedding", 16)
+    val c2 = Similarity.ivfTrainCentroids(c, "vec_id", "embedding", 16)
+    assert(c1.toSeq == c2.toSeq)
+  }
+
   test("hyperplane signature is deterministic and splits the space") {
     val df = Seq((1L, vec(1, 0, 0, 0)), (2L, vec(1, 0.01, 0, 0)), (3L, vec(-1, 0, 0, 0)))
       .toDF("vec_id", "embedding")
