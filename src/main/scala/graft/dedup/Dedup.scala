@@ -116,6 +116,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected pair list — the step every
+    * dedup pipeline needs AFTER pair generation: near-dup pairs (from LSH
+    * verify or exact Jaccard) form clusters, and one keeper survives per
+    * cluster. Iterative min-label propagation: every node repeatedly adopts
+    * the minimum label in its closed neighborhood until a fixpoint — the
+    * distributed-join formulation of union-find. Rounds ≈ component
+    * diameter (near-dup clusters are dense — tiny diameters); each round
+    * is one equi-join + one min-agg, `localCheckpoint`ed so plan size and
+    * lineage stay constant across iterations (the classic iterative-
+    * algorithm trap on Spark). Returns (node, component), component = min
+    * reachable node id. Nodes appearing in no pair are absent — callers
+    * left-join and coalesce to the node's own id for singleton semantics.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var converged = edges.isEmpty
+    var it = 0
+    while (!converged && it < maxIters) {
+      val neigh = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min("label").as("nmin"))
+      val updated = labels.join(neigh, labels("node") === neigh("src"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
+        .localCheckpoint()
+      converged = updated.where(col("next") < col("label")).isEmpty
+      labels = updated.select(col("node"), col("next").as("label"))
+      it += 1
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   /** 63-bit SimHash over token hashes: bit j of the result is the sign of
     * Σ_tokens (±1 by bit j of xxhash64(token)). 63 bits so the Horner
     * packing never overflows a long (ANSI-safe).

@@ -26,6 +26,26 @@ object PipelineQueries {
 
   private val Stopwords = Seq("the", "a", "of", "and")
 
+  /** Exact token-set Jaccard for every (id_a < id_b) pair of the doc_id<40
+    * subset — shared by d04 (pair dump) and d10 (clustering input).
+    */
+  private def tokenJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).where(col("doc_id") < 40)
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok")).distinct()
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = tok.as("a").join(tok.as("b"),
+      col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- exact dedup inventory (hash-groupBy; md5 matches DuckDB's) -------
@@ -60,22 +80,27 @@ object PipelineQueries {
 
     // --- exact token-set Jaccard pairs (doc_id < 40) ----------------------
     "d04_jaccard_pairs" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).where(col("doc_id") < 40)
-      val tok = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("tok")).distinct()
-      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val common = tok.as("a").join(tok.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("n_common"))
-      common
-        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
-        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
-        .select(col("id_a"), col("id_b"), col("n_common"),
-          (col("n_common").cast("double") /
-            (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
-        .orderBy("id_a", "id_b")
+      tokenJaccardPairs(s, dir).orderBy("id_a", "id_b")
     }),
+
+    // --- near-dup CLUSTERS: thresholded Jaccard pairs → connected ---------
+    // components (iterative min-label propagation) → (doc, cluster) with
+    // singleton docs keeping their own id. The DuckDB oracle re-derives the
+    // components with a recursive transitive-closure CTE — two entirely
+    // different algorithms agreeing on the same partition of the corpus.
+    "d10_neardup_clusters" -> ((s, dir) => {
+      val pairs = tokenJaccardPairs(s, dir)
+        .where(col("jaccard") >= 0.8).select("id_a", "id_b")
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      Tables.documents(s, dir).where(col("doc_id") < 40)
+        .select(col("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // (oracle for d10 lives in `oracles` — recursive transitive closure)
 
     // --- MinHash + LSH near-dup candidates (rows-only; spec-validated) ----
     "d05_minhash_lsh" -> ((s, dir) => {
@@ -333,6 +358,37 @@ object PipelineQueries {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // clustering oracle: recursive transitive closure (an entirely
+    // different algorithm than the Spark side's min-label propagation —
+    // they must agree on the component partition exactly)
+    "d10_neardup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents WHERE doc_id < 40)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |         FROM reach GROUP BY src)
+        |SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 40) d
+        |LEFT JOIN comp c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "d07_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

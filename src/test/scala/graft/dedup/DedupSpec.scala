@@ -77,6 +77,22 @@ class DedupSpec extends SparkSpec {
       uncapped.filter { case (a, b) => a < 100L && b < 100L })
   }
 
+  test("connected components: clusters, chains, isolated nodes, empty input") {
+    // two clusters {1,2,3} + {10,11}, plus a 7-node chain 20-21-...-26
+    // (diameter 6 — exercises multi-round propagation)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++
+      (20L until 26L).map(i => (i, i + 1))
+    val comp = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    (20L to 26L).foreach(n => assert(comp(n) == 20L, s"chain node $n"))
+    assert(!comp.contains(99L)) // nodes absent from pairs are absent
+    // empty input → empty output, no iteration
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b").count() == 0)
+  }
+
   test("simhash: near-dups close in hamming space, unrelated docs far") {
     val hashes = docs.select(col("doc_id"), Dedup.simhash63(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
