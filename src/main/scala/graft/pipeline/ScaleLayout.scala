@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout techniques for the 100 TB tier (SURVEY §4): bucketing,
+  * so repeated equi-joins on a key are EXCHANGE-FREE, and deterministic
+  * salting, so skewed keys stop serializing a stage.
+  *
+  * Bucketing is the pre-pay move: one shuffle at WRITE time (into N
+  * hash-buckets per key, sorted within buckets) buys every later join or
+  * aggregation on that key a plan with no Exchange at all — for the scores
+  * ⋈ routes serving join, which the reference runs on every map load, that
+  * turns the nightly-written scores table into a zero-shuffle read path.
+  *
+  * Salting is the rescue move when one key dominates (the reference shape:
+  * half the accidents in one popular climbing area): append a
+  * deterministic salt to the hot key so its rows spread over `factor`
+  * reducers, aggregate partially per salted key, then finish per original
+  * key. Two exchanges of SMALL partial rows instead of one exchange that
+  * funnels the hot key through a single task. (AQE's skew-join handling
+  * covers the JOIN side of the same problem at runtime — documented in
+  * Bench/AnsiCheck; salting covers aggregation and pre-AQE plans.)
+  */
+object ScaleLayout {
+
+  /** Write `df` hash-bucketed (and sorted) by `key` into the session
+    * catalog as `table`. Joins/aggs between tables bucketed on the same
+    * key with the same bucket count plan with NO Exchange
+    * (ScaleLayoutSpec asserts it).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Equi-join two same-key same-count bucketed tables — exchange-free by
+    * layout, not by optimizer luck.
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Two-phase salted aggregation: `aggs` must be decomposable
+    * (sum/count/min/max — anything where partial-of-partial = total).
+    * Phase 1 groups by (key, salt) where salt = a deterministic spread of
+    * each ROW (hash of all columns, not a random — reruns give identical
+    * plans and results); phase 2 merges the ≤`factor` partials per key.
+    * The hot key's rows now hash across `factor` reducers in phase 1, and
+    * phase 2 only ever sees `factor` rows per key.
+    */
+  def saltedSumAggregate(df: DataFrame, key: String, valueCol: String,
+                         factor: Int): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(factor)))
+    salted
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(valueCol).as("__partial_sum"), count(lit(1)).as("__partial_n"))
+      .groupBy(col(key))
+      .agg(sum("__partial_sum").as(s"sum_$valueCol"),
+        sum("__partial_n").as("n_rows"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The two layout techniques must deliver their PLAN guarantees, not just
+  * correct rows: bucketed joins carry no Exchange; salted aggregation
+  * equals the plain aggregation bit-for-bit on integer-cent values.
+  */
+class ScaleLayoutSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // a crashed previous run can leave the location without the catalog
+    // entry — managed-table creation refuses to reuse it
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = new java.io.File(warehouse, name)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(loc)
+    }
+  }
+
+  test("bucketed scores ⋈ routes: no Exchange anywhere in the join plan") {
+    val routes = (1L to 1000L).map(i => (i, s"route $i", 1000.0 + i))
+      .toDF("route_id", "name", "elev")
+    val scores = (1L to 1000L).map(i => (i, (i % 101).toDouble))
+      .toDF("route_id", "risk_score")
+    dropTable("routes_b")
+    dropTable("scores_b")
+    ScaleLayout.writeBucketed(routes, "routes_b", "route_id", 8)
+    ScaleLayout.writeBucketed(scores, "scores_b", "route_id", 8)
+    // at the 100 TB tier neither side broadcasts — force the sort-merge
+    // path the layout exists for (on tiny test tables Catalyst would
+    // broadcast and skip bucketing entirely)
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ScaleLayout.bucketedJoin(spark, "routes_b", "scores_b", "route_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n${plan.take(1500)}")
+      assert(!plan.contains("Sort ") || plan.contains("SortMergeJoin"),
+        s"unexpected plan:\n${plan.take(1500)}")
+      assert(joined.count() == 1000)
+      // and the same join on unbucketed frames DOES shuffle — the layout,
+      // not the data size, is what removed the exchange
+      val unbucketed = routes.join(scores, "route_id")
+        .queryExecution.executedPlan.toString
+      assert(unbucketed.contains("Exchange"),
+        "control join unexpectedly exchange-free")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+  }
+
+  test("salted aggregation: skewed key spreads, totals match plain groupBy") {
+    // 90% of rows on one hot key — the shape that serializes a plain agg
+    val rows = (1L to 10000L).map { i =>
+      val key = if (i % 10 != 0) "hot" else s"cold_${i % 37}"
+      (key, (i % 1000).toDouble)
+    }.toDF("key", "value")
+    val salted = ScaleLayout.saltedSumAggregate(rows, "key", "value", factor = 16)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val plain = rows.groupBy("key")
+      .agg(sum("value").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted.keySet == plain.keySet)
+    plain.foreach { case (k, (s, n)) =>
+      assert(salted(k)._2 == n, s"count mismatch for $k")
+      assert(math.abs(salted(k)._1 - s) < 1e-6, s"sum mismatch for $k")
+    }
+    // the salt actually spreads the hot key (not all rows in one group)
+    val phase1Groups = rows.withColumn("__salt",
+      pmod(xxhash64(struct(rows.columns.map(col): _*)), lit(16)))
+      .where(col("key") === "hot")
+      .select("__salt").distinct().count()
+    assert(phase1Groups > 8, s"salt spread only $phase1Groups groups")
+  }
+}
