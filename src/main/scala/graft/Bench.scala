@@ -194,6 +194,20 @@ object Bench {
     }
     results("kernel_batch_168k") = time(kernelBatch168k(spark))
     results("kernel_batch_168k_pruned") = time(kernelBatch168kPruned(spark))
+    // incremental nightly: 100 new accidents arrive → delta-kernel only
+    // (exact decomposition; the reference rebuilds all 1.16B pairs instead)
+    results("kernel_batch_incremental_100new") = {
+      val oldScores = kernelBatch168k(spark)
+        .select("route_id", "total_influence", "n_contributing", "risk_score", "color_code")
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      graft.pipeline.ScoringPipeline.applyAccidentDelta(
+        oldScores, syntheticRoutes(spark, 168000),
+        syntheticAccidents(spark, 7000).where(col("accident_id") >= 6900),
+        planDate, pruned = true)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     results("kernel_batch_168k_factorized") = time(kernelBatch168kFactorized(spark))
     results("map_with_safety_168k") = time(mapWithSafety168k(spark))
 

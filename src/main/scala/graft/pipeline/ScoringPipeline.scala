@@ -88,6 +88,44 @@ object ScoringPipeline {
     writeScores(merged, outPath)
   }
 
+  /** EXACT incremental re-scoring for newly-ingested accidents — the
+    * update the reference cannot do (it rebuilds all 168K × 6.9K pairs
+    * nightly, `safety_computation_optimized.py:954-1019`): the kernel
+    * aggregate DECOMPOSES — `total_influence` is a sum over accidents and
+    * `n_contributing` a sum of indicators — so adding accidents is a
+    * delta-kernel over routes × NEW accidents only, added onto the stored
+    * totals, with risk/color re-derived from the new total. Work is
+    * O(routes × new-accidents); with `pruned = true` it drops further to
+    * O(routes-within-radius × new) through the grid-cell equi-join
+    * (influence below the 1e-6 floor is dropped — same bound as the
+    * pruned nightly itself).
+    *
+    * `oldScores` needs (route_id, total_influence, n_contributing) — what
+    * [[computeDailyScores]] writes; other columns pass through with risk,
+    * color and totals replaced. Routes absent from the delta keep their
+    * stored score untouched.
+    */
+  def applyAccidentDelta(oldScores: DataFrame, routes: DataFrame,
+                         newAccidents: DataFrame,
+                         planDate: org.apache.spark.sql.Column,
+                         pruned: Boolean = false): DataFrame = {
+    import graft.expr.WeightExprs
+    val deltaScores =
+      if (pruned) graft.kernel.KernelPruning.scoreRoutesPruned(routes, newAccidents, planDate)
+      else SafetyKernel.scoreRoutes(routes, newAccidents, planDate)
+    val delta = deltaScores.select(col("route_id"),
+      col("total_influence").as("__d_total"), col("n_contributing").as("__d_n"))
+    oldScores
+      .join(delta, Seq("route_id"), "left")
+      .withColumn("total_influence",
+        col("total_influence") + coalesce(col("__d_total"), lit(0.0)))
+      .withColumn("n_contributing",
+        col("n_contributing") + coalesce(col("__d_n"), lit(0L)))
+      .withColumn("risk_score", WeightExprs.normalizeRiskScore(col("total_influence")))
+      .withColumn("color_code", WeightExprs.colorCode(col("risk_score")))
+      .drop("__d_total", "__d_n")
+  }
+
   /** S10 retention: drop partitions whose date is not in the keep set —
     * partition-directory removal, the table-format analog of the
     * reference's stale-Redis-key cleanup.

@@ -225,6 +225,30 @@ object CoreQueries {
         .orderBy("rn")
     }),
 
+    // W6 at scale: KEYSET pagination — the form that stays O(page) at any
+    // table size. Offset pagination (q14) must rank everything before the
+    // requested page; a keyset cursor (last seen (acctbal, custkey))
+    // turns "page after X" into an indexable predicate + top-N, which
+    // Spark plans as filter-pushdown + TakeOrderedAndProject: no global
+    // window, no rank, work independent of how deep the page is.
+    "q21_keyset_page" -> ((s, dir) => {
+      // cursor = last row of q14's page 2 boundary (deterministic values
+      // derived from the same ordering, shared with the oracle)
+      val cursor = Tables.customer(s, dir)
+        .select("c_custkey", "c_acctbal")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .limit(100).orderBy(col("c_acctbal").asc, col("c_custkey").desc).limit(1)
+        .head()
+      val (cBal, cKey) = (cursor.getAs[Double]("c_acctbal"),
+        cursor.getAs[Long]("c_custkey"))
+      Tables.customer(s, dir)
+        .where(col("c_acctbal") < cBal ||
+          (col("c_acctbal") === cBal && col("c_custkey") > cKey))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .limit(50)
+    }),
+
     // --- J4 (2-level hierarchy): breadcrumb concat ------------------------
     "q15_breadcrumb" -> ((s, dir) => {
       Tables.nation(s, dir)
@@ -447,6 +471,19 @@ object CoreQueries {
         |  FROM customer)
         |WHERE rn BETWEEN 101 AND 150
         |ORDER BY rn""".stripMargin,
+
+    "q21_keyset_page" ->
+      """WITH cur AS (
+        |  SELECT c_acctbal, c_custkey FROM customer
+        |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 100),
+        |last AS (
+        |  SELECT c_acctbal AS cb, c_custkey AS ck FROM cur
+        |  ORDER BY c_acctbal ASC, c_custkey DESC LIMIT 1)
+        |SELECT c_custkey, c_name, c_acctbal
+        |FROM customer, last
+        |WHERE c_acctbal < cb OR (c_acctbal = cb AND c_custkey > ck)
+        |ORDER BY c_acctbal DESC, c_custkey ASC
+        |LIMIT 50""".stripMargin,
 
     "q15_breadcrumb" ->
       """SELECT n_nationkey, r_name || ' > ' || n_name AS breadcrumb

@@ -89,4 +89,51 @@ class ScoringPipelineSpec extends SparkSpec {
     ScoringPipeline.mergeScores(spark, newRow, out)
     assert(spark.read.parquet(out).count() == 5)
   }
+
+  test("applyAccidentDelta == full recompute after new accidents arrive") {
+    val dir = "/root/testdata/sf0.001"
+    val routes = graft.queries.Derived.routes(spark, dir)
+    val acc = graft.queries.Derived.accidents(spark, dir)
+    val oldAcc = acc.where(col("accident_id") % 5 =!= 0)
+    val newAcc = acc.where(col("accident_id") % 5 === 0)
+    assert(newAcc.count() > 0 && oldAcc.count() > 0)
+    val planDate = graft.queries.Derived.planDate
+
+    val incr = ScoringPipeline.applyAccidentDelta(
+      graft.kernel.SafetyKernel.scoreRoutes(routes, oldAcc, planDate),
+      routes, newAcc, planDate)
+      .select("route_id", "total_influence", "n_contributing", "risk_score", "color_code")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val full = graft.kernel.SafetyKernel.scoreRoutes(routes, acc, planDate)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(incr.keySet == full.keySet)
+    full.foreach { case (id, f) =>
+      val i = incr(id)
+      // float sums differ only in association order → ulp-level tolerance
+      assert(math.abs(i.getAs[Double]("risk_score") - f.getAs[Double]("risk_score")) < 1e-9,
+        s"risk mismatch route $id")
+      assert(i.getAs[Long]("n_contributing") == f.getAs[Long]("n_contributing"))
+      assert(i.getAs[String]("color_code") == f.getAs[String]("color_code"))
+    }
+  }
+
+  test("pruned delta touches only routes near the new accident") {
+    import spark.implicits._
+    val routes = (1L to 500L).map { i =>
+      (i, 35.0 + (i % 100) * 0.2, -120.0 + (i / 100) * 0.5,
+        Some(1500.0), "trad", Some(7.0))
+    }.toDF("route_id", "lat", "lon", "elev", "route_type", "difficulty")
+    val newAcc = Seq((1L, 35.0, -120.0, Some(1500.0), "trad", "serious",
+      java.sql.Date.valueOf("2024-06-01"), Some(7.0)))
+      .toDF("accident_id", "a_lat", "a_lon", "a_elev", "acc_type", "severity_raw",
+        "a_date", "a_difficulty")
+    val delta = graft.kernel.KernelPruning.scoreRoutesPruned(
+      routes, newAcc, graft.queries.Derived.planDate)
+    // one localized accident must not influence the whole route table
+    // (far routes keep a zero-delta row — the scoring contract — but only
+    // in-radius routes carry actual influence)
+    val touched = delta.where(col("total_influence") > 0).count()
+    assert(touched > 0 && touched < 500, s"pruned delta touched $touched of 500")
+  }
 }
