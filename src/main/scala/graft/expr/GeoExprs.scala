@@ -48,4 +48,25 @@ object GeoExprs {
   /** Degrees-longitude half-width at a given latitude. */
   def bboxLonDelta(radiusKm: Column, lat: Column): Column =
     radiusKm / (lit(111.0) * cos(radians(lat)))
+
+  /** Morton (Z-order) key: quantize lat/lon to `bitsPerDim` bits each and
+    * bit-interleave (lon even bits, lat odd). The 100 TB layout use: sort
+    * or range-partition a geo table by this key ON WRITE and every file's
+    * parquet min/max stats become tight for BOTH coordinates — a plain
+    * lat/lon box predicate then skips the files whose stats exclude it
+    * (GeoLayoutSpec measures the effect: a small box reads a few files
+    * from a z-clustered table vs every file from a hash layout). No read-
+    * side change needed; filters stay ordinary range predicates.
+    */
+  def mortonKey(lat: Column, lon: Column, bitsPerDim: Int = 16): Column = {
+    require(bitsPerDim >= 1 && bitsPerDim <= 31, "bitsPerDim must be 1..31")
+    val scale = (1L << bitsPerDim) - 1
+    val latQ = floor((lat + 90.0) / 180.0 * scale).cast("long")
+    val lonQ = floor((lon + 180.0) / 360.0 * scale).cast("long")
+    (0 until bitsPerDim).map { i =>
+      val latBit = shiftright(latQ, i).bitwiseAND(lit(1L))
+      val lonBit = shiftright(lonQ, i).bitwiseAND(lit(1L))
+      shiftleft(latBit, 2 * i + 1).bitwiseOR(shiftleft(lonBit, 2 * i))
+    }.reduce(_ bitwiseOR _)
+  }
 }
