@@ -68,6 +68,57 @@ class WeatherSimExprSpec extends SparkSpec {
     assert(v == 0.0)
   }
 
+  test("property: native == staged on random patterns incl. degenerate series") {
+    // deterministic pseudo-random pattern pairs: varying lengths (5-7),
+    // constant series (zero-variance Pearson edge), equal series
+    // (corr exactly 1), negated series (corr -1), freeze-thaw straddles
+    val rnd = new scala.util.Random(20260812L)
+    def series(n: Int, constant: Boolean, base: Double): Seq[Double] =
+      if (constant) Seq.fill(n)(base)
+      else Seq.fill(n)(base + rnd.nextDouble() * 20 - 10)
+    val rows = (0 until 200).map { i =>
+      val n1 = 5 + i % 3
+      val n2 = 5 + (i / 3) % 3
+      def pat(n: Int): (Seq[Double], Seq[Double], Seq[Double], Seq[Double], Seq[Double],
+          Seq[(Double, Double, Double)]) = {
+        val const = i % 7 == 0
+        val t = series(n, const, 10)
+        val p = series(n, i % 11 == 0, 2)
+        val w = series(n, const, 8)
+        val v = series(n, false, 9000)
+        val c = series(n, false, 50)
+        val dt = t.map(x => (x - 5 - rnd.nextInt(3), x, x + 5 + rnd.nextInt(3)))
+        (t, p, w, v, c, dt)
+      }
+      val a = pat(n1)
+      val b = if (i % 13 == 0) a // identical patterns → similarity ≈ 1
+        else if (i % 17 == 0) // anti-correlated twin
+          (a._1.map(-_), a._2.map(-_), a._3.map(-_), a._4.map(-_), a._5.map(-_), a._6)
+        else pat(n2)
+      (i.toLong, a, b)
+    }
+    import spark.implicits._
+    val df = rows.toDF("i", "a", "b")
+    def toPattern(c: org.apache.spark.sql.Column) =
+      graft.weather.WeatherExprs.pattern(
+        c.getField("_1"), c.getField("_2"), c.getField("_3"),
+        c.getField("_4"), c.getField("_5"),
+        transform(c.getField("_6"), t => struct(
+          t.getField("_1").as("min"), t.getField("_2").as("avg"),
+          t.getField("_3").as("max"))))
+    val patterns = df.select(col("i"),
+      toPattern(col("a")).as("cur"), toPattern(col("b")).as("acc"))
+    val staged = WeatherExprs.withWeatherSimilarity(
+      patterns, col("cur"), col("acc"), "s")
+    val both = staged.withColumn("nat",
+      WeatherPatternSimilarity.similarity(col("cur"), col("acc")))
+    val diff = both.where(col("s") =!= col("nat"))
+    assert(diff.count() == 0,
+      diff.select("i", "s", "nat").head(3).mkString("; "))
+    // sanity: identical-pattern rows actually scored ≈ 1
+    assert(both.where(col("i") % 13 === 0 && col("s") < 0.999).count() == 0)
+  }
+
   test("mixed-length pair (7-day current vs 5-day accident) agrees exactly") {
     // 5 valid days: slice-to-min-n path and the decay-weight renormalization
     // both depend on n — staged and native must agree on the boundary.
