@@ -173,6 +173,35 @@ object StreamingOps {
       }
   }
 
+  /** Streaming accident ingest → INCREMENTAL score refresh: each arriving
+    * micro-batch of new accidents becomes a delta-kernel
+    * (ScoringPipeline.applyAccidentDelta — exact, because the kernel
+    * aggregate decomposes) applied onto the scores table in place via the
+    * row-grain merge. End-to-end: an accident lands, only in-radius route
+    * scores move, nothing is rebuilt — the update path the reference's
+    * nightly full recompute cannot express. The scores table at `outPath`
+    * must carry (route_id, prediction_date, total_influence,
+    * n_contributing, …) for the date being maintained.
+    */
+  def incrementalAccidentIngest(newAccidents: DataFrame, routes: DataFrame,
+                                predictionDate: String, outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newAccidents.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val dt = java.sql.Date.valueOf(predictionDate)
+          val current = spark.read.parquet(outPath)
+            .where(col("prediction_date") === dt)
+            // the merge below overwrites the partition this plan reads
+            .localCheckpoint()
+          val updated = graft.pipeline.ScoringPipeline.applyAccidentDelta(
+            current, routes, batch, to_date(lit(predictionDate)), pruned = true)
+          graft.pipeline.ScoringPipeline.mergeScores(spark, updated, outPath)
+        }
+      }
+
   /** §2.8 row 1 — the nightly recompute as an INCREMENTAL query: a stream
     * of `prediction_date` strings drives one kernel batch per arriving
     * date, landed via the idempotent partition-overwrite sink

@@ -7,6 +7,13 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
 
+/** Kernel-schema accident row (top-level: Spark encoders for inner case
+  * classes need an outer-scope pointer MemoryStream can't supply).
+  */
+case class IngestAcc(accident_id: Long, a_lat: Double, a_lon: Double,
+                     a_elev: Option[Double], acc_type: String, severity_raw: String,
+                     a_date: java.sql.Date, a_difficulty: Option[Double])
+
 class StreamingOpsSpec extends SparkSpec {
 
   import spark.implicits._
@@ -128,6 +135,50 @@ class StreamingOpsSpec extends SparkSpec {
         assert(s.temp_max.toList == dt.map(_.getAs[Double]("max")))
       }
     } finally q.stop()
+  }
+
+  test("streamed accident ingest: delta-merged scores == full recompute") {
+    import org.apache.spark.sql.functions._
+    val routes = Seq(
+      (1L, 40.0, -105.0, Some(2000.0), "alpine", Some(7.0)),
+      (2L, 40.3, -105.2, Some(2500.0), "sport", Some(9.0)),
+      (3L, 47.0, -115.0, Some(1500.0), "trad", Some(6.0))) // far from all accidents
+      .toDF("route_id", "lat", "lon", "elev", "route_type", "difficulty")
+    def acc(id: Long, lat: Double, lon: Double) = IngestAcc(id, lat, lon, Some(2100.0),
+      "alpine", "serious", java.sql.Date.valueOf("2024-06-01"), Some(7.5))
+    val a0 = acc(1, 40.1, -105.1)
+    val a1 = acc(2, 40.2, -105.05)
+    val a2 = acc(3, 40.25, -105.15)
+    val date = "2024-07-15"
+    val out = java.nio.file.Files.createTempDirectory("inc-ingest").toString
+
+    // seed the table with the initial accident set
+    graft.pipeline.ScoringPipeline.writeScores(
+      graft.pipeline.ScoringPipeline.computeDailyScores(
+        routes, Seq(a0).toDF(), Seq(date)), out)
+
+    // stream two micro-batches of NEW accidents through the delta path
+    val mem = MemoryStream[IngestAcc]
+    val q = StreamingOps.incrementalAccidentIngest(mem.toDF(), routes, date, out).start()
+    try {
+      mem.addData(a1); q.processAllAvailable()
+      mem.addData(a2); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select("route_id", "risk_score", "n_contributing", "color_code")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val full = graft.kernel.SafetyKernel.scoreRoutes(
+      routes, Seq(a0, a1, a2).toDF(), to_date(lit(date)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(streamed.keySet == full.keySet)
+    full.foreach { case (id, f) =>
+      val s = streamed(id)
+      assert(math.abs(s.getAs[Double]("risk_score") - f.getAs[Double]("risk_score")) < 1e-9,
+        s"route $id")
+      assert(s.getAs[Long]("n_contributing") == f.getAs[Long]("n_contributing"))
+      assert(s.getAs[String]("color_code") == f.getAs[String]("color_code"))
+    }
   }
 
   test("incrementalScoring: per-date micro-batches land idempotent partitions") {
