@@ -96,13 +96,13 @@ object Dedup {
       .withColumnRenamed("col", "bucket")
     val banded = maxBucketSize match {
       case Some(cap) =>
-        // bucket sizes are one cheap partial-agg pass; the anti-filter
-        // drops over-full buckets before any pair is generated
-        val ok = banded0.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("__bsz"))
+        // window count over the SAME (band, bucket) exchange the self-join
+        // needs anyway — one pass over the banding subtree (a groupBy +
+        // join back would evaluate the explode/hash pipeline twice)
+        val w = Window.partitionBy("band", "bucket")
+        banded0.withColumn("__bsz", count(lit(1)).over(w))
           .where(col("__bsz") <= cap)
-          .select("band", "bucket")
-        banded0.join(ok, Seq("band", "bucket"))
+          .drop("__bsz")
       case None => banded0
     }
     val a = banded.select(col("band"), col("bucket"),
@@ -138,7 +138,7 @@ object Dedup {
       .withColumn("label", col("node")).localCheckpoint()
     var converged = edges.isEmpty
     var it = 0
-    while (!converged && it < maxIters) {
+    while (!converged && it <= maxIters) {
       val neigh = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min("label").as("nmin"))
       val updated = labels.join(neigh, labels("node") === neigh("src"), "left")
@@ -149,6 +149,11 @@ object Dedup {
       labels = updated.select(col("node"), col("next").as("label"))
       it += 1
     }
+    // a silently-truncated propagation would report one real cluster as
+    // several — refuse rather than return wrong components
+    require(converged,
+      s"connectedComponents did not converge within $maxIters rounds — " +
+        "a component's diameter exceeds the cap; raise maxIters")
     labels.select(col("node"), col("label").as("component"))
   }
 

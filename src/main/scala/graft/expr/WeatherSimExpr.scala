@@ -50,26 +50,42 @@ case class WeatherPatternSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "weather_pattern_similarity"
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // compute() reads primitives positionally, so the SHAPE must be fully
+    // validated here — a lenient check would turn SQL-surface misuse
+    // (int arrays, misnamed temp bounds) into silently-wrong similarities
     def ok(t: DataType): Boolean = t match {
       case st: StructType =>
         val names = st.fieldNames.toSet
-        Factors.forall(f => names.contains(f) &&
-          st(f).dataType.isInstanceOf[ArrayType]) &&
-          names.contains("daily_temps")
+        val factorsOk = Factors.forall(f => names.contains(f) &&
+          (st(f).dataType match {
+            case ArrayType(DoubleType, _) => true
+            case _ => false
+          }))
+        val dtOk = names.contains("daily_temps") && (st("daily_temps").dataType match {
+          case ArrayType(et: StructType, _) =>
+            Seq("min", "max").forall(b => et.fieldNames.contains(b) &&
+              et(b).dataType == DoubleType)
+          case _ => false
+        })
+        factorsOk && dtOk
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two pattern structs " +
-        s"(${Factors.mkString(", ")}, daily_temps), " +
+      s"$prettyName requires two pattern structs with array<double> factors " +
+        s"(${Factors.mkString(", ")}) and daily_temps: " +
+        "array<struct<min: double, …, max: double>>, " +
         s"got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
   }
 
   @transient private lazy val curOrd = ordinals(left.dataType)
   @transient private lazy val accOrd = ordinals(right.dataType)
+  @transient private lazy val curDt = dtOrdinals(left.dataType)
+  @transient private lazy val accDt = dtOrdinals(right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    compute(a.asInstanceOf[InternalRow], curOrd, b.asInstanceOf[InternalRow], accOrd)
+    compute(a.asInstanceOf[InternalRow], curOrd, curDt,
+      b.asInstanceOf[InternalRow], accOrd, accDt)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WeatherPatternSimilarity =
@@ -89,13 +105,22 @@ object WeatherPatternSimilarity {
     (Factors :+ "daily_temps").map(st.fieldIndex).toArray
   }
 
+  /** (min ordinal, max ordinal, field count) of the daily_temps element
+    * struct — resolved by NAME so a caller's field order never matters.
+    */
+  private[expr] def dtOrdinals(t: DataType): (Int, Int, Int) = {
+    val et = t.asInstanceOf[StructType]("daily_temps").dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    (et.fieldIndex("min"), et.fieldIndex("max"), et.length)
+  }
+
   private val MinDays = 5      // WeatherExprs.MinWeatherDaysRequired
   private val Decay = 0.85     // StatsExprs.WithinWindowDecay
   private val FactorWeight = 1.0 / 6
 
   // scalastyle:off method.length
-  private def compute(cur: InternalRow, co: Array[Int],
-                      acc: InternalRow, ao: Array[Int]): Any = {
+  private def compute(cur: InternalRow, co: Array[Int], cdt: (Int, Int, Int),
+                      acc: InternalRow, ao: Array[Int], adt: (Int, Int, Int)): Any = {
     val curTemp = if (cur.isNullAt(co(0))) null else cur.getArray(co(0))
     val accTemp = if (acc.isNullAt(ao(0))) null else acc.getArray(ao(0))
     if (curTemp == null || accTemp == null) return null
@@ -161,24 +186,25 @@ object WeatherPatternSimilarity {
 
     // freeze-thaw count: days whose (min, max) straddle 0 °C; null struct /
     // null bound rows are excluded, matching the staged `filter` predicate
-    def freezeThaw(row: InternalRow, ord: Int): Int = {
+    def freezeThaw(row: InternalRow, ord: Int, dtOrd: (Int, Int, Int)): Int = {
       if (row.isNullAt(ord)) return -1 // null count (struct-null daily_temps)
+      val (mnI, mxI, nFields) = dtOrd
       val dt = row.getArray(ord)
       var c = 0
       var j = 0
       while (j < dt.numElements()) {
         if (!dt.isNullAt(j)) {
-          val s = dt.getStruct(j, 3)
-          if (!s.isNullAt(0) && !s.isNullAt(2) &&
-            s.getDouble(0) < 0.0 && s.getDouble(2) > 0.0) c += 1
+          val s = dt.getStruct(j, nFields)
+          if (!s.isNullAt(mnI) && !s.isNullAt(mxI) &&
+            s.getDouble(mnI) < 0.0 && s.getDouble(mxI) > 0.0) c += 1
         }
         j += 1
       }
       c
     }
 
-    val fa = freezeThaw(cur, co(5))
-    val fb = freezeThaw(acc, ao(5))
+    val fa = freezeThaw(cur, co(5), cdt)
+    val fb = freezeThaw(acc, ao(5), adt)
     // staged: null ft on either side null-poisons through to greatest(0.0, …) = 0.0
     val ftSim =
       if (fa < 0 || fb < 0) 0.0

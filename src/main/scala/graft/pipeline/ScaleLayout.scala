@@ -44,18 +44,23 @@ object ScaleLayout {
                    key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
-  /** Two-phase salted aggregation: `aggs` must be decomposable
+  /** Two-phase salted aggregation: the aggregates must be decomposable
     * (sum/count/min/max — anything where partial-of-partial = total).
-    * Phase 1 groups by (key, salt) where salt = a deterministic spread of
-    * each ROW (hash of all columns, not a random — reruns give identical
-    * plans and results); phase 2 merges the ≤`factor` partials per key.
-    * The hot key's rows now hash across `factor` reducers in phase 1, and
-    * phase 2 only ever sees `factor` rows per key.
+    * Phase 1 groups by (key, salt); phase 2 merges the ≤`factor` partials
+    * per key. The hot key's rows now spread across `factor` reducers in
+    * phase 1, and phase 2 only ever sees `factor` rows per key.
+    *
+    * The salt is positional (`monotonically_increasing_id % factor`), NOT
+    * a content hash: the worst skew is millions of byte-identical rows on
+    * the hot key (default-filled upstream records), and a content hash
+    * would assign them all the SAME salt, re-serializing the stage. Salt
+    * placement never affects the merged totals, so the positional salt's
+    * dependence on partitioning is invisible in the results.
     */
   def saltedSumAggregate(df: DataFrame, key: String, valueCol: String,
                          factor: Int): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(factor)))
+      pmod(monotonically_increasing_id(), lit(factor)))
     salted
       .groupBy(col(key), col("__salt"))
       .agg(sum(valueCol).as("__partial_sum"), count(lit(1)).as("__partial_n"))

@@ -108,22 +108,38 @@ object ScoringPipeline {
   def applyAccidentDelta(oldScores: DataFrame, routes: DataFrame,
                          newAccidents: DataFrame,
                          planDate: org.apache.spark.sql.Column,
-                         pruned: Boolean = false): DataFrame = {
-    import graft.expr.WeightExprs
+                         pruned: Boolean = false): DataFrame =
+    applyDeltaTotals(oldScores,
+      accidentDeltaTotals(routes, newAccidents, planDate, pruned))
+
+  /** The per-route delta a set of new accidents contributes:
+    * (route_id, d_total, d_n). With `pruned`, only in-radius routes carry
+    * nonzero rows.
+    */
+  def accidentDeltaTotals(routes: DataFrame, newAccidents: DataFrame,
+                          planDate: org.apache.spark.sql.Column,
+                          pruned: Boolean = false): DataFrame = {
     val deltaScores =
       if (pruned) graft.kernel.KernelPruning.scoreRoutesPruned(routes, newAccidents, planDate)
       else SafetyKernel.scoreRoutes(routes, newAccidents, planDate)
-    val delta = deltaScores.select(col("route_id"),
-      col("total_influence").as("__d_total"), col("n_contributing").as("__d_n"))
+    deltaScores.select(col("route_id"),
+      col("total_influence").as("d_total"), col("n_contributing").as("d_n"))
+  }
+
+  /** Fold (route_id, d_total, d_n) deltas onto stored scores and re-derive
+    * risk/color from the new totals.
+    */
+  def applyDeltaTotals(oldScores: DataFrame, delta: DataFrame): DataFrame = {
+    import graft.expr.WeightExprs
     oldScores
       .join(delta, Seq("route_id"), "left")
       .withColumn("total_influence",
-        col("total_influence") + coalesce(col("__d_total"), lit(0.0)))
+        col("total_influence") + coalesce(col("d_total"), lit(0.0)))
       .withColumn("n_contributing",
-        col("n_contributing") + coalesce(col("__d_n"), lit(0L)))
+        col("n_contributing") + coalesce(col("d_n"), lit(0L)))
       .withColumn("risk_score", WeightExprs.normalizeRiskScore(col("total_influence")))
       .withColumn("color_code", WeightExprs.colorCode(col("risk_score")))
-      .drop("__d_total", "__d_n")
+      .drop("d_total", "d_n")
   }
 
   /** S10 retention: drop partitions whose date is not in the keep set —

@@ -44,6 +44,7 @@ object Similarity {
     val q = broadcast(withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_n"))
     val c = withNorm(graft.Partitioning.balanced(corpus), idCol, vecCol,
       "neighbor_id", "c_vec", "c_n")
+      .where(col("c_n") > 0) // NaN cosine would out-rank every real neighbor
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     q.crossJoin(c)
@@ -84,6 +85,7 @@ object Similarity {
                       maxBucketSize: Option[Int] = None): DataFrame = {
     require(bits <= 16, "multi-probe signature is meant to be short")
     val b0 = withNorm(df, idCol, vecCol, "id_b", "v_b", "n_b")
+      .where(col("n_b") > 0) // zero-norm: cosine NaN passes >= threshold in Spark
       .withColumn("bucket", hyperplaneSignature(col("v_b"), dim, bits))
     // 100 TB skew guard (same rationale as Dedup.lshCandidatePairs): a
     // degenerate bucket — duplicated embeddings, all-zero vectors — would
@@ -91,12 +93,15 @@ object Similarity {
     // dropped wholesale (their members are exact-dup territory)
     val b = maxBucketSize match {
       case Some(cap) =>
-        val ok = b0.groupBy("bucket").agg(count(lit(1)).as("__bsz"))
-          .where(col("__bsz") <= cap).select("bucket")
-        b0.join(ok, Seq("bucket"))
+        // window count reuses the bucket exchange — no second evaluation
+        // of the bits× hyperplane-signature dot products
+        val w = Window.partitionBy("bucket")
+        b0.withColumn("__bsz", count(lit(1)).over(w))
+          .where(col("__bsz") <= cap).drop("__bsz")
       case None => b0
     }
     val a = withNorm(graft.Partitioning.balanced(df), idCol, vecCol, "id_a", "v_a", "n_a")
+      .where(col("n_a") > 0)
       .withColumn("sig", hyperplaneSignature(col("v_a"), dim, bits))
       .select(col("id_a"), col("v_a"), col("n_a"),
         explode(concat(array(col("sig")),
@@ -169,6 +174,10 @@ object Similarity {
     val wAssign = Window.partitionBy("neighbor_id").orderBy(col("sim").desc, col("cell").asc)
     val assigned = withNorm(graft.Partitioning.balanced(corpus), idCol, vecCol,
       "neighbor_id", "c_vec0", "c_n")
+      // a zero-norm vector's cosine is NaN, which Spark orders LARGEST —
+      // without this filter it would displace a true neighbor at rank 1
+      // of every query probing its cell
+      .where(col("c_n") > 0)
       .crossJoin(cdf)
       .withColumn("sim", VectorExprs.dot(col("c_vec0"), col("c_vec")) / col("c_n"))
       .withColumn("rk", row_number().over(wAssign)).where(col("rk") === 1)
@@ -202,6 +211,7 @@ object Similarity {
               idCol: String, vecCol: String, dim: Int, bits: Int, k: Int): DataFrame = {
     require(bits <= 16, "multi-probe signature is meant to be short")
     val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "c_vec", "c_n")
+      .where(col("c_n") > 0) // NaN cosine would out-rank every real neighbor
       .withColumn("bucket", hyperplaneSignature(col("c_vec"), dim, bits))
     // queries fan out to their own bucket + every 1-bit flip (multi-probe)
     val q = withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_n")

@@ -173,34 +173,61 @@ object StreamingOps {
       }
   }
 
-  /** Streaming accident ingest → INCREMENTAL score refresh: each arriving
-    * micro-batch of new accidents becomes a delta-kernel
-    * (ScoringPipeline.applyAccidentDelta — exact, because the kernel
-    * aggregate decomposes) applied onto the scores table in place via the
-    * row-grain merge. End-to-end: an accident lands, only in-radius route
-    * scores move, nothing is rebuilt — the update path the reference's
-    * nightly full recompute cannot express. The scores table at `outPath`
-    * must carry (route_id, prediction_date, total_influence,
-    * n_contributing, …) for the date being maintained.
+  /** Streaming accident ingest → INCREMENTAL score refresh, with an
+    * EXACTLY-ONCE effect under foreachBatch's at-least-once replay: a
+    * delta added in place would double-count whenever Spark re-runs a
+    * micro-batch after a crash between the write and the offset commit,
+    * so each batch instead lands its per-route influence delta
+    * (ScoringPipeline.accidentDeltaTotals — exact, the kernel aggregate
+    * decomposes) in a DELTA LOG partitioned by `ingest_batch = batchId`
+    * with dynamic partition overwrite: a replayed batch overwrites ITS OWN
+    * partition instead of adding twice. [[scoresWithDeltas]] serves
+    * base + Σ deltas; folding the log into the base table periodically is
+    * ordinary compaction (apply scoresWithDeltas, rewrite base, clear log).
+    * End-to-end: an accident lands, only in-radius route deltas are
+    * written, nothing is rebuilt.
     */
   def incrementalAccidentIngest(newAccidents: DataFrame, routes: DataFrame,
-                                predictionDate: String, outPath: String)
+                                predictionDate: String, deltaPath: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     newAccidents.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val dt = java.sql.Date.valueOf(predictionDate)
-          val current = spark.read.parquet(outPath)
-            .where(col("prediction_date") === dt)
-            // the merge below overwrites the partition this plan reads
-            .localCheckpoint()
-          val updated = graft.pipeline.ScoringPipeline.applyAccidentDelta(
-            current, routes, batch, to_date(lit(predictionDate)), pruned = true)
-          graft.pipeline.ScoringPipeline.mergeScores(spark, updated, outPath)
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) ingestAccidentBatch(batch, routes, predictionDate,
+          deltaPath, batchId)
       }
+
+  /** One micro-batch of the ingest — idempotent in `batchId` (replay
+    * overwrites the same partition). Exposed for direct testing of the
+    * replay contract.
+    */
+  def ingestAccidentBatch(batch: DataFrame, routes: DataFrame,
+                          predictionDate: String, deltaPath: String,
+                          batchId: Long): Unit =
+    graft.pipeline.ScoringPipeline.accidentDeltaTotals(
+      routes, batch, to_date(lit(predictionDate)), pruned = true)
+      .where(col("d_total") > 0 || col("d_n") > 0) // only touched routes
+      .withColumn("prediction_date", to_date(lit(predictionDate)))
+      .withColumn("ingest_batch", lit(batchId))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(deltaPath)
+
+  /** Serving view: stored base scores + every logged delta, risk/color
+    * re-derived from the merged totals.
+    */
+  def scoresWithDeltas(spark: org.apache.spark.sql.SparkSession,
+                       baseScores: DataFrame, deltaPath: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(deltaPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(deltaPath))) return baseScores
+    val deltas = spark.read.parquet(deltaPath)
+      .groupBy("route_id")
+      .agg(sum("d_total").as("d_total"), sum("d_n").as("d_n"))
+    graft.pipeline.ScoringPipeline.applyDeltaTotals(baseScores, deltas)
+  }
 
   /** §2.8 row 1 — the nightly recompute as an INCREMENTAL query: a stream
     * of `prediction_date` strings drives one kernel batch per arriving

@@ -59,10 +59,11 @@ class ScaleLayoutSpec extends SparkSpec {
   }
 
   test("salted aggregation: skewed key spreads, totals match plain groupBy") {
-    // 90% of rows on one hot key — the shape that serializes a plain agg
+    // 90% of rows on one hot key AND byte-identical (the worst case: a
+    // content-hash salt would give them all the same salt) — the shape
+    // that serializes a plain agg
     val rows = (1L to 10000L).map { i =>
-      val key = if (i % 10 != 0) "hot" else s"cold_${i % 37}"
-      (key, (i % 1000).toDouble)
+      if (i % 10 != 0) ("hot", 7.0) else (s"cold_${i % 37}", (i % 1000).toDouble)
     }.toDF("key", "value")
     val salted = ScaleLayout.saltedSumAggregate(rows, "key", "value", factor = 16)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
@@ -74,9 +75,10 @@ class ScaleLayoutSpec extends SparkSpec {
       assert(salted(k)._2 == n, s"count mismatch for $k")
       assert(math.abs(salted(k)._1 - s) < 1e-6, s"sum mismatch for $k")
     }
-    // the salt actually spreads the hot key (not all rows in one group)
+    // the positional salt spreads even identical hot rows (a content hash
+    // would collapse them into ONE phase-1 group)
     val phase1Groups = rows.withColumn("__salt",
-      pmod(xxhash64(struct(rows.columns.map(col): _*)), lit(16)))
+      pmod(monotonically_increasing_id(), lit(16)))
       .where(col("key") === "hot")
       .select("__salt").distinct().count()
     assert(phase1Groups > 8, s"salt spread only $phase1Groups groups")

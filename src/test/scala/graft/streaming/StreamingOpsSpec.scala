@@ -150,35 +150,48 @@ class StreamingOpsSpec extends SparkSpec {
     val a1 = acc(2, 40.2, -105.05)
     val a2 = acc(3, 40.25, -105.15)
     val date = "2024-07-15"
-    val out = java.nio.file.Files.createTempDirectory("inc-ingest").toString
+    val base = java.nio.file.Files.createTempDirectory("inc-base").toString
+    val deltas = java.nio.file.Files.createTempDirectory("inc-deltas").toString + "/log"
 
-    // seed the table with the initial accident set
+    // seed the base table with the initial accident set
     graft.pipeline.ScoringPipeline.writeScores(
       graft.pipeline.ScoringPipeline.computeDailyScores(
-        routes, Seq(a0).toDF(), Seq(date)), out)
+        routes, Seq(a0).toDF(), Seq(date)), base)
 
-    // stream two micro-batches of NEW accidents through the delta path
+    // stream two micro-batches of NEW accidents into the delta log
     val mem = MemoryStream[IngestAcc]
-    val q = StreamingOps.incrementalAccidentIngest(mem.toDF(), routes, date, out).start()
+    val q = StreamingOps.incrementalAccidentIngest(mem.toDF(), routes, date, deltas).start()
     try {
       mem.addData(a1); q.processAllAvailable()
       mem.addData(a2); q.processAllAvailable()
     } finally q.stop()
 
-    val streamed = spark.read.parquet(out)
+    def served = StreamingOps.scoresWithDeltas(
+      spark, spark.read.parquet(base), deltas)
       .select("route_id", "risk_score", "n_contributing", "color_code")
       .collect().map(r => r.getLong(0) -> r).toMap
     val full = graft.kernel.SafetyKernel.scoreRoutes(
       routes, Seq(a0, a1, a2).toDF(), to_date(lit(date)))
       .collect().map(r => r.getLong(0) -> r).toMap
-    assert(streamed.keySet == full.keySet)
-    full.foreach { case (id, f) =>
-      val s = streamed(id)
-      assert(math.abs(s.getAs[Double]("risk_score") - f.getAs[Double]("risk_score")) < 1e-9,
-        s"route $id")
-      assert(s.getAs[Long]("n_contributing") == f.getAs[Long]("n_contributing"))
-      assert(s.getAs[String]("color_code") == f.getAs[String]("color_code"))
+
+    def assertMatchesFull(): Unit = {
+      val s0 = served
+      assert(s0.keySet == full.keySet)
+      full.foreach { case (id, f) =>
+        val s = s0(id)
+        assert(math.abs(s.getAs[Double]("risk_score") - f.getAs[Double]("risk_score")) < 1e-9,
+          s"route $id")
+        assert(s.getAs[Long]("n_contributing") == f.getAs[Long]("n_contributing"))
+        assert(s.getAs[String]("color_code") == f.getAs[String]("color_code"))
+      }
     }
+    assertMatchesFull()
+
+    // REPLAY contract: foreachBatch is at-least-once — re-running a batch
+    // with the same batchId must overwrite its own partition, not add
+    // twice (batch ids from MemoryStream start at 0)
+    StreamingOps.ingestAccidentBatch(Seq(a2).toDF(), routes, date, deltas, batchId = 1L)
+    assertMatchesFull()
   }
 
   test("incrementalScoring: per-date micro-batches land idempotent partitions") {
