@@ -296,6 +296,24 @@ object CoreQueries {
         .orderBy("day")
     }),
 
+    // --- A12-class at depth: ROLLUP — every aggregation level in ONE pass -
+    // (detail, per-flag subtotal, grand total); Spark expands the grouping
+    // sets map-side so the multi-level report costs one shuffle, not three
+    // queries over the fact table.
+    "q22_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum("l_quantity").as("sum_qty"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L)
+            .as("sum_disc_price"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("sum_disc_price"), col("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // --- JSON extraction over the events props column ---------------------
     // `from_json` with a 1-field schema parses each props string ONCE into
     // a struct (get_json_object re-ran a full JSON path query per row —
@@ -471,6 +489,16 @@ object CoreQueries {
         |  FROM customer)
         |WHERE rn BETWEEN 101 AND 150
         |ORDER BY rn""".stripMargin,
+
+    "q22_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+         |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+         |       sum(l_quantity) AS sum_qty,
+         |       ${moneySumSql("l_extendedprice * (1.0 - l_discount)", 10000L)} AS sum_disc_price,
+         |       count(*) AS n_rows
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q21_keyset_page" ->
       """WITH cur AS (

@@ -229,6 +229,24 @@ object StreamingOps {
     graft.pipeline.ScoringPipeline.applyDeltaTotals(baseScores, deltas)
   }
 
+  /** Compaction: fold the delta log into the base table (merged view →
+    * rewritten date partition via the row-grain merge) and clear the log.
+    * After compaction [[scoresWithDeltas]] over the empty log equals the
+    * base — the serving view is invariant across compactions. Run it when
+    * the log grows past a few batches; the rewrite touches only the
+    * maintained date partition.
+    */
+  def compactDeltas(spark: org.apache.spark.sql.SparkSession,
+                    basePath: String, deltaPath: String): Unit = {
+    val deltaP = new org.apache.hadoop.fs.Path(deltaPath)
+    val fs = deltaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(deltaP)) return
+    val merged = scoresWithDeltas(spark, spark.read.parquet(basePath), deltaPath)
+      .localCheckpoint() // the merge overwrites partitions this plan reads
+    graft.pipeline.ScoringPipeline.mergeScores(spark, merged, basePath)
+    fs.delete(deltaP, true)
+  }
+
   /** §2.8 row 1 — the nightly recompute as an INCREMENTAL query: a stream
     * of `prediction_date` strings drives one kernel batch per arriving
     * date, landed via the idempotent partition-overwrite sink

@@ -192,6 +192,12 @@ class StreamingOpsSpec extends SparkSpec {
     // twice (batch ids from MemoryStream start at 0)
     StreamingOps.ingestAccidentBatch(Seq(a2).toDF(), routes, date, deltas, batchId = 1L)
     assertMatchesFull()
+
+    // COMPACTION: folding the log into the base leaves the serving view
+    // invariant, and the log is gone
+    StreamingOps.compactDeltas(spark, base, deltas)
+    assertMatchesFull() // scoresWithDeltas over the now-empty log == base
+    assert(!new java.io.File(deltas).exists())
   }
 
   test("incrementalScoring: per-date micro-batches land idempotent partitions") {
