@@ -331,6 +331,45 @@ object CoreQueries {
         .orderBy("event_type")
     }),
 
+    // --- exact interpolated percentiles per group --------------------------
+    // `percentile` (linear interpolation — same formula as DuckDB's
+    // quantile_cont) is exact but buffers each group's values: fine for a
+    // bounded group count × bounded group size. The 100 TB path is
+    // approx_percentile (t-digest sketch, map-side mergeable, bounded
+    // memory) — spec-checked against this exact form within rank tolerance.
+    "q23_percentiles" -> ((s, dir) => {
+      def pct(p: Double) = round(expr(s"percentile(value, $p)"), 6)
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          pct(0.25).as("p25"),
+          pct(0.5).as("p50"),
+          pct(0.75).as("p75"),
+          pct(0.95).as("p95"))
+        .orderBy("event_type")
+    }),
+
+    // --- pivot: long→wide event-type matrix --------------------------------
+    // Explicit pivot value list ⇒ single-pass map-side conditional
+    // aggregation (no extra distinct-values job, fixed output schema — the
+    // form that scales; an implicit pivot would first collect the distinct
+    // event types to the driver).
+    "q24_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy((col("user_id") % 10).as("user_bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(
+          col("user_bucket"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("error"), lit(0L)).as("n_error"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("view"), lit(0L)).as("n_view"))
+        .orderBy("user_bucket")
+    }),
+
     // --- tumbling 1-hour windows (batch twin of the streaming window) -----
     "q18_hourly_windows" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -558,6 +597,29 @@ object CoreQueries {
         |FROM e
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // quantile_cont uses the same lower+(higher-lower)*frac interpolation as
+    // Spark's percentile; rounding to 6 absorbs any last-ulp libm drift
+    "q23_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(quantile_cont(value, 0.25), 6) AS p25,
+        |       round(quantile_cont(value, 0.50), 6) AS p50,
+        |       round(quantile_cont(value, 0.75), 6) AS p75,
+        |       round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q24_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+        |       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+        |       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+        |       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+        |       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     "q18_hourly_windows" ->
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,

@@ -26,6 +26,14 @@ object PipelineQueries {
 
   private val Stopwords = Seq("the", "a", "of", "and")
 
+  /** Per-language md5-gate thresholds for d13's reproducible training-mix
+    * sample: 4 hex digits ⇒ admitted fraction = parse(gate)/65536
+    * (en downsampled hard, the rest kept near-whole — the usual
+    * rebalance-against-English shape).
+    */
+  private val SampleGates: Seq[(String, String)] = Seq(
+    "de" -> "e000", "en" -> "4000", "es" -> "e000", "fr" -> "e000", "zh" -> "c000")
+
   /** Exact token-set Jaccard for every (id_a < id_b) pair of the doc_id<40
     * subset — shared by d04 (pair dump) and d10 (clustering input).
     */
@@ -228,9 +236,164 @@ object PipelineQueries {
           TextExprs.langIdGuess(col("text"), LangMarkers.toMap).as("lang_guess"),
           TextExprs.qualityScore(col("text"), Stopwords).as("quality"))
         .orderBy("doc_id")
+    }),
+
+    // --- BPE-ish pre-tokenizer counts (token-budget estimation) -----------
+    // Letter runs / digit runs / single marks via one regexp scan — the
+    // standard cheap proxy for BPE token counts when sizing a training mix.
+    // Pure map-side projection: at 100 TB this runs at scan throughput.
+    "d11_bpe_tokens" -> ((s, dir) => {
+      val pieces = TextExprs.bpePieces(col("text"))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(pieces).cast("long").as("n_pieces"),
+          size(array_distinct(pieces)).cast("long").as("n_distinct_pieces"),
+          size(filter(pieces, p => p.rlike("^[A-Za-z]"))).cast("long").as("n_word_pieces"),
+          size(filter(pieces, p => p.rlike("^[0-9]"))).cast("long").as("n_digit_pieces"))
+        .orderBy("doc_id")
+    }),
+
+    // --- stratified reproducible sampling (training-mix construction) -----
+    // Keep a per-language fraction of the corpus, chosen by an md5 gate on
+    // the document id: `substr(md5(id), 1, 4) < threshold` admits a
+    // uniform-pseudo-random, SEED-STABLE subset (re-runs, engines, and
+    // cluster sizes all agree — unlike Bernoulli `sample()`, whose RNG is
+    // partition-dependent). Pure map-side filter at scan throughput; the
+    // hex-string compare is monotone in the hash value, so the admitted
+    // fraction is threshold/16^4 exactly in expectation.
+    "d13_stratified_sample" -> ((s, dir) => {
+      val gates = SampleGates.map { case (lang, hexGate) =>
+        (col("lang") === lang) && (substring(md5(col("doc_id").cast("string")), 1, 4) < hexGate)
+      }.reduce(_ || _)
+      Tables.documents(s, dir)
+        .where(gates)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum("n_chars").as("sampled_chars"),
+          min("doc_id").as("first_doc"))
+        .orderBy("lang")
+    }),
+
+    // --- within-document repetition ratio (Gopher-style quality signal) ---
+    // 1 − distinct/total word trigrams: near-1 means the doc is mostly
+    // repeated boilerplate (arXiv:2112.11446 §A1.1 repetition filters).
+    // Map-side HOF arithmetic — no explode, no shuffle.
+    "d14_repetition" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val n = size(toks)
+      val tris = transform(sequence(lit(1), greatest(n - 2, lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(3))))
+      Tables.documents(s, dir)
+        .where(n >= 3)
+        .select(
+          col("doc_id"),
+          (n - 2).cast("long").as("n_trigrams"),
+          size(array_distinct(tris)).cast("long").as("n_distinct_trigrams"),
+          // unrounded: an IEEE ratio of exact ints is bit-identical in any
+          // engine, while round() can disagree on exact halves
+          (lit(1.0) - size(array_distinct(tris)).cast("double") /
+            (n - 2).cast("double")).as("repetition_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // --- TF-IDF top terms per document -------------------------------------
+    // tf from an explode+groupBy (map-side partial agg), document frequency
+    // from a second agg over the tf table (already one row per (doc, term) —
+    // no re-scan of the corpus), idf joined back ON TERM (a key-partitioned
+    // shuffle join: vocabulary can be huge at 100 TB, so the df side is NOT
+    // broadcast), rank-before-collect top-3. Ties rank deterministically on
+    // (rounded score desc, term asc) in both engines.
+    "d12_tfidf_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.select(count(lit(1)).as("n_docs"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term").asc)
+      tf.join(df, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          round(col("tf").cast("double") *
+            log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+        .orderBy("doc_id", "rank")
     }))
 
   val oracles: Map[String, String] = Map(
+    // same RE2-safe pattern string on both sides (TextExprs.BpePattern)
+    "d11_bpe_tokens" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         regexp_extract_all(text, '${TextExprs.BpePattern}') AS pieces
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(pieces) AS BIGINT) AS n_pieces,
+         |       CAST(len(list_distinct(pieces)) AS BIGINT) AS n_distinct_pieces,
+         |       CAST(len(list_filter(pieces, x -> regexp_matches(x, '^[A-Za-z]'))) AS BIGINT)
+         |         AS n_word_pieces,
+         |       CAST(len(list_filter(pieces, x -> regexp_matches(x, '^[0-9]'))) AS BIGINT)
+         |         AS n_digit_pieces
+         |FROM p
+         |ORDER BY doc_id""".stripMargin,
+
+    // same md5-hex gate per language (md5 hex is engine-identical)
+    "d13_stratified_sample" -> {
+      val gates = SampleGates.map { case (lang, hexGate) =>
+        s"(lang = '$lang' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '$hexGate')"
+      }.mkString("\n   OR ")
+      s"""SELECT lang, count(*) AS n_sampled,
+         |       CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+         |       min(doc_id) AS first_doc
+         |FROM documents
+         |WHERE $gates
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin
+    },
+
+    "d14_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, n,
+        |         list_transform(generate_series(1, greatest(n - 2, 1)),
+        |                        i -> array_to_string(toks[i:i+2], ' ')) AS tris
+        |  FROM t WHERE n >= 3)
+        |SELECT doc_id,
+        |       CAST(n - 2 AS BIGINT) AS n_trigrams,
+        |       CAST(len(list_distinct(tris)) AS BIGINT) AS n_distinct_trigrams,
+        |       1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / CAST(n - 2 AS DOUBLE)
+        |         AS repetition_ratio
+        |FROM tri
+        |ORDER BY doc_id""".stripMargin,
+
+    "d12_tfidf_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |         round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+        |           AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |                                 ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tfidf
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
     "d08_lang_quality" -> {
       val langs = LangMarkers.map(_._1) // lex-sorted; index = tie-break rank
       val byLang = LangMarkers.toMap

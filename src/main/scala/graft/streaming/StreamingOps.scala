@@ -173,6 +173,33 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream INTERVAL join — the J3 accident⋈weather window join with
+    * BOTH sides unbounded (a live accident feed joining a live observation
+    * feed). Spark keeps each side in join state only as long as the other
+    * side's watermark plus the time-range condition can still produce a
+    * match: the range bound `rightTs ∈ [leftTs - lookback, leftTs]` is what
+    * lets the engine compute that eviction horizon, so state stays BOUNDED
+    * under unbounded ingest — without the range condition this join would
+    * buffer both streams forever. Equality keys (e.g. the 0.01° grid
+    * bucket, J8) shuffle both streams to the same state-store partition,
+    * so matching is local. Inner join ⇒ rows emit as soon as both sides
+    * have arrived; no watermark wait for output (only for state cleanup).
+    * Right-side key columns are dropped after the join (they equal the
+    * left's). Works on batch frames unchanged (unified API) — the spec
+    * asserts streamed output == the batch join of the same rows.
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+                         leftTs: String, rightTs: String, keys: Seq[String],
+                         lookback: String,
+                         leftWatermark: String, rightWatermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, leftWatermark)
+    val r = right.withWatermark(rightTs, rightWatermark)
+    val keyCond = keys.map(k => l(k) === r(k)).reduceOption(_ && _).getOrElse(lit(true))
+    val range = r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lookback") &&
+      r(rightTs) <= l(leftTs)
+    keys.foldLeft(l.join(r, keyCond && range, "inner"))((d, k) => d.drop(r(k)))
+  }
+
   /** Streaming accident ingest → INCREMENTAL score refresh, with an
     * EXACTLY-ONCE effect under foreachBatch's at-least-once replay: a
     * delta added in place would double-count whenever Spark re-runs a

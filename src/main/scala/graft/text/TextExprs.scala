@@ -17,6 +17,25 @@ object TextExprs {
   def tokenCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
 
+  /** BPE-style pre-tokenizer pattern (simplified GPT-2 shape): letter runs,
+    * digit runs, and single non-alphanumeric marks each become one piece.
+    * Kept RE2-compatible so any engine's regex library splits identically
+    * (CJK and other non-Latin scripts fall to the one-mark-per-char arm,
+    * matching byte-pair tokenizers' character fallback).
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** BPE-ish pre-token pieces — the unit a byte-pair tokenizer would merge
+    * within. Pure regexp scan: map-side, codegen'd, no shuffle.
+    */
+  def bpePieces(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** Piece count under the BPE-ish pre-tokenizer (upper bound on real BPE
+    * token count; the usual cheap budget estimate for corpus curation).
+    */
+  def bpePieceCount(text: Column): Column = size(bpePieces(text)).cast("long")
+
   /** Token array (single-space separated corpus). */
   def tokens(text: Column): Column = split(text, " ")
 

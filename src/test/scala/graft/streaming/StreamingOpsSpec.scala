@@ -14,6 +14,10 @@ case class IngestAcc(accident_id: Long, a_lat: Double, a_lon: Double,
                      a_elev: Option[Double], acc_type: String, severity_raw: String,
                      a_date: java.sql.Date, a_difficulty: Option[Double])
 
+/** Stream-stream interval-join fixtures (top-level for the same reason). */
+case class SjAcc(accident_id: Long, a_ts: Timestamp, cell: Long)
+case class SjWx(w_ts: Timestamp, cell: Long, temp: Double)
+
 class StreamingOpsSpec extends SparkSpec {
 
   import spark.implicits._
@@ -198,6 +202,43 @@ class StreamingOpsSpec extends SparkSpec {
     StreamingOps.compactDeltas(spark, base, deltas)
     assertMatchesFull() // scoresWithDeltas over the now-empty log == base
     assert(!new java.io.File(deltas).exists())
+  }
+
+  test("stream-stream interval join: window + key gating, equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val accMem = MemoryStream[SjAcc]
+    val wxMem = MemoryStream[SjWx]
+    val joined = streamIntervalJoin(accMem.toDF(), wxMem.toDF(),
+      leftTs = "a_ts", rightTs = "w_ts", keys = Seq("cell"),
+      lookback = "60 MINUTES", leftWatermark = "60 minutes", rightWatermark = "60 minutes")
+      .select(col("accident_id"), col("temp"))
+    val q = joined.writeStream.format("memory").queryName("sj")
+      .outputMode(OutputMode.Append()).start()
+    val wx = Seq(SjWx(ts(0), 1, 5.0), SjWx(ts(30), 1, 6.0), SjWx(ts(30), 2, 7.0),
+      SjWx(ts(40), 1, 8.0))
+    val acc = Seq(SjAcc(100, ts(45), 1))
+    try {
+      // weather arrives first; then the accident — both pre-accident rows in
+      // its [a_ts - 60min, a_ts] window match; the other cell does not
+      wxMem.addData(wx(0), wx(1), wx(2))
+      q.processAllAvailable()
+      accMem.addData(acc(0))
+      q.processAllAvailable()
+      val first = spark.table("sj").as[(Long, Double)].collect().toSet
+      assert(first == Set((100L, 5.0), (100L, 6.0)))
+      // in-window observation arriving AFTER the accident still joins
+      // (inner stream-stream join emits on arrival of the later side)
+      wxMem.addData(wx(3))
+      q.processAllAvailable()
+      val all = spark.table("sj").as[(Long, Double)].collect().toSet
+      assert(all == Set((100L, 5.0), (100L, 6.0), (100L, 8.0)))
+      // unified API: the same operator on batch frames gives the same rows
+      val batch = streamIntervalJoin(acc.toDF(), wx.toDF(),
+        "a_ts", "w_ts", Seq("cell"), "60 MINUTES", "60 minutes", "60 minutes")
+        .select(col("accident_id"), col("temp"))
+        .as[(Long, Double)].collect().toSet
+      assert(batch == all)
+    } finally q.stop()
   }
 
   test("incrementalScoring: per-date micro-batches land idempotent partitions") {
