@@ -370,6 +370,58 @@ object CoreQueries {
         .orderBy("user_bucket")
     }),
 
+    // --- exact distinct counts (shuffle-dedup) ------------------------------
+    // count(distinct x) needs a key shuffle; Spark expands it to a two-level
+    // partial/final plan automatically. The 100 TB path is
+    // approx_count_distinct (HLL++, map-side mergeable, fixed memory) —
+    // pinned within relative error of this exact form in EntrySpec.
+    "q25_distinct_users" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          (count(lit(1)).cast("double") / countDistinct(col("user_id")))
+            .as("events_per_user"))
+        .orderBy("event_type")
+    }),
+
+    // --- ntile decile segmentation -----------------------------------------
+    // W-class: equal-height buckets over a global order. Like q14, a global
+    // ntile is single-partition by construction; the scale form pre-ranks
+    // per key or uses approx quantile cut points. Kept to the small
+    // customer dim here.
+    "q26_ntile" -> ((s, dir) => {
+      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_acctbal"),
+          ntile(10).over(w).cast("int").as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"),
+          moneySum(col("c_acctbal"), 100L).as("total_acctbal"),
+          min("c_acctbal").as("min_acctbal"),
+          max("c_acctbal").as("max_acctbal"))
+        .orderBy("decile")
+    }),
+
+    // --- lag/lead day-over-day deltas ---------------------------------------
+    // W-class: per-key ordered window (partitioned by event_type — shuffles
+    // once on the key, then sorts within partitions; no global window).
+    "q27_daily_deltas" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("day"), col("n"),
+          (col("n") - lag("n", 1).over(w)).as("delta_vs_prev"),
+          (lead("n", 1).over(w) - col("n")).as("delta_to_next"))
+        // drop the per-key first/last rows: null deltas decode to different
+        // pandas dtypes (Int64 vs float64) across engines and fail the
+        // driver's hash compare even when values agree
+        .where(col("delta_vs_prev").isNotNull && col("delta_to_next").isNotNull)
+        .orderBy("event_type", "day")
+    }),
+
     // --- tumbling 1-hour windows (batch twin of the streaming window) -----
     "q18_hourly_windows" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -600,6 +652,45 @@ object CoreQueries {
 
     // quantile_cont uses the same lower+(higher-lower)*frac interpolation as
     // Spark's percentile; rounding to 6 absorbs any last-ulp libm drift
+    "q25_distinct_users" ->
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       count(*) AS n_events,
+        |       CAST(count(*) AS DOUBLE) / count(DISTINCT user_id) AS events_per_user
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q26_ntile" ->
+      s"""WITH deciled AS (
+         |  SELECT c_custkey, c_acctbal,
+         |         CAST(ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS INT)
+         |           AS decile
+         |  FROM customer)
+         |SELECT decile, count(*) AS n_customers,
+         |       ${moneySumSql("c_acctbal", 100L)} AS total_acctbal,
+         |       min(c_acctbal) AS min_acctbal,
+         |       max(c_acctbal) AS max_acctbal
+         |FROM deciled
+         |GROUP BY decile
+         |ORDER BY decile""".stripMargin,
+
+    "q27_daily_deltas" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, day, n,
+        |         n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS delta_vs_prev,
+        |         lead(n) OVER (PARTITION BY event_type ORDER BY day) - n AS delta_to_next
+        |  FROM daily)
+        |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+        |       CAST(delta_vs_prev AS BIGINT) AS delta_vs_prev,
+        |       CAST(delta_to_next AS BIGINT) AS delta_to_next
+        |FROM d
+        |WHERE delta_vs_prev IS NOT NULL AND delta_to_next IS NOT NULL
+        |ORDER BY event_type, day""".stripMargin,
+
     "q23_percentiles" ->
       """SELECT event_type, count(*) AS n,
         |       round(quantile_cont(value, 0.25), 6) AS p25,

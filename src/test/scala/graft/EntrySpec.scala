@@ -17,6 +17,25 @@ class EntrySpec extends SparkSpec {
     assert(bad.isEmpty, s"bad names: $bad")
   }
 
+  test("approx_count_distinct (the 100 TB path) tracks exact distinct (q25)") {
+    import org.apache.spark.sql.functions._
+    // HLL++ with rsd=0.01 must land within a few percent of the exact
+    // count — the fixed-memory mergeable sketch that replaces the
+    // shuffle-dedup exact form at scale.
+    val exact = SparkEntry.queries("q25_distinct_users")(spark, "/root/testdata/sf0.001")
+      .select("event_type", "n_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, e) <- exact) {
+      assert(math.abs(approx(k) - e) <= math.max(2.0, e * 0.05),
+        s"$k: approx ${approx(k)} vs exact $e")
+    }
+  }
+
   test("approx_percentile (the 100 TB path) tracks exact percentile (q23)") {
     import org.apache.spark.sql.functions._
     // q23 serves exact interpolated percentiles (oracle-checked); at scale
