@@ -284,7 +284,9 @@ object PipelineQueries {
       val n = size(toks)
       val tris = transform(sequence(lit(1), greatest(n - 2, lit(1))),
         i => concat_ws(" ", slice(toks, i, lit(3))))
-      Tables.documents(s, dir)
+      // the per-row HOF work (n trigram builds + a distinct) is the cost
+      // here, and a small corpus file scans as ONE split — spread it
+      graft.Partitioning.balanced(Tables.documents(s, dir))
         .where(n >= 3)
         .select(
           col("doc_id"),

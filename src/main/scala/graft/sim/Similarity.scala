@@ -138,10 +138,14 @@ object Similarity {
       .map { case (r, i) => i -> r.getSeq[Double](1) }
     for (_ <- 0 until iters) {
       val cdf = broadcast(centroids.toSeq.toDF("cell", "c_vec"))
-      val w = Window.partitionBy("id").orderBy(col("sim").desc, col("cell").asc)
+      // argmax as a hash aggregate (max_by over a (sim, -cell) struct —
+      // lexicographic, so ties break to the lowest cell exactly like the
+      // former row_number window) — no shuffle-sort per iteration
       val assigned = unit.crossJoin(cdf)
         .withColumn("sim", VectorExprs.dot(col("v"), col("c_vec")))
-        .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .groupBy("id")
+        .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"),
+          first(col("v")).as("v"))
       val means = assigned
         .select(col("cell"), posexplode(col("v")))
         .groupBy("cell", "pos").agg(avg("col").as("m"))
@@ -171,7 +175,6 @@ object Similarity {
     val cdf = broadcast(
       ivfTrainCentroids(corpus, idCol, vecCol, nlist, iters).toSeq.toDF("cell", "c_vec"))
 
-    val wAssign = Window.partitionBy("neighbor_id").orderBy(col("sim").desc, col("cell").asc)
     val assigned = withNorm(graft.Partitioning.balanced(corpus), idCol, vecCol,
       "neighbor_id", "c_vec0", "c_n")
       // a zero-norm vector's cosine is NaN, which Spark orders LARGEST —
@@ -180,8 +183,11 @@ object Similarity {
       .where(col("c_n") > 0)
       .crossJoin(cdf)
       .withColumn("sim", VectorExprs.dot(col("c_vec0"), col("c_vec")) / col("c_n"))
-      .withColumn("rk", row_number().over(wAssign)).where(col("rk") === 1)
-      .select(col("cell"), col("neighbor_id"), col("c_vec0").as("c_vec"), col("c_n"))
+      // same argmax-as-aggregate as training: ties to the lowest cell
+      .groupBy("neighbor_id")
+      .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"),
+        first(col("c_vec0")).as("c_vec"), first(col("c_n")).as("c_n"))
+      .select("cell", "neighbor_id", "c_vec", "c_n")
 
     val wProbe = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell").asc)
     val probes = withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_n")
