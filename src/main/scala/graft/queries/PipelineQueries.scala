@@ -325,6 +325,101 @@ object PipelineQueries {
         .where(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
         .orderBy("doc_id", "rank")
+    }),
+
+    // --- eval-set decontamination (overlap removal) ------------------------
+    // The standard pretraining hygiene step: drop/flag training documents
+    // sharing n-grams with the evaluation set (GPT-3 §C / PaLM §7-style,
+    // here 3-grams so the synthetic corpus actually collides). Shape for
+    // 100 TB: the eval side is SMALL (benchmark suites) → distinct-gram set
+    // is broadcast; the training side is one map-side explode + broadcast
+    // semi-shape join + partial-agg count. No shuffle of the corpus.
+    "d15_decontaminate" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val n = size(toks)
+      val grams = array_distinct(transform(sequence(lit(1), n - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3)))))
+      val docs = graft.Partitioning.balanced(Tables.documents(s, dir)).where(n >= 3)
+      val evalGrams = docs.where(col("doc_id") % 23 === 0)
+        .select(explode(grams).as("gram")).distinct()
+      docs.where(col("doc_id") % 23 =!= 0)
+        .select(col("doc_id"), size(grams).cast("long").as("n_distinct_grams"),
+          explode(grams).as("gram"))
+        .join(broadcast(evalGrams), "gram")
+        .groupBy("doc_id")
+        .agg(min("n_distinct_grams").as("n_distinct_grams"),
+          count(lit(1)).as("n_eval_grams"))
+        // IEEE ratio of exact ints — bit-identical across engines unrounded
+        .withColumn("contamination",
+          col("n_eval_grams").cast("double") / col("n_distinct_grams").cast("double"))
+        .orderBy("doc_id")
+    }),
+
+    // --- seed-stable epoch ordering (training shuffle) ---------------------
+    // A training "shuffle" must be reproducible across engines, re-runs and
+    // cluster sizes — so it's a SORT by a keyed hash, not an RNG. Here:
+    // the first 200 docs of epoch 0. orderBy+limit compiles to
+    // TakeOrderedAndProject (per-partition top-N, driver merge — no global
+    // sort); materializing the FULL epoch order at scale is the same sort
+    // key through a range-partitioned write instead of the limit.
+    "d16_epoch_order" -> ((s, dir) => {
+      val key = md5(concat(lit("epoch0:"), col("doc_id").cast("string")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), key.as("shuffle_key"))
+        .orderBy("shuffle_key")
+        .limit(200)
+    }),
+
+    // --- weighted domain mixing (fractional upsampling) --------------------
+    // Training-mix construction: each language gets a repeat factor
+    // (de 2.5, en 0.5, es 1.0, fr 3.25, zh 1.75); integer part = explode of
+    // a sequence, fractional part = an md5 gate on the doc id (seed-stable,
+    // like d13). Map-side explode with bounded fan-out — no shuffle until
+    // the final small agg.
+    "d17_domain_mix" -> ((s, dir) => {
+      val full = Seq("de" -> 2, "en" -> 0, "es" -> 1, "fr" -> 3, "zh" -> 1)
+        .foldLeft(when(lit(false), lit(0))) { case (acc, (l, c)) =>
+          acc.when(col("lang") === l, c)
+        }.otherwise(0)
+      val gateHex = Seq("de" -> "8000", "en" -> "8000", "fr" -> "4000", "zh" -> "c000")
+        .foldLeft(when(lit(false), lit(""))) { case (acc, (l, g)) =>
+          acc.when(col("lang") === l, g)
+        }.otherwise("0000") // es: integer factor, the gate never admits
+      val extra = when(
+        substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4) < gateHex, 1)
+        .otherwise(0)
+      val nCopies = (full + extra).cast("int")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          // sequence(1, 0) would step BACKWARD; null → explode drops the doc
+          explode(when(nCopies >= 1, sequence(lit(1), nCopies))).as("copy"))
+        .groupBy("lang")
+        .agg(countDistinct("doc_id").as("n_source_docs"),
+          count(lit(1)).as("n_mixed_docs"),
+          sum("n_chars").as("mixed_chars"))
+        .orderBy("lang")
+    }),
+
+    // --- sequence packing (concat-and-chunk) -------------------------------
+    // Pretraining batch construction: each shard's token stream is
+    // concatenated in deterministic doc order and chunked into 512-token
+    // training sequences; a doc's chunk is floor(startOffset/512) of the
+    // shard-local running total. The window partitions by SHARD — per-shard
+    // independent streams, never a global window — so at 100 TB parallelism
+    // is the shard count, and packing an exabyte stream is embarrassingly
+    // parallel across shards.
+    "d18_seq_packing" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("start_off", coalesce(sum("n_tok").over(w), lit(0L)))
+        .withColumn("seq_id", floor(col("start_off") / lit(512)))
+        .groupBy("shard", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("shard", "seq_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -581,5 +676,75 @@ object PipelineQueries {
         |  FROM pairs)
         |SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cosine
         |FROM ranked WHERE rank <= 3
-        |ORDER BY query_id, rank""".stripMargin)
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // same 3-gram construction as d14's oracle; the eval set is the
+    // doc_id % 23 slice, overlap counted over DISTINCT grams per doc
+    "d15_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, n - 2),
+        |                       i -> array_to_string(toks[i:i+2], ' '))) AS grams
+        |  FROM t WHERE n >= 3),
+        |ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 23 = 0),
+        |tr AS (SELECT doc_id, len(grams) AS nd, unnest(grams) AS gram
+        |       FROM g WHERE doc_id % 23 <> 0)
+        |SELECT tr.doc_id,
+        |       CAST(min(tr.nd) AS BIGINT) AS n_distinct_grams,
+        |       count(*) AS n_eval_grams,
+        |       CAST(count(*) AS DOUBLE) / CAST(min(tr.nd) AS DOUBLE) AS contamination
+        |FROM tr JOIN ev USING (gram)
+        |GROUP BY tr.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // md5 hex is engine-identical, so the epoch order is too
+    "d16_epoch_order" ->
+      """SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents
+        |ORDER BY shuffle_key
+        |LIMIT 200""".stripMargin,
+
+    // same integer repeat factors + md5 fractional gates as the query
+    "d17_domain_mix" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         CASE lang WHEN 'de' THEN 2 WHEN 'en' THEN 0 WHEN 'es' THEN 1
+        |                   WHEN 'fr' THEN 3 ELSE 1 END
+        |         + CASE WHEN substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+        |                     CASE lang WHEN 'de' THEN '8000' WHEN 'en' THEN '8000'
+        |                               WHEN 'fr' THEN '4000' WHEN 'zh' THEN 'c000'
+        |                               ELSE '0000' END
+        |                THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents),
+        |rep AS (
+        |  SELECT doc_id, lang, n_chars, unnest(generate_series(1, n_copies)) AS copy
+        |  FROM base WHERE n_copies >= 1)
+        |SELECT lang, count(DISTINCT doc_id) AS n_source_docs,
+        |       count(*) AS n_mixed_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS mixed_chars
+        |FROM rep
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    // shard-local running offsets → chunk ids; both engines floor the same
+    // exact-integer ratio
+    "d18_seq_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |o AS (
+        |  SELECT shard, doc_id, n_tok,
+        |         COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM t)
+        |SELECT shard, CAST(floor(start_off / 512.0) AS BIGINT) AS seq_id,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM o
+        |GROUP BY shard, seq_id
+        |ORDER BY shard, seq_id""".stripMargin)
 }

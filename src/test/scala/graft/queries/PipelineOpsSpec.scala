@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic properties of the round-4 pipeline-construction operators
+  * (d15 decontamination, d16 epoch order, d17 domain mixing, d18 sequence
+  * packing) on sf0.001 — the value-level gate is the DuckDB oracle; these
+  * pin the invariants a user relies on.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("d15: contamination is (0, 1] and never flags eval docs themselves") {
+    val out = PipelineQueries.queries("d15_decontaminate")(spark, dir)
+      .select("doc_id", "contamination").collect()
+    assert(out.nonEmpty, "the synthetic corpus should produce 3-gram collisions")
+    out.foreach { r =>
+      assert(r.getLong(0) % 23 != 0, s"eval doc ${r.getLong(0)} flagged as training")
+      val c = r.getDouble(1)
+      assert(c > 0.0 && c <= 1.0, s"contamination $c out of range")
+    }
+  }
+
+  test("d16: epoch order is the md5-key sort, stable across recomputation") {
+    val q = PipelineQueries.queries("d16_epoch_order")(spark, dir)
+    val once = q.collect().map(_.getLong(0)).toSeq
+    val twice = q.collect().map(_.getLong(0)).toSeq
+    assert(once == twice, "epoch order must be reproducible")
+    val keys = q.collect().map(_.getString(1)).toSeq
+    assert(keys == keys.sorted, "rows must come back in shuffle-key order")
+  }
+
+  test("d17: integer factors copy exactly; fractional factors stay in range") {
+    val src = graft.Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mixed = PipelineQueries.queries("d17_domain_mix")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // es: factor exactly 1.0 → every doc once
+    assert(mixed("es") == ((src("es"), src("es"))))
+    // de: 2.5 → every doc kept, copies in [2n, 3n]
+    val (deSrc, deCopies) = mixed("de")
+    assert(deSrc == src("de"))
+    assert(deCopies >= 2 * src("de") && deCopies <= 3 * src("de"))
+    // en: 0.5 → a strict subset, each kept doc exactly once
+    val (enSrc, enCopies) = mixed("en")
+    assert(enSrc == enCopies && enSrc < src("en"))
+  }
+
+  test("d18: chunks conserve tokens per shard and pack near capacity") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select((col("doc_id") % 8).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("shard").agg(sum("n_tok").as("total")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val packed = PipelineQueries.queries("d18_seq_packing")(spark, dir)
+      .groupBy("shard").agg(sum("n_tokens").as("packed"), max("seq_id").as("last"))
+      .collect()
+    packed.foreach { r =>
+      val shard = r.getLong(0)
+      assert(r.getLong(1) == docs(shard), s"shard $shard lost tokens")
+      // every chunk id up to the last must exist: offsets are contiguous,
+      // so floor(start/512) can skip a value only if a doc spans >512
+      // tokens — then the SPAN still covers the skipped chunk
+      assert(r.getLong(2) >= (docs(shard) - 1) / 512 - 1)
+    }
+  }
+}
