@@ -83,4 +83,27 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges <= 1, s"unexpected extra shuffles in warming plan: $exchanges")
   }
+
+  test("decontamination: eval grams broadcast; the corpus side never sort-merges") {
+    val plan = planOf("d15_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      "eval-gram set should join as a broadcast hash join")
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus side must not shuffle into a sort-merge join")
+  }
+
+  test("epoch order: orderBy+limit compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("d16_epoch_order")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "epoch-order head should not plan a full range-partitioned sort")
+  }
+
+  test("sequence packing: window partitions by shard — no single-partition window") {
+    val plan = planOf("d18_seq_packing")
+    assert(plan.contains("Window"), "packing should plan a window")
+    // a global window would show an Exchange SinglePartition feeding the sort
+    assert(!plan.contains("SinglePartition"),
+      "packing window collapsed to one partition — shard key lost")
+  }
 }
