@@ -19,11 +19,21 @@ object GeoExprs {
     * `haversine = 2R·asin(√(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2)))`
     * (ref: `backend/app/utils/geo_utils.py:12-52`).
     */
-  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    haversineKmHoisted(cos(radians(lat1)), lat1, lon1, cos(radians(lat2)), lat2, lon2)
+
+  /** [[haversineKm]] with the two latitude cosines supplied by the caller.
+    * In a pair loop (routes × accidents) each cosine depends on only ONE
+    * side, so hoisting them into the side projections saves 2 of the 4
+    * per-pair trig calls. Same expression tree shape otherwise —
+    * `(c1*c2)*sin²` associates exactly like the inline form, so results
+    * are bit-identical and the DuckDB oracle hashes don't move.
+    */
+  def haversineKmHoisted(cosLat1: Column, lat1: Column, lon1: Column,
+                         cosLat2: Column, lat2: Column, lon2: Column): Column = {
     val dLat = radians(lat2 - lat1)
     val dLon = radians(lon2 - lon1)
-    val a = pow(sin(dLat / 2), 2) +
-      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    val a = pow(sin(dLat / 2), 2) + cosLat1 * cosLat2 * pow(sin(dLon / 2), 2)
     lit(2.0 * EarthRadiusKm) * asin(sqrt(a))
   }
 

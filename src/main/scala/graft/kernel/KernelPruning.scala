@@ -93,8 +93,10 @@ object KernelPruning {
     // the floor: only pairs with guaranteed sub-floor influence are cut.
     val radiusFactor = math.sqrt(2.0 * math.log(NonSpatialBound / floor))
     val gated = joined
-      .withColumn("dist_km", graft.expr.GeoExprs.haversineKm(
-        col("lat"), col("lon"), col("a_lat"), col("a_lon")))
+      // enrichment hoisted both cos(lat)s — bit-identical to the inline form
+      .withColumn("dist_km", graft.expr.GeoExprs.haversineKmHoisted(
+        col("__coslat"), col("lat"), col("lon"),
+        col("__a_coslat"), col("a_lat"), col("a_lon")))
       .where(col("dist_km") <= col("__h") * radiusFactor)
     SafetyKernel.influenceColumns(gated)
   }

@@ -90,6 +90,10 @@ object SafetyKernel {
           case (acc, (k, v)) => acc.when(col("__rt_lc") === k, v)
         }.otherwise(WeightExprs.ElevationDecayDefault))
       .withColumn("__rt_idx", typeIdx(col("__rt_lc")))
+      // pair-loop hoists: cos(lat) for the haversine, 2h² for the spatial
+      // Gaussian — both depend on the route row only
+      .withColumn("__coslat", cos(radians(col("lat"))))
+      .withColumn("__two_h2", lit(2.0) * pow(col("__h"), 2))
     routesEnriched
   }
 
@@ -107,6 +111,19 @@ object SafetyKernel {
       .withColumn("__same_season",
         WeightExprs.seasonOf(planDate) === WeightExprs.seasonOf(col("a_date")))
       .withColumn("__wfactor", WeightExprs.weatherFactor(col("wsim")))
+      // λ has only 8 possible values (7 canonical types + default), so the
+      // two per-pair pow() calls of the temporal weight collapse to a
+      // per-ACCIDENT 8-slot precompute; the pair loop just indexes it with
+      // the route's type index. Same constants, same op order → the picked
+      // value is bit-identical to the inline formula.
+      .withColumn("__tw_arr", {
+        def tw(lam: Double): Column =
+          lit(1.0) - lit(WeightExprs.TemporalDecayImpact) *
+            (lit(1.0) - pow(pow(lit(lam), col("__days")), WeightExprs.TemporalDecayShape))
+        array((CanonicalTypes.map(WeightExprs.TemporalLambda) :+
+          WeightExprs.TemporalLambdaDefault).map(tw): _*)
+      })
+      .withColumn("__a_coslat", cos(radians(col("a_lat"))))
     accEnriched
   }
 
@@ -125,12 +142,20 @@ object SafetyKernel {
     */
   def influenceColumns(pairs: DataFrame): DataFrame = {
     val amplified = pairs.columns.contains("wmult")
-    // spatial: exp(-d²/(2h²)) with per-route bandwidth
-    val spatial = exp(-(pow(col("dist_km"), 2)) / (lit(2.0) * pow(col("__h"), 2)))
-    // temporal: 1 − 0.35·(1 − (λ^days)^1.5), ×1.05 same season
-    val baseDecay = pow(col("__lam"), col("__days"))
-    val baseWeight = lit(1.0) - lit(WeightExprs.TemporalDecayImpact) *
-      (lit(1.0) - pow(baseDecay, WeightExprs.TemporalDecayShape))
+    // spatial: exp(-d²/(2h²)) with per-route bandwidth (2h² hoisted)
+    val twoH2 =
+      if (pairs.columns.contains("__two_h2")) col("__two_h2")
+      else lit(2.0) * pow(col("__h"), 2)
+    val spatial = exp(-(pow(col("dist_km"), 2)) / twoH2)
+    // temporal: 1 − 0.35·(1 − (λ^days)^1.5), ×1.05 same season — from the
+    // per-accident 8-slot precompute when the enrichment provided it
+    val baseWeight =
+      if (pairs.columns.contains("__tw_arr"))
+        element_at(col("__tw_arr"),
+          when(col("__rt_idx") >= 0, col("__rt_idx") + 1).otherwise(8).cast("int"))
+      else
+        lit(1.0) - lit(WeightExprs.TemporalDecayImpact) *
+          (lit(1.0) - pow(pow(col("__lam"), col("__days")), WeightExprs.TemporalDecayShape))
     val seasonalMultiplier = lit(1.0 +
       (WeightExprs.SeasonalBoost - 1.0) * WeightExprs.TemporalSeasonalImpact)
     val temporal = when(col("__same_season"), baseWeight * seasonalMultiplier)
@@ -151,6 +176,10 @@ object SafetyKernel {
     // per-type radius gate) — identical expression, evaluated once
     val withDist =
       if (pairs.columns.contains("dist_km")) pairs
+      else if (pairs.columns.contains("__coslat") && pairs.columns.contains("__a_coslat"))
+        pairs.withColumn("dist_km", GeoExprs.haversineKmHoisted(
+          col("__coslat"), col("lat"), col("lon"),
+          col("__a_coslat"), col("a_lat"), col("a_lon")))
       else pairs.withColumn("dist_km",
         GeoExprs.haversineKm(col("lat"), col("lon"), col("a_lat"), col("a_lon")))
     withDist
@@ -170,7 +199,8 @@ object SafetyKernel {
         else col("__wfactor"))
       .withColumn("influence", col("base_influence") * col("weather_factor"))
       .drop("__rt_lc", "__h", "__lam", "__elev_c", "__rt_idx",
-        "__sev_w", "__acc_idx", "__days", "__same_season", "__wfactor")
+        "__sev_w", "__acc_idx", "__days", "__same_season", "__wfactor",
+        "__coslat", "__a_coslat", "__tw_arr", "__two_h2")
   }
 
   /** Aggregate pair influences to per-route risk (A1 + F16).

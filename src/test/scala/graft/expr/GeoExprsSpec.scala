@@ -31,6 +31,23 @@ class GeoExprsSpec extends SparkSpec {
     }
   }
 
+  test("hoisted-cosine haversine is BIT-identical to the inline form") {
+    // the kernel hoists cos(lat) out of the pair loop; the reassociation
+    // must not move a single ulp or the DuckDB oracle hashes would drift
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(200)((rnd.nextDouble() * 170 - 85, rnd.nextDouble() * 360 - 180,
+      rnd.nextDouble() * 170 - 85, rnd.nextDouble() * 360 - 180))
+    import spark.implicits._
+    val df = pts.toDF("la1", "lo1", "la2", "lo2")
+    val mismatches = df.select(
+      GeoExprs.haversineKm(col("la1"), col("lo1"), col("la2"), col("lo2")).as("inline"),
+      GeoExprs.haversineKmHoisted(
+        cos(radians(col("la1"))), col("la1"), col("lo1"),
+        cos(radians(col("la2"))), col("la2"), col("lo2")).as("hoisted"))
+      .where(col("inline") =!= col("hoisted")).count()
+    assert(mismatches == 0)
+  }
+
   test("bounding box deltas") {
     assert(approx(evalDouble(GeoExprs.bboxLatDelta(lit(111.0))), 1.0))
     assert(approx(evalDouble(GeoExprs.bboxLonDelta(lit(111.0), lit(0.0))), 1.0))
