@@ -335,23 +335,37 @@ object PipelineQueries {
     // is broadcast; the training side is one map-side explode + broadcast
     // semi-shape join + partial-agg count. No shuffle of the corpus.
     "d15_decontaminate" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      val n = size(toks)
-      val grams = array_distinct(transform(sequence(lit(1), n - 2),
-        i => concat_ws(" ", slice(toks, i, lit(3)))))
-      val docs = graft.Partitioning.balanced(Tables.documents(s, dir)).where(n >= 3)
-      val evalGrams = docs.where(col("doc_id") % 23 === 0)
-        .select(explode(grams).as("gram")).distinct()
-      docs.where(col("doc_id") % 23 =!= 0)
-        .select(col("doc_id"), size(grams).cast("long").as("n_distinct_grams"),
-          explode(grams).as("gram"))
+      import org.apache.spark.sql.expressions.Window
+      // Trigrams via posexplode + lead over a doc-keyed window instead of a
+      // per-element HOF slice: the HOF form re-evaluates the token array
+      // inside every lambda element AND inlines the whole tree per consumer
+      // — 112 s of codegen+JIT cold at sf0.1. The window form shuffles only
+      // (doc_id, pos, tok) rows, partitioned BY DOC — embarrassingly
+      // parallel at any corpus size.
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val gramRows = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("t1", lead("tok", 1).over(w))
+        .withColumn("t2", lead("tok", 2).over(w))
+        .where(col("t2").isNotNull) // concat_ws would silently skip nulls
+        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("gram"))
+        .distinct() // per-doc DISTINCT grams, like the array_distinct form
+      val evalGrams = gramRows.where(col("doc_id") % 23 === 0)
+        .select("gram").distinct()
+      val trainGrams = gramRows.where(col("doc_id") % 23 =!= 0)
+      val sizes = trainGrams.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct_grams"))
+      trainGrams
         .join(broadcast(evalGrams), "gram")
         .groupBy("doc_id")
-        .agg(min("n_distinct_grams").as("n_distinct_grams"),
-          count(lit(1)).as("n_eval_grams"))
+        .agg(count(lit(1)).as("n_eval_grams"))
+        // both sides exit their aggs hash-partitioned by doc_id — the join
+        // reuses that partitioning, no extra exchange
+        .join(sizes, "doc_id")
         // IEEE ratio of exact ints — bit-identical across engines unrounded
-        .withColumn("contamination",
-          col("n_eval_grams").cast("double") / col("n_distinct_grams").cast("double"))
+        .select(col("doc_id"), col("n_distinct_grams"), col("n_eval_grams"),
+          (col("n_eval_grams").cast("double") /
+            col("n_distinct_grams").cast("double")).as("contamination"))
         .orderBy("doc_id")
     }),
 
