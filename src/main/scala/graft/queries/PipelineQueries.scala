@@ -280,22 +280,25 @@ object PipelineQueries {
     // repeated boilerplate (arXiv:2112.11446 §A1.1 repetition filters).
     // Map-side HOF arithmetic — no explode, no shuffle.
     "d14_repetition" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      val n = size(toks)
-      val tris = transform(sequence(lit(1), greatest(n - 2, lit(1))),
-        i => concat_ws(" ", slice(toks, i, lit(3))))
-      // the per-row HOF work (n trigram builds + a distinct) is the cost
-      // here, and a small corpus file scans as ONE split — spread it
-      graft.Partitioning.balanced(Tables.documents(s, dir))
-        .where(n >= 3)
-        .select(
-          col("doc_id"),
-          (n - 2).cast("long").as("n_trigrams"),
-          size(array_distinct(tris)).cast("long").as("n_distinct_trigrams"),
+      import org.apache.spark.sql.expressions.Window
+      // same window-built trigrams as d15 (the HOF slice form re-evaluates
+      // the token array per lambda element — see d15); docs with <3 tokens
+      // produce no trigram rows and drop out exactly like the old n>=3 gate
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("t1", lead("tok", 1).over(w))
+        .withColumn("t2", lead("tok", 2).over(w))
+        .where(col("t2").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("tri"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          countDistinct("tri").as("n_distinct_trigrams"))
+        .select(col("doc_id"), col("n_trigrams"), col("n_distinct_trigrams"),
           // unrounded: an IEEE ratio of exact ints is bit-identical in any
           // engine, while round() can disagree on exact halves
-          (lit(1.0) - size(array_distinct(tris)).cast("double") /
-            (n - 2).cast("double")).as("repetition_ratio"))
+          (lit(1.0) - col("n_distinct_trigrams").cast("double") /
+            col("n_trigrams").cast("double")).as("repetition_ratio"))
         .orderBy("doc_id")
     }),
 
