@@ -44,6 +44,13 @@ object LocationKernel {
   val AvgSeasonalBoost: Double =
     1.0 + (WeightExprs.SeasonalBoost - 1.0) * WeightExprs.TemporalSeasonalImpact * 0.25
 
+  /** The distinct temporal-λ values a location can carry (the when-chain in
+    * [[WeightExprs.temporalLambda]] can produce nothing else) — slots for
+    * the per-accident temporal precompute.
+    */
+  val LambdaSlots: Seq[Double] =
+    (WeightExprs.TemporalLambda.values.toSeq :+ WeightExprs.TemporalLambdaDefault).distinct
+
   /** Per-(location, accident) base influence for every pair above the
     * significance floor. `locations` needs (location_id, loc_lat, loc_lon,
     * loc_elev, loc_type); `accidents` the kernel schema (+ optional wsim,
@@ -61,6 +68,16 @@ object LocationKernel {
         WeightExprs.ElevationDecayConstant.foldLeft(when(lit(false), lit(0.0))) {
           case (acc, (k, v)) => acc.when(col("__lt") === k, v)
         }.otherwise(WeightExprs.ElevationDecayDefault))
+      // pair-loop hoists (same rationale + bit-identity argument as
+      // SafetyKernel.enrichRoutes): cos(lat) for the haversine, 2h² for
+      // the spatial Gaussian, λ-index for the temporal 8-slot precompute
+      .withColumn("__coslat", cos(radians(col("loc_lat"))))
+      .withColumn("__two_h2", lit(2.0) * pow(col("__h"), 2))
+      .withColumn("__lam_idx",
+        LambdaSlots.zipWithIndex.foldLeft(when(lit(false), lit(0))) {
+          case (acc, (lam, i)) => acc.when(col("__lam") === lam, i + 1)
+        }.otherwise( // unreachable: __lam is always one of the slots
+          lit(LambdaSlots.indexOf(WeightExprs.TemporalLambdaDefault) + 1)))
 
     val accBase =
       if (accidents.columns.contains("wsim")) accidents
@@ -74,14 +91,26 @@ object LocationKernel {
       // clipped (not absolute) day count
       .withColumn("__days",
         greatest(datediff(targetDate, col("a_date")), lit(0)).cast("double"))
+      // per-accident temporal precompute, one slot per possible λ (incl.
+      // the constant boost — same multiplication order as the inline form,
+      // so the indexed value is bit-identical)
+      .withColumn("__ltw_arr", {
+        def tw(lam: Double): Column =
+          (lit(1.0) - lit(WeightExprs.TemporalDecayImpact) *
+            (lit(1.0) - pow(pow(lit(lam), col("__days")), WeightExprs.TemporalDecayShape))) *
+            lit(AvgSeasonalBoost)
+        array(LambdaSlots.map(tw): _*)
+      })
+      .withColumn("__a_coslat", cos(radians(col("a_lat"))))
       .select(col("accident_id"), col("a_lat"), col("a_lon"), col("a_elev"),
-        col("acc_type"), col("a_difficulty"), col("__sev_w"), col("__wf"), col("__days"))
+        col("acc_type"), col("a_difficulty"), col("__sev_w"), col("__wf"),
+        col("__ltw_arr"), col("__a_coslat"))
 
-    val dist = GeoExprs.haversineKm(col("loc_lat"), col("loc_lon"), col("a_lat"), col("a_lon"))
-    val spatial = exp(-pow(col("__dist"), 2) / (lit(2.0) * pow(col("__h"), 2)))
-    val temporal = (lit(1.0) - lit(WeightExprs.TemporalDecayImpact) *
-      (lit(1.0) - pow(pow(col("__lam"), col("__days")), WeightExprs.TemporalDecayShape))) *
-      lit(AvgSeasonalBoost)
+    val dist = GeoExprs.haversineKmHoisted(
+      col("__coslat"), col("loc_lat"), col("loc_lon"),
+      col("__a_coslat"), col("a_lat"), col("a_lon"))
+    val spatial = exp(-pow(col("__dist"), 2) / col("__two_h2"))
+    val temporal = element_at(col("__ltw_arr"), col("__lam_idx"))
     // batch elevation variant: at-or-below → 1.0, higher decays
     val elevDiff = col("a_elev") - col("loc_elev")
     val elevW = when(col("loc_elev").isNull || col("a_elev").isNull || elevDiff <= 0.0, 1.0)
