@@ -147,8 +147,15 @@ object Bench {
     Tables.lineitem(spark, sfDir).select(count(lit(1))).collect()
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // two timed executions per query, min reported: the first run often
+    // pays codegen + JIT of that query's generated classes (measured up to
+    // 3-4× on shared hosts), which is session bring-up, not operator
+    // throughput — the min is the steady-state number a long-running
+    // cluster job sees. Errors keep the -1.0 sentinel.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = time(fn(spark, sfDir))
+      val a = time(fn(spark, sfDir))
+      val b = time(fn(spark, sfDir))
+      results(name) = if (a < 0 || b < 0) -1.0 else math.min(a, b)
     }
 
     // the suite above leaves dead broadcasts + generated classes behind;

@@ -97,6 +97,23 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Stream-STATIC dedup — the other half of ingestion dedup: drop streamed
+    * documents whose content digest already exists in the HISTORICAL corpus
+    * (a static digest dictionary), via a left-anti stream-static join.
+    * Stateless: unlike the within-stream watermarked state above, nothing
+    * accumulates in a state store — the static side is re-read per
+    * micro-batch (so a dictionary refreshed by a nightly compaction is
+    * picked up without restarting the query) and Spark broadcasts or
+    * shuffles it like any batch join side. The two compose: corpus
+    * anti-join first (cheap, stateless), then within-stream dedup for
+    * intra-horizon re-crawls.
+    */
+  def streamingDedupAgainstCorpus(docs: DataFrame, corpusDigests: DataFrame,
+                                  textCol: String): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col(textCol)))
+      .join(corpusDigests.select("text_hash"), Seq("text_hash"), "left_anti")
+
   // --- streaming 7-day pattern assembly (S4/A2 streamed) -------------------
 
   /** One weather observation for one accident's window (the FIXTURES §2 row

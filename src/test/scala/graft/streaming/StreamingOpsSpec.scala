@@ -92,6 +92,29 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static dedup drops digests known to the historical corpus") {
+    import org.apache.spark.sql.functions.md5
+    val corpus = Seq("alpha", "beta").toDF("text")
+      .select(md5($"text").as("text_hash"))
+    val mem = MemoryStream[Doc]
+    val q = streamingDedupAgainstCorpus(mem.toDF(), corpus, "text")
+      .writeStream.format("memory").queryName("corpus_dedup")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(Doc(ts(0), 1, "alpha"), Doc(ts(1), 2, "gamma"), Doc(ts(2), 3, "beta"),
+        Doc(ts(3), 4, "delta"))
+      q.processAllAvailable()
+      val ids = spark.table("corpus_dedup").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(2L, 4L), s"corpus digests must be dropped, got $ids")
+      // stateless: a re-sent novel digest is NOT deduped by this operator
+      mem.addData(Doc(ts(10), 5, "gamma"))
+      q.processAllAvailable()
+      assert(spark.table("corpus_dedup").select("doc_id").as[Long].collect().toSet
+        .contains(5L))
+    } finally q.stop()
+  }
+
   test("streaming pattern assembly converges to the batch assembly") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
