@@ -70,7 +70,7 @@ object LocationKernel {
         }.otherwise(WeightExprs.ElevationDecayDefault))
       // pair-loop hoists (same rationale + bit-identity argument as
       // SafetyKernel.enrichRoutes): cos(lat) for the haversine, 2h² for
-      // the spatial Gaussian, λ-index for the temporal 8-slot precompute
+      // the spatial Gaussian, λ-index for the temporal per-λ-slot precompute
       .withColumn("__coslat", cos(radians(col("loc_lat"))))
       .withColumn("__two_h2", lit(2.0) * pow(col("__h"), 2))
       .withColumn("__lam_idx",

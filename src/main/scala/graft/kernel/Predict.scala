@@ -166,10 +166,12 @@ object Predict {
       SafetyKernel.enrichRoutes(routes).crossJoin(
         broadcast(SafetyKernel.enrichAccidents(gateAccidents(req, accidents),
           to_date(lit(req.plannedDate)))))
-        // re-derive day-dependent factors per forecast day: days offset
+        // re-derive day-dependent factors per forecast day: days offset,
+        // season flag, AND the temporal precompute built from __days
         .withColumn("__days",
           abs(datediff(date_add(to_date(lit(req.plannedDate)), col("route_id").cast("int")),
             col("a_date"))).cast("double"))
+        .withColumn("__tw_arr", SafetyKernel.temporalSlots(col("__days")))
         .withColumn("__same_season",
           graft.expr.WeightExprs.seasonOf(
             date_add(to_date(lit(req.plannedDate)), col("route_id").cast("int"))) ===
@@ -209,9 +211,11 @@ object Predict {
     val pairs = SafetyKernel.influenceColumns(
       SafetyKernel.enrichRoutes(expanded).crossJoin(
         broadcast(SafetyKernel.enrichAccidents(accidents, startDate)))
-        // re-derive date-dependent factors per (route, target_date) row
+        // re-derive date-dependent factors per (route, target_date) row,
+        // including the temporal precompute built from __days
         .withColumn("__days",
           abs(datediff(col("target_date"), col("a_date"))).cast("double"))
+        .withColumn("__tw_arr", SafetyKernel.temporalSlots(col("__days")))
         .withColumn("__same_season",
           WeightExprs.seasonOf(col("target_date")) ===
             WeightExprs.seasonOf(col("a_date"))))

@@ -111,20 +111,29 @@ object SafetyKernel {
       .withColumn("__same_season",
         WeightExprs.seasonOf(planDate) === WeightExprs.seasonOf(col("a_date")))
       .withColumn("__wfactor", WeightExprs.weatherFactor(col("wsim")))
-      // λ has only 8 possible values (7 canonical types + default), so the
-      // two per-pair pow() calls of the temporal weight collapse to a
-      // per-ACCIDENT 8-slot precompute; the pair loop just indexes it with
-      // the route's type index. Same constants, same op order → the picked
-      // value is bit-identical to the inline formula.
-      .withColumn("__tw_arr", {
-        def tw(lam: Double): Column =
-          lit(1.0) - lit(WeightExprs.TemporalDecayImpact) *
-            (lit(1.0) - pow(pow(lit(lam), col("__days")), WeightExprs.TemporalDecayShape))
-        array((CanonicalTypes.map(WeightExprs.TemporalLambda) :+
-          WeightExprs.TemporalLambdaDefault).map(tw): _*)
-      })
+      // λ can only be one of the canonical types' values or the default,
+      // so the two per-pair pow() calls of the temporal weight collapse to
+      // a per-ACCIDENT slot-per-type precompute; the pair loop just
+      // indexes it with the route's type index. Same constants, same op
+      // order → the picked value is bit-identical to the inline formula.
+      // NB: callers that re-derive `__days` per row AFTER enrichment (the
+      // date-expanded forecast/warming paths) must re-derive this array
+      // from the new column too — `temporalSlots` is the shared builder.
+      .withColumn("__tw_arr", temporalSlots(col("__days")))
       .withColumn("__a_coslat", cos(radians(col("a_lat"))))
     accEnriched
+  }
+
+  /** One temporal base weight per canonical type (+ the default slot last),
+    * as a function of a day-count column — the precompute indexed by
+    * `__rt_idx` in [[influenceColumns]].
+    */
+  def temporalSlots(days: Column): Column = {
+    def tw(lam: Double): Column =
+      lit(1.0) - lit(WeightExprs.TemporalDecayImpact) *
+        (lit(1.0) - pow(pow(lit(lam), days), WeightExprs.TemporalDecayShape))
+    array((CanonicalTypes.map(WeightExprs.TemporalLambda) :+
+      WeightExprs.TemporalLambdaDefault).map(tw): _*)
   }
 
   /** The per-pair kernel over an already-joined (enriched-routes ×
@@ -148,11 +157,12 @@ object SafetyKernel {
       else lit(2.0) * pow(col("__h"), 2)
     val spatial = exp(-(pow(col("dist_km"), 2)) / twoH2)
     // temporal: 1 − 0.35·(1 − (λ^days)^1.5), ×1.05 same season — from the
-    // per-accident 8-slot precompute when the enrichment provided it
+    // per-accident per-type-slot precompute when the enrichment provided it
     val baseWeight =
       if (pairs.columns.contains("__tw_arr"))
         element_at(col("__tw_arr"),
-          when(col("__rt_idx") >= 0, col("__rt_idx") + 1).otherwise(8).cast("int"))
+          when(col("__rt_idx") >= 0, col("__rt_idx") + 1)
+            .otherwise(CanonicalTypes.size + 1).cast("int")) // default = last slot
       else
         lit(1.0) - lit(WeightExprs.TemporalDecayImpact) *
           (lit(1.0) - pow(pow(col("__lam"), col("__days")), WeightExprs.TemporalDecayShape))

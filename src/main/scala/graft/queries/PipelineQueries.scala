@@ -34,6 +34,26 @@ object PipelineQueries {
   private val SampleGates: Seq[(String, String)] = Seq(
     "de" -> "e000", "en" -> "4000", "es" -> "e000", "fr" -> "e000", "zh" -> "c000")
 
+  /** Word trigrams as (doc_id, gram) rows — shared by d14 (repetition) and
+    * d15 (decontamination). posexplode + lead over a doc-keyed window
+    * rather than per-element HOF slices: the HOF form re-evaluates the
+    * token array inside every lambda element AND inlines the whole tree
+    * once per consumer — the generated class ran uncompiled for 112 s cold
+    * at sf0.1. This form shuffles only (doc_id, pos, tok) rows, partitioned
+    * BY DOC — embarrassingly parallel at any corpus size — and keeps every
+    * projection's codegen small. Docs with <3 tokens yield no rows.
+    */
+  private def docTrigrams(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(w))
+      .withColumn("t2", lead("tok", 2).over(w))
+      .where(col("t2").isNotNull) // concat_ws would silently skip nulls
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("gram"))
+  }
+
   /** Exact token-set Jaccard for every (id_a < id_b) pair of the doc_id<40
     * subset — shared by d04 (pair dump) and d10 (clustering input).
     */
@@ -280,20 +300,10 @@ object PipelineQueries {
     // repeated boilerplate (arXiv:2112.11446 §A1.1 repetition filters).
     // Map-side HOF arithmetic — no explode, no shuffle.
     "d14_repetition" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // same window-built trigrams as d15 (the HOF slice form re-evaluates
-      // the token array per lambda element — see d15); docs with <3 tokens
-      // produce no trigram rows and drop out exactly like the old n>=3 gate
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      Tables.documents(s, dir)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .withColumn("t1", lead("tok", 1).over(w))
-        .withColumn("t2", lead("tok", 2).over(w))
-        .where(col("t2").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("tri"))
+      docTrigrams(s, dir)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_trigrams"),
-          countDistinct("tri").as("n_distinct_trigrams"))
+          countDistinct("gram").as("n_distinct_trigrams"))
         .select(col("doc_id"), col("n_trigrams"), col("n_distinct_trigrams"),
           // unrounded: an IEEE ratio of exact ints is bit-identical in any
           // engine, while round() can disagree on exact halves
@@ -338,33 +348,19 @@ object PipelineQueries {
     // is broadcast; the training side is one map-side explode + broadcast
     // semi-shape join + partial-agg count. No shuffle of the corpus.
     "d15_decontaminate" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // Trigrams via posexplode + lead over a doc-keyed window instead of a
-      // per-element HOF slice: the HOF form re-evaluates the token array
-      // inside every lambda element AND inlines the whole tree per consumer
-      // — 112 s of codegen+JIT cold at sf0.1. The window form shuffles only
-      // (doc_id, pos, tok) rows, partitioned BY DOC — embarrassingly
-      // parallel at any corpus size.
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val gramRows = Tables.documents(s, dir)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .withColumn("t1", lead("tok", 1).over(w))
-        .withColumn("t2", lead("tok", 2).over(w))
-        .where(col("t2").isNotNull) // concat_ws would silently skip nulls
-        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("gram"))
-        .distinct() // per-doc DISTINCT grams, like the array_distinct form
+      val gramRows = docTrigrams(s, dir)
+        .distinct() // per-doc DISTINCT grams, like an array_distinct form
       val evalGrams = gramRows.where(col("doc_id") % 23 === 0)
         .select("gram").distinct()
-      val trainGrams = gramRows.where(col("doc_id") % 23 =!= 0)
-      val sizes = trainGrams.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_distinct_grams"))
-      trainGrams
-        .join(broadcast(evalGrams), "gram")
+      // one pass over the corpus grams: a LEFT broadcast join tags eval
+      // hits, a single agg counts both totals — no second aggregation, no
+      // doc_id re-join
+      gramRows.where(col("doc_id") % 23 =!= 0)
+        .join(broadcast(evalGrams.withColumn("__hit", lit(1))), Seq("gram"), "left")
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_eval_grams"))
-        // both sides exit their aggs hash-partitioned by doc_id — the join
-        // reuses that partitioning, no extra exchange
-        .join(sizes, "doc_id")
+        .agg(count(lit(1)).as("n_distinct_grams"),
+          count(col("__hit")).as("n_eval_grams")) // count(col) skips nulls
+        .where(col("n_eval_grams") > 0)
         // IEEE ratio of exact ints — bit-identical across engines unrounded
         .select(col("doc_id"), col("n_distinct_grams"), col("n_eval_grams"),
           (col("n_eval_grams").cast("double") /
@@ -730,7 +726,7 @@ object PipelineQueries {
       """WITH base AS (
         |  SELECT doc_id, lang, n_chars,
         |         CASE lang WHEN 'de' THEN 2 WHEN 'en' THEN 0 WHEN 'es' THEN 1
-        |                   WHEN 'fr' THEN 3 ELSE 1 END
+        |                   WHEN 'fr' THEN 3 WHEN 'zh' THEN 1 ELSE 0 END
         |         + CASE WHEN substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) <
         |                     CASE lang WHEN 'de' THEN '8000' WHEN 'en' THEN '8000'
         |                               WHEN 'fr' THEN '4000' WHEN 'zh' THEN 'c000'

@@ -137,5 +137,15 @@ class PredictSpec extends SparkSpec {
     assert(risks.forall(r => r > 0 && r <= 100))
     // day 0 equals the single predict (same plan date, same kernel)
     assert(approx(risks.head, 3.30406861212714, 1e-9))
+    // EVERY day equals a fresh single predict at that plan date — guards
+    // the date-expanded path against enrichment-time hoists going stale
+    // (the temporal precompute is derived from __days; an override that
+    // doesn't re-derive it would freeze days 1-6 at day-0 decay)
+    (1 until 7).foreach { d =>
+      val single = Predict.predict(spark,
+        longsPeak.copy(plannedDate = f"2024-07-${15 + d}%02d"), accidents)
+      assert(approx(risks(d), single.riskScore, 1e-9),
+        s"forecast day $d diverges from the single predict")
+    }
   }
 }
