@@ -126,13 +126,16 @@ object ScoringPipeline {
       col("total_influence").as("d_total"), col("n_contributing").as("d_n"))
   }
 
-  /** Fold (route_id, d_total, d_n) deltas onto stored scores and re-derive
-    * risk/color from the new totals.
+  /** Fold (d_total, d_n) deltas onto stored scores and re-derive risk/color
+    * from the new totals. `keys` defaults to route-grain; pass
+    * (route_id, prediction_date) when both sides carry dates so a delta
+    * lands ONLY on its own date's row, never on every date of the route.
     */
-  def applyDeltaTotals(oldScores: DataFrame, delta: DataFrame): DataFrame = {
+  def applyDeltaTotals(oldScores: DataFrame, delta: DataFrame,
+                       keys: Seq[String] = Seq("route_id")): DataFrame = {
     import graft.expr.WeightExprs
     oldScores
-      .join(delta, Seq("route_id"), "left")
+      .join(delta, keys, "left")
       .withColumn("total_influence",
         col("total_influence") + coalesce(col("d_total"), lit(0.0)))
       .withColumn("n_contributing",

@@ -301,15 +301,21 @@ object CoreQueries {
     // sets map-side so the multi-level report costs one shuffle, not three
     // queries over the fact table.
     "q22_rollup" -> ((s, dir) => {
+      // grouping() — not coalesce — tags subtotal rows: a data NULL in a
+      // grouping column must stay a detail row, never merge with the
+      // rollup indicator (latent here — the fixture has no NULL flags —
+      // but the operator contract matters)
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum("l_quantity").as("sum_qty"),
           moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L)
             .as("sum_disc_price"),
-          count(lit(1)).as("n_rows"))
+          count(lit(1)).as("n_rows"),
+          grouping(col("l_returnflag")).as("__g1"),
+          grouping(col("l_linestatus")).as("__g2"))
         .select(
-          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          when(col("__g1") === 1, "ALL").otherwise(col("l_returnflag")).as("l_returnflag"),
+          when(col("__g2") === 1, "ALL").otherwise(col("l_linestatus")).as("l_linestatus"),
           col("sum_qty"), col("sum_disc_price"), col("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -581,9 +587,12 @@ object CoreQueries {
         |WHERE rn BETWEEN 101 AND 150
         |ORDER BY rn""".stripMargin,
 
+    // GROUPING() mirrors the Spark side's subtotal discriminator
     "q22_rollup" ->
-      s"""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
-         |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      s"""SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END
+         |         AS l_returnflag,
+         |       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END
+         |         AS l_linestatus,
          |       sum(l_quantity) AS sum_qty,
          |       ${moneySumSql("l_extendedprice * (1.0 - l_discount)", 10000L)} AS sum_disc_price,
          |       count(*) AS n_rows
@@ -650,8 +659,6 @@ object CoreQueries {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
-    // quantile_cont uses the same lower+(higher-lower)*frac interpolation as
-    // Spark's percentile; rounding to 6 absorbs any last-ulp libm drift
     "q25_distinct_users" ->
       """SELECT event_type,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -691,6 +698,8 @@ object CoreQueries {
         |WHERE delta_vs_prev IS NOT NULL AND delta_to_next IS NOT NULL
         |ORDER BY event_type, day""".stripMargin,
 
+    // quantile_cont uses the same lower+(higher-lower)*frac interpolation as
+    // Spark's percentile; rounding to 6 absorbs any last-ulp libm drift
     "q23_percentiles" ->
       """SELECT event_type, count(*) AS n,
         |       round(quantile_cont(value, 0.25), 6) AS p25,

@@ -47,7 +47,7 @@ object PipelineQueries {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), posexplode(TextExprs.tokens(col("text"))).as(Seq("pos", "tok")))
       .withColumn("t1", lead("tok", 1).over(w))
       .withColumn("t2", lead("tok", 2).over(w))
       .where(col("t2").isNotNull) // concat_ws would silently skip nulls
@@ -324,7 +324,7 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir)
       val nDocs = docs.select(count(lit(1)).as("n_docs"))
       val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .select(col("doc_id"), explode(TextExprs.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
@@ -427,7 +427,7 @@ object PipelineQueries {
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.documents(s, dir)
         .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
+          size(TextExprs.tokens(col("text"))).cast("long").as("n_tok"))
         .withColumn("start_off", coalesce(sum("n_tok").over(w), lit(0L)))
         .withColumn("seq_id", floor(col("start_off") / lit(512)))
         .groupBy("shard", "seq_id")

@@ -209,9 +209,12 @@ object StreamingOps {
                          leftTs: String, rightTs: String, keys: Seq[String],
                          lookback: String,
                          leftWatermark: String, rightWatermark: String): DataFrame = {
+    // Spark rejects stream-stream joins without an equality predicate at
+    // query start — fail loudly at plan time instead
+    require(keys.nonEmpty, "stream-stream interval join needs at least one equality key")
     val l = left.withWatermark(leftTs, leftWatermark)
     val r = right.withWatermark(rightTs, rightWatermark)
-    val keyCond = keys.map(k => l(k) === r(k)).reduceOption(_ && _).getOrElse(lit(true))
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
     val range = r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lookback") &&
       r(rightTs) <= l(leftTs)
     keys.foldLeft(l.join(r, keyCond && range, "inner"))((d, k) => d.drop(r(k)))
@@ -242,12 +245,17 @@ object StreamingOps {
       }
 
   /** One micro-batch of the ingest — idempotent in `batchId` (replay
-    * overwrites the same partition). Exposed for direct testing of the
+    * overwrites the same partition; a batch already FOLDED by compaction is
+    * skipped outright, so a replay arriving after its delta was baked into
+    * the base cannot double-count). Exposed for direct testing of the
     * replay contract.
     */
   def ingestAccidentBatch(batch: DataFrame, routes: DataFrame,
                           predictionDate: String, deltaPath: String,
-                          batchId: Long): Unit =
+                          batchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(deltaPath)
+      .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (foldedBatchIds(fs, deltaPath).contains(batchId)) return
     graft.pipeline.ScoringPipeline.accidentDeltaTotals(
       routes, batch, to_date(lit(predictionDate)), pruned = true)
       .where(col("d_total") > 0 || col("d_n") > 0) // only touched routes
@@ -258,37 +266,105 @@ object StreamingOps {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch")
       .parquet(deltaPath)
+  }
+
+  private def markerPath(deltaPath: String) =
+    new org.apache.hadoop.fs.Path(deltaPath + "_folded")
+
+  /** Batch ids already folded into the base by [[compactDeltas]] — the
+    * replay guard for post-compaction foreachBatch re-runs.
+    */
+  def foldedBatchIds(fs: org.apache.hadoop.fs.FileSystem, deltaPath: String): Set[Long] = {
+    val p = markerPath(deltaPath)
+    if (!fs.exists(p)) return Set.empty
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in).getLines().filter(_.nonEmpty)
+      .map(_.toLong).toSet
+    finally in.close()
+  }
+
+  private def recordFolded(fs: org.apache.hadoop.fs.FileSystem, deltaPath: String,
+                           ids: Set[Long]): Unit = {
+    val out = fs.create(markerPath(deltaPath), true)
+    try out.write(ids.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The `ingest_batch=N` partitions currently in the log. */
+  private def batchPartitions(fs: org.apache.hadoop.fs.FileSystem,
+                              deltaP: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(deltaP)) Seq.empty
+    else fs.listStatus(deltaP).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("ingest_batch="))
+      .map(_.stripPrefix("ingest_batch=").toLong)
 
   /** Serving view: stored base scores + every logged delta, risk/color
-    * re-derived from the merged totals.
+    * re-derived from the merged totals. Deltas fold at
+    * (route_id, prediction_date) grain when the base carries dates — a
+    * delta computed for one date never touches another date's row of the
+    * same route; a date-less base gets route-grain folding and must
+    * therefore hold a single date.
     */
   def scoresWithDeltas(spark: org.apache.spark.sql.SparkSession,
                        baseScores: DataFrame, deltaPath: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(deltaPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(deltaPath))) return baseScores
+    if (batchPartitions(fs, new org.apache.hadoop.fs.Path(deltaPath)).isEmpty)
+      return baseScores
+    val keys =
+      if (baseScores.columns.contains("prediction_date")) Seq("route_id", "prediction_date")
+      else Seq("route_id")
     val deltas = spark.read.parquet(deltaPath)
-      .groupBy("route_id")
+      .groupBy(keys.map(col): _*)
       .agg(sum("d_total").as("d_total"), sum("d_n").as("d_n"))
-    graft.pipeline.ScoringPipeline.applyDeltaTotals(baseScores, deltas)
+    graft.pipeline.ScoringPipeline.applyDeltaTotals(baseScores, deltas, keys)
   }
 
-  /** Compaction: fold the delta log into the base table (merged view →
-    * rewritten date partition via the row-grain merge) and clear the log.
-    * After compaction [[scoresWithDeltas]] over the empty log equals the
-    * base — the serving view is invariant across compactions. Run it when
-    * the log grows past a few batches; the rewrite touches only the
-    * maintained date partition.
+  /** Compaction: fold the delta log into the base table and clear the log.
+    * After compaction [[scoresWithDeltas]] over the emptied log equals the
+    * base — the serving view is invariant across compactions.
+    *
+    * Safety properties:
+    *  - a SNAPSHOT of the log's batch partitions is taken first — a
+    *    micro-batch landing mid-compaction stays in the log untouched;
+    *  - only the (route_id, prediction_date) rows with deltas are merged,
+    *    so the rewrite is bounded by the touched date partitions;
+    *  - folded batch ids go to a marker file BEFORE the partitions are
+    *    deleted; a crashed compaction re-run deletes already-folded
+    *    partitions without folding twice, and a post-compaction
+    *    foreachBatch replay of a folded batch is skipped by the ingest.
+    *    The unguarded window is between mergeScores finishing and the
+    *    marker write — crash exactly there and a re-run double-folds; for
+    *    strict once-only semantics quiesce ingest around compaction.
     */
   def compactDeltas(spark: org.apache.spark.sql.SparkSession,
                     basePath: String, deltaPath: String): Unit = {
     val deltaP = new org.apache.hadoop.fs.Path(deltaPath)
     val fs = deltaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(deltaP)) return
-    val merged = scoresWithDeltas(spark, spark.read.parquet(basePath), deltaPath)
-      .localCheckpoint() // the merge overwrites partitions this plan reads
-    graft.pipeline.ScoringPipeline.mergeScores(spark, merged, basePath)
-    fs.delete(deltaP, true)
+    val snapshot = batchPartitions(fs, deltaP)
+    if (snapshot.isEmpty) return
+    val folded = foldedBatchIds(fs, deltaPath)
+    // partitions a crashed earlier compaction merged but failed to delete
+    val (alreadyFolded, toFold) = snapshot.partition(folded.contains)
+    if (toFold.nonEmpty) {
+      val deltas = spark.read.parquet(deltaPath)
+        .where(col("ingest_batch").isin(toFold: _*))
+        .groupBy("route_id", "prediction_date")
+        .agg(sum("d_total").as("d_total"), sum("d_n").as("d_n"))
+      val touched = graft.pipeline.ScoringPipeline.applyDeltaTotals(
+        spark.read.parquet(basePath)
+          .join(deltas.select("route_id", "prediction_date"),
+            Seq("route_id", "prediction_date"), "left_semi"),
+        deltas, Seq("route_id", "prediction_date"))
+        .localCheckpoint() // the merge overwrites partitions this plan reads
+      graft.pipeline.ScoringPipeline.mergeScores(spark, touched, basePath)
+      recordFolded(fs, deltaPath, folded ++ toFold)
+    }
+    (alreadyFolded ++ toFold).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(deltaP, s"ingest_batch=$b"), true)
+    }
+    // no partitions left and no concurrent writer raced in → drop the root
+    if (batchPartitions(fs, deltaP).isEmpty) fs.delete(deltaP, true)
   }
 
   /** §2.8 row 1 — the nightly recompute as an INCREMENTAL query: a stream

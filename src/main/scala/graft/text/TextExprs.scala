@@ -21,9 +21,12 @@ object TextExprs {
     * digit runs, and single non-alphanumeric marks each become one piece.
     * Kept RE2-compatible so any engine's regex library splits identically
     * (CJK and other non-Latin scripts fall to the one-mark-per-char arm,
-    * matching byte-pair tokenizers' character fallback).
+    * matching byte-pair tokenizers' character fallback). The whitespace
+    * class is spelled out because `\s` itself is NOT engine-identical:
+    * Java includes vertical tab (\x0B), RE2 does not — a VT in a document
+    * would tokenize differently per engine under `\s`.
     */
-  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 
   /** BPE-ish pre-token pieces — the unit a byte-pair tokenizer would merge
     * within. Pure regexp scan: map-side, codegen'd, no shuffle.

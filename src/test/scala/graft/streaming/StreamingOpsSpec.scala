@@ -225,6 +225,48 @@ class StreamingOpsSpec extends SparkSpec {
     StreamingOps.compactDeltas(spark, base, deltas)
     assertMatchesFull() // scoresWithDeltas over the now-empty log == base
     assert(!new java.io.File(deltas).exists())
+
+    // replay of an already-FOLDED batch after compaction: the marker makes
+    // the ingest skip it — without the guard this delta would land in a
+    // fresh log on top of a base that already contains it
+    StreamingOps.ingestAccidentBatch(Seq(a2).toDF(), routes, date, deltas, batchId = 1L)
+    assertMatchesFull()
+    assert(!new java.io.File(deltas).exists(), "folded replay must not recreate the log")
+  }
+
+  test("delta folding is date-grained: a delta never leaks onto another date") {
+    import org.apache.spark.sql.functions._
+    val routes = Seq((1L, 40.0, -105.0, Some(2000.0), "alpine", Some(7.0)))
+      .toDF("route_id", "lat", "lon", "elev", "route_type", "difficulty")
+    val a0 = IngestAcc(1, 40.1, -105.1, Some(2100.0), "alpine", "serious",
+      java.sql.Date.valueOf("2024-06-01"), Some(7.5))
+    val a1 = IngestAcc(2, 40.2, -105.05, Some(2100.0), "alpine", "fatal",
+      java.sql.Date.valueOf("2024-06-10"), Some(7.5))
+    val (d1, d2) = ("2024-07-15", "2024-07-16")
+    val base = java.nio.file.Files.createTempDirectory("dg-base").toString
+    val deltas = java.nio.file.Files.createTempDirectory("dg-deltas").toString + "/log"
+    graft.pipeline.ScoringPipeline.writeScores(
+      graft.pipeline.ScoringPipeline.computeDailyScores(
+        routes, Seq(a0).toDF(), Seq(d1, d2)), base)
+    val before = spark.read.parquet(base)
+      .select(col("prediction_date").cast("string"), col("risk_score"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    // a delta computed for d1 only
+    StreamingOps.ingestAccidentBatch(Seq(a1).toDF(), routes, d1, deltas, batchId = 0L)
+    val served = StreamingOps.scoresWithDeltas(spark, spark.read.parquet(base), deltas)
+      .select(col("prediction_date").cast("string"), col("risk_score"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(served(d2) == before(d2), "date 2 must be untouched by date 1's delta")
+    assert(served(d1) > before(d1), "date 1 must absorb its delta")
+
+    // compaction keeps the same date isolation, baked in
+    StreamingOps.compactDeltas(spark, base, deltas)
+    val after = spark.read.parquet(base)
+      .select(col("prediction_date").cast("string"), col("risk_score"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(after(d2) == before(d2))
+    assert(math.abs(after(d1) - served(d1)) < 1e-12)
   }
 
   test("stream-stream interval join: window + key gating, equals the batch join") {
