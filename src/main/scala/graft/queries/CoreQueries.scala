@@ -317,7 +317,10 @@ object CoreQueries {
           when(col("__g1") === 1, "ALL").otherwise(col("l_returnflag")).as("l_returnflag"),
           when(col("__g2") === 1, "ALL").otherwise(col("l_linestatus")).as("l_linestatus"),
           col("sum_qty"), col("sum_disc_price"), col("n_rows"))
-        .orderBy("l_returnflag", "l_linestatus")
+        // explicit null placement: Spark defaults NULLS FIRST asc, DuckDB
+        // NULLS LAST — a NULL detail value would order differently per
+        // engine without this
+        .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
     }),
 
     // --- JSON extraction over the events props column ---------------------
@@ -598,7 +601,7 @@ object CoreQueries {
          |       count(*) AS n_rows
          |FROM lineitem
          |GROUP BY ROLLUP (l_returnflag, l_linestatus)
-         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+         |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
 
     "q21_keyset_page" ->
       """WITH cur AS (

@@ -60,7 +60,7 @@ object PipelineQueries {
   private def tokenJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).where(col("doc_id") < 40)
     val tok = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("tok")).distinct()
+      explode(TextExprs.tokens(col("text"))).as("tok")).distinct()
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = tok.as("a").join(tok.as("b"),
       col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))

@@ -268,11 +268,23 @@ object StreamingOps {
       .parquet(deltaPath)
   }
 
-  private def markerPath(deltaPath: String) =
-    new org.apache.hadoop.fs.Path(deltaPath + "_folded")
+  /** Marker sits BESIDE the log dir (Path-normalized: a trailing slash on
+    * `deltaPath` must not place it inside the log, where the root drop
+    * would erase the replay guard).
+    */
+  private def markerPath(deltaPath: String) = {
+    val p = new org.apache.hadoop.fs.Path(deltaPath)
+    new org.apache.hadoop.fs.Path(p.getParent, p.getName + "_folded")
+  }
 
   /** Batch ids already folded into the base by [[compactDeltas]] — the
     * replay guard for post-compaction foreachBatch re-runs.
+    *
+    * SCOPED TO THE STREAMING CHECKPOINT LINEAGE: foreachBatch batch ids
+    * restart at 0 under a fresh checkpoint directory, so when an ingest
+    * query is restarted with a NEW checkpoint, this marker must be cleared
+    * too ([[clearFoldedMarker]]) or the first ids' worth of genuinely new
+    * batches would be skipped as "already folded".
     */
   def foldedBatchIds(fs: org.apache.hadoop.fs.FileSystem, deltaPath: String): Set[Long] = {
     val p = markerPath(deltaPath)
@@ -283,11 +295,27 @@ object StreamingOps {
     finally in.close()
   }
 
+  /** Forget the folded-batch ids — REQUIRED when re-creating the ingest
+    * query with a fresh checkpoint directory (batch ids restart at 0).
+    */
+  def clearFoldedMarker(spark: org.apache.spark.sql.SparkSession, deltaPath: String): Unit = {
+    val p = markerPath(deltaPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
   private def recordFolded(fs: org.apache.hadoop.fs.FileSystem, deltaPath: String,
                            ids: Set[Long]): Unit = {
-    val out = fs.create(markerPath(deltaPath), true)
+    // write-temp-then-rename: an in-place truncate would lose EVERY
+    // previously recorded id if the write crashed midway, silently
+    // disarming the replay guard for all older batches
+    val target = markerPath(deltaPath)
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent, target.getName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(ids.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(target)) fs.delete(target, false)
+    require(fs.rename(tmp, target), s"marker rename failed: $tmp -> $target")
   }
 
   /** The `ingest_batch=N` partitions currently in the log. */
@@ -363,8 +391,18 @@ object StreamingOps {
     (alreadyFolded ++ toFold).foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(deltaP, s"ingest_batch=$b"), true)
     }
-    // no partitions left and no concurrent writer raced in → drop the root
-    if (batchPartitions(fs, deltaP).isEmpty) fs.delete(deltaP, true)
+    // Drop the now-empty root NON-recursively: a recursive delete here
+    // would be check-then-act — a micro-batch committing between the
+    // emptiness check and the delete would be wiped after its offsets
+    // commit, losing it forever. Non-recursive delete fails (harmlessly)
+    // if anything raced in; only write-marker files are removed first.
+    if (batchPartitions(fs, deltaP).isEmpty) {
+      fs.listStatus(deltaP).map(_.getPath)
+        .filter(p => p.getName.startsWith("_")) // _SUCCESS etc., never data
+        .foreach(p => fs.delete(p, false))
+      try fs.delete(deltaP, false)
+      catch { case _: java.io.IOException => () } // concurrent writer won
+    }
   }
 
   /** §2.8 row 1 — the nightly recompute as an INCREMENTAL query: a stream
