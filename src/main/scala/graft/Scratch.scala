@@ -15,6 +15,7 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    var failed = 0
     names.foreach { name =>
       val t0 = System.nanoTime()
       try {
@@ -22,9 +23,13 @@ object Scratch {
         println(f"[scratch] $name ok ${(System.nanoTime() - t0) / 1e9}%.2f s")
       } catch {
         case e: Throwable =>
+          failed += 1
           println(s"[scratch] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
       }
     }
     spark.stop()
+    // scripts smoke-testing the suite must see breakage in the exit code,
+    // not just a FAILED line buried in the log
+    if (failed > 0) sys.exit(1)
   }
 }

@@ -138,7 +138,7 @@ object Dedup {
       .withColumn("label", col("node")).localCheckpoint()
     var converged = edges.isEmpty
     var it = 0
-    while (!converged && it <= maxIters) {
+    while (!converged && it < maxIters) { // at most maxIters rounds, as documented
       val neigh = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min("label").as("nmin"))
       val updated = labels.join(neigh, labels("node") === neigh("src"), "left")
