@@ -83,10 +83,11 @@ object WeightExprs {
   // Elevation (ref: backend/app/services/elevation_weighting.py:16-50,
   //            config algorithm_config.py:202-215)
   //
-  // Canonical semantics = bonus-only (1.0 .. 1.15), never a penalty; the
+  // Canonical semantics = bonus-only (1.0 .. 1.15), never a penalty. The
   // batch-vectorized penalty variant (location_safety_computation.py:375-384)
-  // is a reference-internal divergence we deliberately do NOT reproduce
-  // (SURVEY §7.4(1)).
+  // is a reference-internal divergence; the INTERACTIVE kernel here stays
+  // bonus-only (SURVEY §7.4(1)), while LocationKernel reproduces the
+  // penalty variant faithfully for the factorized batch path it belongs to.
   // -------------------------------------------------------------------------
 
   val ElevationDecayConstant: Map[String, Double] = Map(

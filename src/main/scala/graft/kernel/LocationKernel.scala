@@ -16,8 +16,10 @@ import graft.expr.{GeoExprs, WeightExprs}
   * This path has its OWN semantics — deliberate reference divergences from
   * the interactive kernel, all reproduced faithfully:
   *
-  *  - weather factor is CUBIC with the 0.25 exclusion gate
-  *    (`WEATHER_POWER = 3`, :387-390 — the interactive path is quadratic);
+  *  - weather factor is cubic with the 0.25 exclusion gate
+  *    (`WEATHER_POWER = 3`, :387-390 — the SAME `WeightExprs.weatherFactor`
+  *    as the interactive path: the reference's "quadratic" comments are
+  *    stale, code is cubic everywhere);
   *  - the seasonal boost is a CONSTANT average
   *    `1 + (boost−1)·impact·0.25` (:368-371) instead of per-date season
   *    matching;
@@ -38,8 +40,6 @@ import graft.expr.{GeoExprs, WeightExprs}
   */
 object LocationKernel {
 
-  /** Cubic weather dominance — this batch path only (:361-390). */
-  val BatchWeatherPower = 3
   /** Constant aggregate seasonal boost (:368-371). */
   val AvgSeasonalBoost: Double =
     1.0 + (WeightExprs.SeasonalBoost - 1.0) * WeightExprs.TemporalSeasonalImpact * 0.25
@@ -60,7 +60,9 @@ object LocationKernel {
   def locationBaseInfluence(locations: DataFrame, accidents: DataFrame,
                             targetDate: Column,
                             floor: Double = SafetyKernel.SignificanceFloor): DataFrame = {
-    val locEnriched = locations
+    // same single-split hazard as SafetyKernel: a one-file locations dim
+    // would run the whole |locations| × |accidents| loop on one core
+    val locEnriched = graft.Partitioning.balanced(locations)
       .withColumn("__lt", lower(coalesce(col("loc_type"), lit("trad"))))
       .withColumn("__h", WeightExprs.spatialBandwidthKm(col("__lt")))
       .withColumn("__lam", WeightExprs.temporalLambda(col("__lt")))
@@ -85,9 +87,7 @@ object LocationKernel {
     val accEnriched = accBase
       .withColumn("__sev_w", WeightExprs.severityWeightKernel(col("severity_raw")))
       // cubic weather factor with the exclusion gate — per accident
-      .withColumn("__wf",
-        when(col("wsim") < WeightExprs.WeatherExclusionThreshold, 0.0)
-          .otherwise(pow(col("wsim"), BatchWeatherPower)))
+      .withColumn("__wf", WeightExprs.weatherFactor(col("wsim")))
       // clipped (not absolute) day count
       .withColumn("__days",
         greatest(datediff(targetDate, col("a_date")), lit(0)).cast("double"))
@@ -128,11 +128,16 @@ object LocationKernel {
   /** Full factorized batch: base per location, per-route type/grade
     * adjustment, batch color thresholds (25/50/75). `routes` needs
     * (route_id, location_id, route_type, difficulty).
+    *
+    * Routes whose location has NO pair above the significance floor (or no
+    * location row at all) are re-attached with risk 0 / green — same
+    * contract as KernelPruning.scoreRoutesPruned: the nightly upsert must
+    * overwrite their previous scores with 0, not leave them stale.
     */
   def scoreRoutesViaLocations(routes: DataFrame, locations: DataFrame,
                               accidents: DataFrame, targetDate: Column): DataFrame = {
     val base = locationBaseInfluence(locations, accidents, targetDate)
-    routes
+    val scored = routes
       .join(base, Seq("location_id"))
       .withColumn("influence",
         col("base_influence") *
@@ -144,5 +149,8 @@ object LocationKernel {
         count(lit(1)).as("n_contributing"))
       .withColumn("risk_score", WeightExprs.normalizeRiskScore(col("total_influence")))
       .withColumn("color_code", WeightExprs.colorCode(col("risk_score"), batchThresholds = true))
+    routes.select("route_id").join(scored, Seq("route_id"), "left")
+      .na.fill(Map("total_influence" -> 0.0, "n_contributing" -> 0L, "risk_score" -> 0.0))
+      .na.fill(Map("color_code" -> "green"))
   }
 }

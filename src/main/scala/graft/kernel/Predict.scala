@@ -32,8 +32,9 @@ object Predict {
   /** P6 distance-gated route-type filter, applied to the accident corpus
     * before the kernel exactly like the reference predict flow
     * (`predict.py:132-173`): local accidents (≤50 km) always pass; distant
-    * ones only with a strict type match (route-type weight ≥ 0.85, i.e.
-    * exact matches and ice↔alpine).
+    * ones only with route-type weight ≥ 0.85 — the exact-match diagonal
+    * (1.0) plus every 0.9-weight close-type pair of the F8 matrix
+    * (alpine↔mixed, ice↔mixed, ice→alpine, mixed→alpine, alpine→sport).
     */
   def gateAccidents(req: PredictionRequest, accidents: DataFrame): DataFrame =
     accidents.where(
@@ -49,11 +50,20 @@ object Predict {
     * elevation empty — the kernel's null-elevation path (weight 1.0)
     * handles it, like the reference's graceful missing-elevation handling.
     */
+  /** Same rounding as Spark's `round(col, 3)` (HALF_UP over the decimal
+    * string form) — the S7 grid is BUILT with that expression, and
+    * `math.rint` (half-even) would probe a different key for exact
+    * half-way coordinates like 2.0625.
+    */
+  private def gridKey(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
+
   def resolveElevation(req: PredictionRequest, elevation: DataFrame): PredictionRequest =
     if (req.elevation.isDefined) req
     else {
-      val gLat = math.rint(req.latitude * 1000) / 1000.0
-      val gLon = math.rint(req.longitude * 1000) / 1000.0
+      val gLat = gridKey(req.latitude)
+      val gLon = gridKey(req.longitude)
       val hit = elevation
         .where(col("g_lat") === gLat && col("g_lon") === gLon)
         .select(col("elevation_m").cast("double"))

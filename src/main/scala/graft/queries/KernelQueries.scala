@@ -366,7 +366,7 @@ object KernelQueries {
               WeightExprs.ElevationDecayDefault)}), 2)) END)
          |         * (${Sql.severityWeight("severity_raw")})
          |         * (CASE WHEN wsim < ${WeightExprs.WeatherExclusionThreshold} THEN 0.0
-         |                 ELSE pow(wsim, ${graft.kernel.LocationKernel.BatchWeatherPower}) END)
+         |                 ELSE pow(wsim, ${WeightExprs.WeatherPower}) END)
          |           AS base_influence
          |  FROM locations CROSS JOIN acc2),
          |sig AS (SELECT * FROM base WHERE base_influence > ${SafetyKernel.SignificanceFloor}),
@@ -375,16 +375,22 @@ object KernelQueries {
          |         base_influence * (${Sql.routeTypeWeight("route_type", "acc_type")})
          |                        * (${Sql.gradeWeight("difficulty", "a_difficulty")}) AS influence
          |  FROM (SELECT *, route_id % 150 + 1 AS location_id FROM routes) r
-         |  JOIN sig USING (location_id))
-         |SELECT route_id,
-         |       round(${Sql.normalizeRisk("sum(influence)")}, 4) AS risk_score,
-         |       count(*) AS n_contributing,
-         |       CASE WHEN ${Sql.normalizeRisk("sum(influence)")} < 25 THEN 'green'
-         |            WHEN ${Sql.normalizeRisk("sum(influence)")} < 50 THEN 'yellow'
-         |            WHEN ${Sql.normalizeRisk("sum(influence)")} < 75 THEN 'orange'
-         |            ELSE 'red' END AS color_code
-         |FROM infl
-         |GROUP BY route_id
+         |  JOIN sig USING (location_id)),
+         |agged AS (
+         |  SELECT route_id,
+         |         round(${Sql.normalizeRisk("sum(influence)")}, 4) AS risk_score,
+         |         count(*) AS n_contributing,
+         |         CASE WHEN ${Sql.normalizeRisk("sum(influence)")} < 25 THEN 'green'
+         |              WHEN ${Sql.normalizeRisk("sum(influence)")} < 50 THEN 'yellow'
+         |              WHEN ${Sql.normalizeRisk("sum(influence)")} < 75 THEN 'orange'
+         |              ELSE 'red' END AS color_code
+         |  FROM infl
+         |  GROUP BY route_id)
+         |SELECT r0.route_id,
+         |       coalesce(a.risk_score, 0.0) AS risk_score,
+         |       CAST(coalesce(a.n_contributing, 0) AS BIGINT) AS n_contributing,
+         |       coalesce(a.color_code, 'green') AS color_code
+         |FROM routes r0 LEFT JOIN agged a USING (route_id)
          |ORDER BY route_id""".stripMargin),
 
     "k10_color_hist" -> withDomain(
