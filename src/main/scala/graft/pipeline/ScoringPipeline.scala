@@ -42,6 +42,32 @@ object ScoringPipeline {
       .partitionBy("prediction_date")
       .parquet(outPath)
 
+  /** Serving-format export — the file-native twin of the reference's Redis
+    * payload (`cache.py:347-444` SETEX's a JSON document per (route, date);
+    * `cache.py:126` serializes with json.dumps): one JSON line per score
+    * row, date-partitioned like the parquet table so retention (S10) and
+    * idempotent re-export work identically. A downstream cache loader
+    * replays the partition into its KV store. `csv` for spreadsheet-class
+    * consumers. Round-trip (schema + values) is spec'd.
+    */
+  def exportScores(scores: DataFrame, outPath: String, format: String): Unit = {
+    require(Seq("json", "csv").contains(format), s"unsupported export format: $format")
+    scores.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("prediction_date")
+      .format(format)
+      .option("header", "true") // csv only; ignored by json
+      .save(outPath)
+  }
+
+  /** Read an export back (schema must be supplied — json/csv carry no
+    * types; the caller knows the score schema it exported).
+    */
+  def readExport(spark: SparkSession, path: String, format: String,
+                 schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.format(format).option("header", "true").schema(schema).load(path)
+
   /** Full nightly run with the reference's row-count invariant
     * (`safety_computation_optimized.py:689-699`): every route must be
     * scored for every date.

@@ -61,6 +61,31 @@ class ScoringPipelineSpec extends SparkSpec {
     assert(scores(1L) > scores(2L)) // route 1 sits at the accident
   }
 
+  test("exportScores: JSONL/CSV round-trip preserves schema and values") {
+    val dates = Seq("2024-07-15", "2024-07-16")
+    val scores = ScoringPipeline.computeDailyScores(routes, accidents, dates)
+      .drop("calculated_at") // timestamp precision differs per text format
+    val want = scores
+      .select("route_id", "prediction_date", "risk_score", "n_contributing", "color_code")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) -> r).toMap
+    for (fmt <- Seq("json", "csv")) {
+      val out = Files.createTempDirectory(s"export-$fmt").toString
+      ScoringPipeline.exportScores(scores, out, fmt)
+      // date-partitioned layout, like the parquet sink
+      val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+      assert(dirs.toSeq == dates.map(d => s"prediction_date=$d"), s"$fmt layout")
+      val back = ScoringPipeline.readExport(spark, out, fmt, scores.schema)
+        .select("route_id", "prediction_date", "risk_score", "n_contributing", "color_code")
+        .collect().map(r => (r.getLong(0), r.getDate(1).toString) -> r).toMap
+      assert(back.keySet == want.keySet, s"$fmt keys")
+      want.foreach { case (k, w) =>
+        val b = back(k)
+        assert(math.abs(b.getDouble(2) - w.getDouble(2)) < 1e-9, s"$fmt risk @ $k")
+        assert(b.getLong(3) == w.getLong(3) && b.getString(4) == w.getString(4), s"$fmt @ $k")
+      }
+    }
+  }
+
   test("mergeScores: row-grain upsert touches only updated keys/partitions") {
     val out = Files.createTempDirectory("merge-scores").toString
     ScoringPipeline.runDaily(spark, routes, accidents,

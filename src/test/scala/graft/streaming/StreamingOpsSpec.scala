@@ -267,6 +267,15 @@ class StreamingOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(after(d2) == before(d2))
     assert(math.abs(after(d1) - served(d1)) < 1e-12)
+
+    // fresh-checkpoint restart protocol: batch id 0 is folded, so the
+    // ingest skips it — until clearFoldedMarker forgets the old lineage,
+    // after which a new batch 0 lands again
+    StreamingOps.ingestAccidentBatch(Seq(a1).toDF(), routes, d1, deltas, batchId = 0L)
+    assert(!new java.io.File(deltas).exists(), "folded id must be skipped")
+    StreamingOps.clearFoldedMarker(spark, deltas)
+    StreamingOps.ingestAccidentBatch(Seq(a1).toDF(), routes, d1, deltas, batchId = 0L)
+    assert(new java.io.File(deltas).exists(), "cleared lineage must ingest again")
   }
 
   test("stream-stream interval join: window + key gating, equals the batch join") {
