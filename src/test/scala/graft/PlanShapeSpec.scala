@@ -99,6 +99,18 @@ class PlanShapeSpec extends SparkSpec {
       "epoch-order head should not plan a full range-partitioned sort")
   }
 
+  test("no registered query plans a pathological expression tree") {
+    // the codegen-blowup class of regression (an inlined HOF tree per
+    // consumer — hit d15 and the pre-native weather kernels): every
+    // query's executed plan must stay bounded
+    val sizes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, dir).queryExecution.executedPlan.toString.length
+    }
+    val offenders = sizes.filter(_._2 > 300000)
+    assert(offenders.isEmpty,
+      s"oversized plans: ${offenders.map { case (n, l) => s"$n=$l" }.mkString(", ")}")
+  }
+
   test("sequence packing: window partitions by shard — no single-partition window") {
     val plan = planOf("d18_seq_packing")
     assert(plan.contains("Window"), "packing should plan a window")
