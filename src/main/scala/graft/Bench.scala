@@ -218,9 +218,22 @@ object Bench {
     results("kernel_batch_168k_factorized") = time(kernelBatch168kFactorized(spark))
     results("map_with_safety_168k") = time(mapWithSafety168k(spark))
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // The harness that collects this output keeps only the last ~2000 chars,
+    // so order the line for tail visibility: suite queries fastest-first
+    // (the slowest — the diagnostic ones — land inside the window), headline
+    // kernels after them, and the metric/value header at the END of the
+    // object (JSON key order is semantically irrelevant). Values at ms
+    // precision keep the line compact; timing noise is far coarser anyway.
+    val headlineKeys = Seq(
+      "predict_single_route", "predict_10_concurrent", "kernel_batch_168k",
+      "kernel_batch_168k_pruned", "kernel_batch_incremental_100new",
+      "kernel_batch_168k_factorized", "map_with_safety_168k")
+    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    val suite = results.toSeq.filterNot(kv => headlineKeys.contains(kv._1)).sortBy(_._2)
+    val ordered = suite ++ headlineKeys.flatMap(k => results.get(k).map(k -> _))
+    val qs = ordered.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}""")
     spark.stop()
   }
 }

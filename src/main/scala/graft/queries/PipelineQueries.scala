@@ -54,6 +54,25 @@ object PipelineQueries {
       .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("gram"))
   }
 
+  /** PII-redaction surface shared by the d20 query and its spec: the corpus
+    * has no real PII, so emails/phones are PLANTED deterministically (same
+    * construction in both engines) and then redacted — the regex machinery
+    * under test is real. Patterns stay inside the RE2 ∩ Java-regex dialect
+    * (no backrefs/lookaround) so Spark and DuckDB match identically.
+    */
+  private[queries] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  private[queries] def plantedPii(text: org.apache.spark.sql.Column,
+      docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      text,
+      lit(" contact user"), docId.cast("string"),
+      lit("@mail"), (docId % 7).cast("string"), lit(".example.com"),
+      when(docId % 3 =!= 0,
+        concat(lit(" call +1-555-"), lpad((docId % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+
   /** Exact token-set Jaccard for every (id_a < id_b) pair of the doc_id<40
     * subset — shared by d04 (pair dump) and d10 (clustering input).
     */
@@ -413,6 +432,64 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // --- duplicate-span fraction (Dolma/Gopher-style dup signal) -----------
+    // Per document: the fraction of its DISTINCT word n-gram spans that
+    // also occur in at least one OTHER document — the cross-document twin
+    // of d14's within-document repetition (d14 asks "does this doc repeat
+    // itself", d19 asks "is this doc made of corpus boilerplate"). Span
+    // length is a pipeline parameter; 3 here so the synthetic vocabulary
+    // actually collides. Scale shape: span df is a key-partitioned agg on
+    // the gram (vocabulary scales — never broadcast, exactly like d12's
+    // df side); the per-doc ratio re-aggregates by doc. Self-counting is
+    // avoided by counting DOCS per gram, not occurrences.
+    "d19_dup_spans" -> ((s, dir) => {
+      val grams = docTrigrams(s, dir).distinct() // per-doc distinct spans
+      val df = grams.groupBy("gram").agg(count(lit(1)).as("n_docs_with"))
+      grams.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("n_docs_with") >= 2, 1).otherwise(0)).as("n_dup_spans"))
+        // IEEE ratio of exact ints — bit-identical across engines unrounded
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          (col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+            .as("dup_span_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // --- PII detection + redaction (planted, then scrubbed) ----------------
+    // The standard pre-training scrub: regex email/phone detection and
+    // replacement. Pure map-side projection — at 100 TB this runs at scan
+    // throughput with zero shuffle (the orderBy is only for the oracle
+    // dump). The md5 of the redacted text makes the oracle sensitive to
+    // every byte of the replacement semantics, not just the counts.
+    "d20_pii_redact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), plantedPii(col("text"), col("doc_id")).as("txt"))
+        .select(col("doc_id"),
+          regexp_count(col("txt"), lit(EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("txt"), lit(PhoneRe)).cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("txt"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // --- per-domain quota cap (training-mix governance) --------------------
+    // Keep at most 10 docs per source, preferring the longest — the "no
+    // single domain dominates the mix" cap applied after quality filtering.
+    // Rank-filter BEFORE any collect; the window shuffles by source only,
+    // so parallelism is the domain count and a skewed mega-domain costs
+    // one partition, not a global sort (cap-per-key never needs one).
+    "d21_domain_quota" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .where(col("rank") <= 10)
+        .orderBy("source", "rank")
+    }),
+
     // --- sequence packing (concat-and-chunk) -------------------------------
     // Pretraining batch construction: each shard's token stream is
     // concatenated in deterministic doc order and chunked into 512-token
@@ -742,6 +819,58 @@ object PipelineQueries {
         |FROM rep
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    // same 3-gram spans as d14/d15's oracles; df counts DOCS per gram
+    "d19_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(generate_series(1, n - 2),
+        |                i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+        |  FROM t WHERE n >= 3),
+        |df AS (SELECT gram, count(*) AS n_docs_with FROM g GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_spans,
+        |       CAST(sum(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_spans,
+        |       CAST(sum(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS dup_span_ratio
+        |FROM g JOIN df USING (gram)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // same planted construction; 'g' = replace ALL matches (Spark's
+    // default). DuckDB single-quoted strings keep backslashes literal, so
+    // interpolating the Scala pattern hands RE2 the same source as Java.
+    "d20_pii_redact" -> {
+      val email = EmailRe
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+         |         CAST(doc_id % 7 AS VARCHAR) || '.example.com' ||
+         |         CASE WHEN doc_id % 3 <> 0
+         |              THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |              ELSE '' END AS txt
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(txt, '$email')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(txt, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |       md5(regexp_replace(regexp_replace(txt, '$email', '<EMAIL>', 'g'),
+         |                          '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+         |FROM p
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "d21_domain_quota" ->
+      """SELECT source, doc_id, n_chars, rank FROM (
+        |  SELECT source, doc_id, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |              ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rank
+        |  FROM documents)
+        |WHERE rank <= 10
+        |ORDER BY source, rank""".stripMargin,
 
     // shard-local running offsets → chunk ids; both engines floor the same
     // exact-integer ratio

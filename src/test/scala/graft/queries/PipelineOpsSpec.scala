@@ -50,6 +50,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(enSrc == enCopies && enSrc < src("en"))
   }
 
+  test("d19: dup-span ratio in [0,1], and the corpus has real collisions") {
+    val out = PipelineQueries.queries("d19_dup_spans")(spark, dir)
+      .select("n_spans", "n_dup_spans", "dup_span_ratio").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0), "dup spans cannot exceed total spans")
+      val ratio = r.getDouble(2)
+      assert(ratio >= 0.0 && ratio <= 1.0, s"ratio $ratio out of range")
+    }
+    assert(out.exists(_.getLong(1) > 0),
+      "3-gram spans collide across the synthetic corpus (d15 relies on the same)")
+  }
+
+  test("d20: every planted email/phone is found, and redaction removes them") {
+    val docs = graft.Tables.documents(spark, dir)
+    val planted = docs.select(col("doc_id"),
+      PipelineQueries.plantedPii(col("text"), col("doc_id")).as("txt"))
+    val redacted = planted.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("txt"), PipelineQueries.EmailRe, "<EMAIL>"),
+        PipelineQueries.PhoneRe, "<PHONE>").as("txt"))
+    // detection: exactly one planted email; phone iff doc_id % 3 != 0
+    PipelineQueries.queries("d20_pii_redact")(spark, dir).collect().foreach { r =>
+      assert(r.getLong(1) == 1L, s"doc ${r.getLong(0)}: email not found")
+      val expPhones = if (r.getLong(0) % 3 != 0) 1L else 0L
+      assert(r.getLong(2) == expPhones, s"doc ${r.getLong(0)}: phone count")
+    }
+    // scrub: no residual matches and the placeholder is present
+    val resid = redacted.where(
+      regexp_count(col("txt"), lit(PipelineQueries.EmailRe)) > 0 ||
+        regexp_count(col("txt"), lit(PipelineQueries.PhoneRe)) > 0).count()
+    assert(resid == 0L, "redacted text still matches a PII pattern")
+    assert(redacted.where(!col("txt").contains("<EMAIL>")).count() == 0L)
+  }
+
+  test("d21: at most 10 docs per source, ranked by length then id") {
+    val out = PipelineQueries.queries("d21_domain_quota")(spark, dir).collect()
+    val bySource = out.groupBy(_.getString(0))
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length <= 10, s"$src over quota")
+      assert(rows.map(_.getInt(3)).toSeq == (1 to rows.length), s"$src ranks not contiguous")
+      val chars = rows.sortBy(_.getInt(3)).map(_.getLong(2)).toSeq
+      assert(chars == chars.sorted.reverse, s"$src not ordered by n_chars desc")
+    }
+  }
+
   test("d18: chunks conserve tokens per shard and pack near capacity") {
     val docs = graft.Tables.documents(spark, dir)
       .select((col("doc_id") % 8).as("shard"),
