@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{And, Expression, GreaterThanOrEqual, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+import graft.expr.GeoWithinKm
+
+/** Catalyst optimizer rule: spatial radius predicates become data-skipping
+  * range predicates.
+  *
+  * `Filter(geo_within_km(lat, lon, cLat, cLon, r))` is a black box to every
+  * downstream machinery — parquet row-group stats, partition pruning,
+  * z-order file skipping all need plain `col <op> literal` comparisons.
+  * This rule conjoins the predicate's implied bounding box
+  * (SURVEY O12 / F3, `geo_utils.py:102-139`):
+  *
+  * `lat BETWEEN cLat±Δlat AND lon BETWEEN cLon±Δlon AND geo_within_km(...)`
+  *
+  * The exact haversine check stays — the box only over-approximates the
+  * circle, so the rewrite is semantics-preserving (lossless). The injected
+  * comparisons then ride the normal operator-optimization batch: pushed
+  * through projects, folded, and — on a [[graft.expr.GeoExprs.mortonKey]]
+  * z-clustered layout — turned into file/row-group skips, which is the
+  * difference between scanning 100 TB and scanning the files around one
+  * mountain (GeoLayoutSpec measures the skip rate).
+  *
+  * Conservative bounds (box must contain the whole spherical cap):
+  *  - Δlat = r/111.0 — 111.0 km/° underestimates the true 111.195 km/°, so
+  *    the delta over-covers.
+  *  - Δlon = r/(111.0·cos(φ_edge)) with φ_edge = |cLat|+Δlat, the box's most
+  *    poleward latitude. The cap's true max longitude extent
+  *    `asin(sin(r/R)/cos(cLat))` occurs at a latitude *between* center and
+  *    edge, where the cosine is strictly larger — so the edge cosine bounds
+  *    it from above.
+  *  - Near poles (φ_edge ≥ 89.9°) or when the box would cross the ±180°
+  *    antimeridian, the rule injects nothing (the exact predicate alone is
+  *    still correct; such scans are vanishingly rare and inherently global
+  *    in longitude).
+  *
+  * Applies only when center and radius are foldable literals (the
+  * interactive predict shape — one center per query) and lat/lon are
+  * deterministic. The `bboxApplied` tag keeps the rule idempotent inside
+  * Catalyst's fixed-point batch.
+  *
+  * Registered via [[graft.sql.GraftExtensions]] (injectOptimizerRule → runs
+  * inside the operator-optimization batch, before predicate pushdown) or on
+  * a live session through `spark.experimental.extraOptimizations` (end of
+  * optimization — still above the relation for the common scan→filter
+  * shape, so V1 parquet pushdown picks the box up during physical planning).
+  */
+object SpatialBboxRule extends Rule[LogicalPlan] {
+
+  /** An untagged radius predicate with a literal center/radius — the shape
+    * the rule can act on. Non-literal centers are left untouched (not even
+    * tagged): constant folding inside the same fixed-point batch may still
+    * turn them into literals on a later iteration.
+    */
+  private def injectable(e: Expression): Boolean = e match {
+    case GeoWithinKm(lat, lon, Literal(_, DoubleType), Literal(_, DoubleType),
+        Literal(r: Double, DoubleType), false) =>
+      lat.deterministic && lon.deterministic && r >= 0
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, _) if cond.exists(injectable) =>
+      f.copy(condition = injectBoxes(cond))
+  }
+
+  private def injectBoxes(cond: Expression): Expression = cond.transform {
+    case g @ GeoWithinKm(lat, lon,
+        Literal(cLat: Double, DoubleType), Literal(cLon: Double, DoubleType),
+        Literal(r: Double, DoubleType), false)
+        if lat.deterministic && lon.deterministic && r >= 0 =>
+      val tagged = g.copy(bboxApplied = true)
+      val dLat = r / 111.0
+      val latEdge = math.abs(cLat) + dLat
+      if (latEdge >= 89.9) tagged
+      else {
+        val dLon = r / (111.0 * math.cos(math.toRadians(latEdge)))
+        if (cLon - dLon <= -180.0 || cLon + dLon >= 180.0) tagged
+        else {
+          val box = And(
+            And(GreaterThanOrEqual(lat, Literal(cLat - dLat, DoubleType)),
+              LessThanOrEqual(lat, Literal(cLat + dLat, DoubleType))),
+            And(GreaterThanOrEqual(lon, Literal(cLon - dLon, DoubleType)),
+              LessThanOrEqual(lon, Literal(cLon + dLon, DoubleType))))
+          And(box, tagged)
+        }
+      }
+  }
+}

@@ -182,6 +182,22 @@ object KernelQueries {
         .orderBy("route_id", "target_date")
     }),
 
+    // S2 spatial radius scan through the NATIVE predicate + optimizer rule:
+    // geo_within_km is one Catalyst node, so SpatialBboxRule injects the
+    // implied lat/lon range predicates (parquet-pushable, z-order-skippable
+    // at 100 TB — SpatialBboxRuleSpec proves pushdown + losslessness); the
+    // DuckDB oracle re-derives the same rows from the raw haversine.
+    "k20_geo_radius" -> ((s, dir) => {
+      graft.sql.GraftFunctions.register(s)
+      Derived.routes(s, dir)
+        .where(graft.expr.GeoWithinKm.geoWithinKm(
+          col("lat"), col("lon"), lit(40.0), lit(-115.0), lit(350.0)))
+        .select(col("route_id"), col("lat"), col("lon"),
+          round(GeoExprs.haversineKm(col("lat"), col("lon"), lit(40.0), lit(-115.0)), 6)
+            .as("dist_km"))
+        .orderBy("route_id")
+    }),
+
     // §2.7 + A7: the kernel with EXTREME-WEATHER AMPLIFICATION — archive
     // stats (A6) → per-route-bucket multiplier (A7) broadcast onto the
     // route side, per-accident assembled similarity (S4→A5) on the
@@ -302,6 +318,15 @@ object KernelQueries {
          |FROM winfl
          |GROUP BY route_id, target_date
          |ORDER BY route_id, target_date""".stripMargin),
+
+    // the filter predicate itself is unrounded in both engines (grid-spaced
+    // synthetic coordinates sit ≫ 1 ulp from the 350 km cutoff)
+    "k20_geo_radius" -> withDomain(
+      s"""SELECT route_id, lat, lon,
+         |       round(${Sql.haversine("lat", "lon", "40.0", "-115.0")}, 6) AS dist_km
+         |FROM routes
+         |WHERE ${Sql.haversine("lat", "lon", "40.0", "-115.0")} <= 350.0
+         |ORDER BY route_id""".stripMargin),
 
     "k14_kernel_weather" -> withDomain(
       s""", ${WeatherQueries.assembledSimilarityCtes},

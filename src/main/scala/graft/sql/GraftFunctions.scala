@@ -4,7 +4,8 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{DotProductD, GradeParser, SimHash63, WeatherPatternSimilarity}
+import graft.expr.{DotProductD, GeoWithinKm, GradeParser, SimHash63, WeatherPatternSimilarity}
+import graft.plans.SpatialBboxRule
 
 /** SQL-surface registration for the engine's custom functions.
   *
@@ -27,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("weather_similarity"),
       new ExpressionInfo(classOf[WeatherPatternSimilarity].getName, "weather_similarity"),
       (exprs: Seq[Expression]) => WeatherPatternSimilarity(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("geo_within_km"),
+      new ExpressionInfo(classOf[GeoWithinKm].getName, "geo_within_km"),
+      (exprs: Seq[Expression]) =>
+        GeoWithinKm(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))))
+    // bbox injection for geo_within_km filters — inside the operator-
+    // optimization batch, so the injected ranges get pushed/folded normally
+    ext.injectOptimizerRule(_ => SpatialBboxRule)
   }
 }
 
@@ -41,5 +50,12 @@ object GraftFunctions {
       exprs => SimHash63(exprs.head))
     bridge.registerFunction(spark, "weather_similarity",
       exprs => WeatherPatternSimilarity(exprs.head, exprs(1)))
+    bridge.registerFunction(spark, "geo_within_km",
+      exprs => GeoWithinKm(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4)))
+    // live-session twin of injectOptimizerRule (runs as the optimizer's
+    // final user batch — still above the scan for the filter-on-scan shape)
+    if (!spark.experimental.extraOptimizations.contains(SpatialBboxRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SpatialBboxRule
   }
 }
