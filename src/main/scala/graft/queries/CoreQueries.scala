@@ -431,6 +431,46 @@ object CoreQueries {
         .orderBy("event_type", "day")
     }),
 
+    // --- as-of join (most recent snapshot at-or-before each event) --------
+    // The classic operator Spark has no built-in for. Naive form: a range
+    // join (ts >= snap_ts) + argmax — O(events × snapshots-per-user) pair
+    // blowup. This is the scale-canonical form instead: UNION the two
+    // sides, one shuffle by key, one within-partition sort, and
+    // `last(..., ignoreNulls)` over a running frame picks the newest
+    // snapshot seen so far — O(n log n) per key, no pair explosion, works
+    // at any snapshot density. At equal timestamps the snapshot sorts
+    // FIRST (is_snap desc), matching the >= as-of convention. Oracle:
+    // DuckDB's native ASOF JOIN — an entirely different algorithm
+    // (per-key binary search) that must produce the same rows.
+    "q28_asof_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      // deterministic snapshot table: 8 per user, staggered by user
+      val snaps = ev.select(col("user_id")).distinct()
+        .crossJoin(s.range(8).select(col("id").as("k")))
+        .select(col("user_id"),
+          timestamp_seconds(lit(1704067200L) + // 2024-01-01T00:00:00Z
+            (col("k") * 96 + col("user_id") % 24) * 3600).as("snap_ts"),
+          (col("user_id") * 10 + col("k")).as("score"))
+      val tagged = snaps.select(col("user_id"), col("snap_ts").as("t"),
+          lit(1).as("is_snap"), lit(null).cast("long").as("event_id"),
+          col("score"), col("snap_ts"))
+        .unionByName(ev.select(col("user_id"), col("ts").as("t"),
+          lit(0).as("is_snap"), col("event_id"),
+          lit(null).cast("long").as("score"),
+          lit(null).cast("timestamp").as("snap_ts")))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t").asc, col("is_snap").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("eff_score", last("score", ignoreNulls = true).over(w))
+        .withColumn("eff_snap", last("snap_ts", ignoreNulls = true).over(w))
+        .where(col("is_snap") === 0 && col("eff_score").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          col("eff_score").as("score"), col("eff_snap").as("snap_ts"))
+        .orderBy("event_id")
+    }),
+
     // --- tumbling 1-hour windows (batch twin of the streaming window) -----
     "q18_hourly_windows" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -442,6 +482,22 @@ object CoreQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // native ASOF JOIN — per-key binary search vs the Spark side's
+    // union + running-last window; the same (event → newest snapshot ≤ ts)
+    // relation from two unrelated algorithms
+    "q28_asof_join" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+        |snaps AS (
+        |  SELECT user_id,
+        |         make_timestamp((1704067200 + (k * 96 + user_id % 24) * 3600) * 1000000)
+        |           AS snap_ts,
+        |         user_id * 10 + k AS score
+        |  FROM users, range(8) t(k))
+        |SELECT e.event_id, e.user_id, s.score, s.snap_ts
+        |FROM events e ASOF JOIN snaps s
+        |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts
+        |ORDER BY e.event_id""".stripMargin,
+
     "q02_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
         |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
