@@ -228,7 +228,9 @@ object Bench {
       "predict_single_route", "predict_10_concurrent", "kernel_batch_168k",
       "kernel_batch_168k_pruned", "kernel_batch_incremental_100new",
       "kernel_batch_168k_factorized", "map_with_safety_168k")
-    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    def fmt(v: Double) = // Locale.ROOT: a comma-decimal default locale would break the JSON
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val suite = results.toSeq.filterNot(kv => headlineKeys.contains(kv._1)).sortBy(_._2)
     val ordered = suite ++ headlineKeys.flatMap(k => results.get(k).map(k -> _))
     val qs = ordered.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

@@ -3,11 +3,11 @@ package graft.expr
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, Predicate}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** `geo_within_km(lat, lon, center_lat, center_lon, radius_km)` — the
   * spatial radius predicate (S2, `backend/app/api/v1/predict.py:440-486`'s
@@ -33,10 +33,17 @@ import org.apache.spark.sql.types.DoubleType
 case class GeoWithinKm(lat: Expression, lon: Expression,
     centerLat: Expression, centerLon: Expression, radiusKm: Expression,
     bboxApplied: Boolean = false)
-  extends Expression with Predicate {
+  extends Expression with Predicate with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(lat, lon, centerLat, centerLon, radiusKm)
   override def nullable: Boolean = children.exists(_.nullable)
+
+  /** Analyzer-driven coercion: SQL callers can pass decimal literals
+    * (`40.0` parses as DECIMAL(3,1)) or float columns and get the double
+    * cast for free — same behavior the Column factory applies explicitly.
+    */
+  // (Seq[DataType] refines Seq[AbstractDataType]; the parent type is private[sql])
+  override def inputTypes: Seq[DataType] = Seq.fill(5)(DoubleType)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (children.forall(_.dataType == DoubleType)) TypeCheckResult.TypeCheckSuccess

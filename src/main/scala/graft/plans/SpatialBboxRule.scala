@@ -64,16 +64,30 @@ object SpatialBboxRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, _) if cond.exists(injectable) =>
-      f.copy(condition = injectBoxes(cond))
+  /** Only TOP-LEVEL conjuncts of the Filter condition are rewritten. Under
+    * a Filter, `g` → `box AND g` can at worst turn a NULL predicate into
+    * FALSE — both drop the row, so conjunct position is three-valued-logic
+    * safe even with nullable coordinates. Anywhere else (under NOT / OR /
+    * CASE) the NULL→FALSE flip is observable (`NOT(NULL)` drops the row,
+    * `NOT(FALSE)` keeps it), so nested occurrences are left untouched.
+    */
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
   }
 
-  private def injectBoxes(cond: Expression): Expression = cond.transform {
-    case g @ GeoWithinKm(lat, lon,
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, _) if splitAnd(cond).exists(injectable) =>
+      f.copy(condition = splitAnd(cond).map {
+        case g: GeoWithinKm if injectable(g) => injectBox(g)
+        case other => other
+      }.reduce(And))
+  }
+
+  private def injectBox(g: GeoWithinKm): Expression = (g: @unchecked) match {
+    case GeoWithinKm(lat, lon,
         Literal(cLat: Double, DoubleType), Literal(cLon: Double, DoubleType),
-        Literal(r: Double, DoubleType), false)
-        if lat.deterministic && lon.deterministic && r >= 0 =>
+        Literal(r: Double, DoubleType), false) =>
       val tagged = g.copy(bboxApplied = true)
       val dLat = r / 111.0
       val latEdge = math.abs(cLat) + dLat

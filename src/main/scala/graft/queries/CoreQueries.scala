@@ -24,6 +24,15 @@ object CoreQueries {
   private def moneySumSql(e: String, scale: Long): String =
     s"CAST(coalesce(sum(CAST(round(($e) * $scale) AS BIGINT)), 0) AS DOUBLE) / $scale.0"
 
+  /** q28's derived snapshot table, one set of constants for both engines. */
+  private object AsofSnapshots {
+    val EpochSec = 1704067200L // 2024-01-01T00:00:00Z
+    val SpacingH = 96          // hours between a user's snapshots
+    val StaggerModH = 24       // per-user stagger offset (hours)
+    val SnapsPerUser = 8
+    val ScoreScale = 10        // score = user_id * ScoreScale + k
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- S1/P1/P2: scan + filter + projection (pushdown-friendly) ---------
@@ -444,14 +453,15 @@ object CoreQueries {
     // (per-key binary search) that must produce the same rows.
     "q28_asof_join" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      import AsofSnapshots._
       val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
-      // deterministic snapshot table: 8 per user, staggered by user
+      // deterministic snapshot table: SnapsPerUser per user, staggered
       val snaps = ev.select(col("user_id")).distinct()
-        .crossJoin(s.range(8).select(col("id").as("k")))
+        .crossJoin(s.range(SnapsPerUser).select(col("id").as("k")))
         .select(col("user_id"),
-          timestamp_seconds(lit(1704067200L) + // 2024-01-01T00:00:00Z
-            (col("k") * 96 + col("user_id") % 24) * 3600).as("snap_ts"),
-          (col("user_id") * 10 + col("k")).as("score"))
+          timestamp_seconds(lit(EpochSec) +
+            (col("k") * SpacingH + col("user_id") % StaggerModH) * 3600).as("snap_ts"),
+          (col("user_id") * ScoreScale + col("k")).as("score"))
       val tagged = snaps.select(col("user_id"), col("snap_ts").as("t"),
           lit(1).as("is_snap"), lit(null).cast("long").as("event_id"),
           col("score"), col("snap_ts"))
@@ -484,19 +494,22 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     // native ASOF JOIN — per-key binary search vs the Spark side's
     // union + running-last window; the same (event → newest snapshot ≤ ts)
-    // relation from two unrelated algorithms
-    "q28_asof_join" ->
-      """WITH users AS (SELECT DISTINCT user_id FROM events),
-        |snaps AS (
-        |  SELECT user_id,
-        |         make_timestamp((1704067200 + (k * 96 + user_id % 24) * 3600) * 1000000)
-        |           AS snap_ts,
-        |         user_id * 10 + k AS score
-        |  FROM users, range(8) t(k))
-        |SELECT e.event_id, e.user_id, s.score, s.snap_ts
-        |FROM events e ASOF JOIN snaps s
-        |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts
-        |ORDER BY e.event_id""".stripMargin,
+    // relation from two unrelated algorithms (constants shared via
+    // AsofSnapshots so the two sides cannot drift)
+    "q28_asof_join" -> {
+      import AsofSnapshots._
+      s"""WITH users AS (SELECT DISTINCT user_id FROM events),
+         |snaps AS (
+         |  SELECT user_id,
+         |         make_timestamp(($EpochSec + (k * $SpacingH + user_id % $StaggerModH) * 3600)
+         |                        * 1000000) AS snap_ts,
+         |         user_id * $ScoreScale + k AS score
+         |  FROM users, range($SnapsPerUser) t(k))
+         |SELECT e.event_id, e.user_id, s.score, s.snap_ts
+         |FROM events e ASOF JOIN snaps s
+         |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts
+         |ORDER BY e.event_id""".stripMargin
+    },
 
     "q02_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,

@@ -63,14 +63,24 @@ object PipelineQueries {
   private[queries] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[queries] val PhoneRe = "\\+1-555-[0-9]{4}"
 
+  // planted-text pieces, shared by the Column form and the oracle SQL so
+  // they cannot drift (the queries-package shared-constants convention)
+  private val PiiContact = " contact user"
+  private val PiiDomainPre = "@mail"
+  private val PiiDomainSuf = ".example.com"
+  private val PiiCall = " call +1-555-"
+  private val PiiMailMod = 7
+  private val PiiPhoneSkipMod = 3 // doc_id % this == 0 → no phone planted
+  private val PiiPhoneDigitsMod = 10000
+
   private[queries] def plantedPii(text: org.apache.spark.sql.Column,
       docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(
       text,
-      lit(" contact user"), docId.cast("string"),
-      lit("@mail"), (docId % 7).cast("string"), lit(".example.com"),
-      when(docId % 3 =!= 0,
-        concat(lit(" call +1-555-"), lpad((docId % 10000).cast("string"), 4, "0")))
+      lit(PiiContact), docId.cast("string"),
+      lit(PiiDomainPre), (docId % PiiMailMod).cast("string"), lit(PiiDomainSuf),
+      when(docId % PiiPhoneSkipMod =!= 0,
+        concat(lit(PiiCall), lpad((docId % PiiPhoneDigitsMod).cast("string"), 4, "0")))
         .otherwise(lit("")))
 
   /** Exact token-set Jaccard for every (id_a < id_b) pair of the doc_id<40
@@ -848,10 +858,10 @@ object PipelineQueries {
       val email = EmailRe
       s"""WITH p AS (
          |  SELECT doc_id,
-         |         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' ||
-         |         CAST(doc_id % 7 AS VARCHAR) || '.example.com' ||
-         |         CASE WHEN doc_id % 3 <> 0
-         |              THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |         text || '$PiiContact' || CAST(doc_id AS VARCHAR) || '$PiiDomainPre' ||
+         |         CAST(doc_id % $PiiMailMod AS VARCHAR) || '$PiiDomainSuf' ||
+         |         CASE WHEN doc_id % $PiiPhoneSkipMod <> 0
+         |              THEN '$PiiCall' || lpad(CAST(doc_id % $PiiPhoneDigitsMod AS VARCHAR), 4, '0')
          |              ELSE '' END AS txt
          |  FROM documents)
          |SELECT doc_id,

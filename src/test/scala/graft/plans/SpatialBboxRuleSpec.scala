@@ -64,6 +64,22 @@ class SpatialBboxRuleSpec extends SparkSpec {
     assert(viaRule.nonEmpty)
   }
 
+  test("negated predicate with null coords: no injection, 3VL preserved") {
+    // under NOT, g → (box AND g) would turn NULL into FALSE and NOT(FALSE)
+    // into TRUE — keeping rows the un-rewritten query drops. The rule must
+    // only touch top-level Filter conjuncts.
+    val df = registered.range(3).select(
+      col("id"),
+      when(col("id") === 1, lit(null)).otherwise(lit(80.0)).cast("double").as("lat"),
+      when(col("id") === 2, lit(null)).otherwise(lit(10.0)).cast("double").as("lon"))
+    val q = df.where(!GeoWithinKm.geoWithinKm(
+      col("lat"), col("lon"), lit(40.0), lit(-105.0), lit(100.0)))
+    val ids = q.select("id").collect().map(_.getLong(0)).toSet
+    // id 0 is far outside the radius (NOT true → kept); ids 1/2 have a null
+    // coordinate (predicate NULL, NOT(NULL) = NULL → dropped)
+    assert(ids == Set(0L), s"3VL broken: got $ids")
+  }
+
   test("polar and antimeridian centers skip injection but stay correct") {
     for ((cLat, cLon) <- Seq((89.7, 10.0), (45.0, 179.95))) {
       val df = points(cLat, cLon)
@@ -78,8 +94,10 @@ class SpatialBboxRuleSpec extends SparkSpec {
   }
 
   test("injected box reaches the parquet scan as pushed filters") {
-    val dir = java.nio.file.Files.createTempDirectory("geo_pushdown").toString
+    val dirPath = java.nio.file.Files.createTempDirectory("geo_pushdown")
+    val dir = dirPath.toString
     points(40.0, -105.0).write.mode("overwrite").parquet(dir)
+    try {
     val q = registered.read.parquet(dir).where(GeoWithinKm.geoWithinKm(
       col("lat"), col("lon"), lit(40.0), lit(-105.0), lit(200.0)))
     val physical = q.queryExecution.executedPlan.toString
@@ -94,6 +112,11 @@ class SpatialBboxRuleSpec extends SparkSpec {
       GeoExprs.haversineKm(col("lat"), col("lon"), lit(40.0), lit(-105.0)) <= 200.0)
       .count()
     assert(q.count() == exact && exact > 0)
+    } finally { // don't accumulate parquet temp dirs across runs
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("SQL surface: geo_within_km is callable and rule-optimized") {
