@@ -481,6 +481,22 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // --- exact distinct via custom bitmap aggregate ------------------------
+    // bitmap_distinct is a TypedImperativeAggregate: fixed-size BitSet
+    // state set map-side, OR-merged across partitions — the bounded-id
+    // warehouse trick that replaces count(DISTINCT)'s expand + value
+    // re-shuffle with one small buffer per (group × partition). Exact, so
+    // the DuckDB count(DISTINCT) oracle must match to the row.
+    "q29_bitmap_distinct" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          graft.expr.BitmapDistinct.bitmapDistinct(col("user_id"), 1 << 20)
+            .as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+
     // --- tumbling 1-hour windows (batch twin of the streaming window) -----
     "q18_hourly_windows" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -510,6 +526,12 @@ object CoreQueries {
          |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts
          |ORDER BY e.event_id""".stripMargin
     },
+
+    "q29_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q02_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{DotProductD, GeoWithinKm, GradeParser, SimHash63, WeatherPatternSimilarity}
+import graft.expr.{BitmapDistinct, DotProductD, GeoWithinKm, GradeParser, SimHash63, WeatherPatternSimilarity}
 import graft.plans.SpatialBboxRule
 
 /** SQL-surface registration for the engine's custom functions.
@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GeoWithinKm].getName, "geo_within_km"),
       (exprs: Seq[Expression]) =>
         GeoWithinKm(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))))
+    ext.injectFunction((
+      FunctionIdentifier("bitmap_distinct"),
+      new ExpressionInfo(classOf[BitmapDistinct].getName, "bitmap_distinct"),
+      (exprs: Seq[Expression]) => BitmapDistinct(exprs(0), exprs(1))))
     // bbox injection for geo_within_km filters — inside the operator-
     // optimization batch, so the injected ranges get pushed/folded normally
     ext.injectOptimizerRule(_ => SpatialBboxRule)
@@ -52,6 +56,8 @@ object GraftFunctions {
       exprs => WeatherPatternSimilarity(exprs.head, exprs(1)))
     bridge.registerFunction(spark, "geo_within_km",
       exprs => GeoWithinKm(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4)))
+    bridge.registerFunction(spark, "bitmap_distinct",
+      exprs => BitmapDistinct(exprs(0), exprs(1)))
     // live-session twin of injectOptimizerRule (runs as the optimizer's
     // final user batch — still above the scan for the filter-on-scan shape)
     if (!spark.experimental.extraOptimizations.contains(SpatialBboxRule))
