@@ -500,6 +500,21 @@ object PipelineQueries {
         .orderBy("source", "rank")
     }),
 
+    // --- corpus heavy hitters (exact top-k frequent terms) -----------------
+    // The exact form of the frequent-items problem: one explode + hash agg
+    // keyed on the term (vocabulary-scalable, never broadcast) and a
+    // TakeOrderedAndProject top-25 — no global sort. The sketch scale path
+    // is Spark's built-in `stat.freqItems` (Karp/Misra-Gries); its
+    // superset guarantee vs this exact answer is pinned in
+    // PipelineOpsSpec. Ties rank deterministically (count desc, term asc).
+    "d22_heavy_hitters" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(TextExprs.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc)
+        .limit(25)
+    }),
+
     // --- sequence packing (concat-and-chunk) -------------------------------
     // Pretraining batch construction: each shard's token stream is
     // concatenated in deterministic doc order and chunked into 512-token
@@ -829,6 +844,13 @@ object PipelineQueries {
         |FROM rep
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    "d22_heavy_hitters" ->
+      """SELECT term, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term
+        |ORDER BY n DESC, term ASC
+        |LIMIT 25""".stripMargin,
 
     // same 3-gram spans as d14/d15's oracles; df counts DOCS per gram
     "d19_dup_spans" ->

@@ -95,6 +95,22 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("d22: freqItems (Misra-Gries sketch) is a superset of the exact heavy hitters") {
+    val docs = graft.Tables.documents(spark, dir)
+    val toks = docs.select(explode(split(col("text"), " ")).as("term"))
+    val total = toks.count()
+    val support = 0.02
+    val sketch = toks.stat.freqItems(Array("term"), support)
+      .head().getSeq[String](0).toSet
+    // guarantee: every term with frequency > support*total must be returned
+    val mustHave = PipelineQueries.queries("d22_heavy_hitters")(spark, dir)
+      .collect().filter(_.getLong(1) > (support * total).toLong)
+      .map(_.getString(0)).toSet
+    assert(mustHave.nonEmpty, "corpus should have >2% heavy hitters")
+    assert(mustHave.subsetOf(sketch),
+      s"freqItems missed exact heavy hitters: ${mustHave -- sketch}")
+  }
+
   test("d18: chunks conserve tokens per shard and pack near capacity") {
     val docs = graft.Tables.documents(spark, dir)
       .select((col("doc_id") % 8).as("shard"),
