@@ -84,25 +84,37 @@ object SpatialBboxRule extends Rule[LogicalPlan] {
       }.reduce(And))
   }
 
+  /** The conservative box for a cap at (cLat, cLon) with radius r km —
+    * `Some((latLo, latHi, lonLo, lonHi))`, or None when injection must be
+    * skipped (polar edge / antimeridian crossing). Public so the
+    * losslessness property (every point of the cap falls inside the box)
+    * is testable directly against the same arithmetic the rule emits.
+    */
+  def boxBounds(cLat: Double, cLon: Double, r: Double): Option[(Double, Double, Double, Double)] = {
+    val dLat = r / 111.0
+    val latEdge = math.abs(cLat) + dLat
+    if (latEdge >= 89.9) None
+    else {
+      val dLon = r / (111.0 * math.cos(math.toRadians(latEdge)))
+      if (cLon - dLon <= -180.0 || cLon + dLon >= 180.0) None
+      else Some((cLat - dLat, cLat + dLat, cLon - dLon, cLon + dLon))
+    }
+  }
+
   private def injectBox(g: GeoWithinKm): Expression = (g: @unchecked) match {
     case GeoWithinKm(lat, lon,
         Literal(cLat: Double, DoubleType), Literal(cLon: Double, DoubleType),
         Literal(r: Double, DoubleType), false) =>
       val tagged = g.copy(bboxApplied = true)
-      val dLat = r / 111.0
-      val latEdge = math.abs(cLat) + dLat
-      if (latEdge >= 89.9) tagged
-      else {
-        val dLon = r / (111.0 * math.cos(math.toRadians(latEdge)))
-        if (cLon - dLon <= -180.0 || cLon + dLon >= 180.0) tagged
-        else {
+      boxBounds(cLat, cLon, r) match {
+        case None => tagged
+        case Some((latLo, latHi, lonLo, lonHi)) =>
           val box = And(
-            And(GreaterThanOrEqual(lat, Literal(cLat - dLat, DoubleType)),
-              LessThanOrEqual(lat, Literal(cLat + dLat, DoubleType))),
-            And(GreaterThanOrEqual(lon, Literal(cLon - dLon, DoubleType)),
-              LessThanOrEqual(lon, Literal(cLon + dLon, DoubleType))))
+            And(GreaterThanOrEqual(lat, Literal(latLo, DoubleType)),
+              LessThanOrEqual(lat, Literal(latHi, DoubleType))),
+            And(GreaterThanOrEqual(lon, Literal(lonLo, DoubleType)),
+              LessThanOrEqual(lon, Literal(lonHi, DoubleType))))
           And(box, tagged)
-        }
       }
   }
 }

@@ -111,6 +111,33 @@ class PlanShapeSpec extends SparkSpec {
       s"oversized plans: ${offenders.map { case (n, l) => s"$n=$l" }.mkString(", ")}")
   }
 
+  test("as-of join: union + keyed window — events shuffle once, by user") {
+    val plan = planOf("q28_asof_join")
+    assert(plan.contains("Union"), "as-of should plan the union form")
+    assert(plan.contains("Window"), "as-of needs the running-last window")
+    // one hash exchange on the join key feeds the window (the snapshot-dim
+    // generator's tiny users×8 broadcast cross join is fine — it never
+    // touches the events side); a range-join regression would replace the
+    // union+window with a join of events against snapshots
+    assert(plan.contains("Exchange hashpartitioning(user_id"),
+      "window input is not key-partitioned by user")
+    assert(!plan.contains("CartesianProduct"),
+      "as-of regressed to a pair-explosion join")
+    assert(!plan.contains("SinglePartition"),
+      "as-of window collapsed to one partition")
+  }
+
+  test("bitmap distinct: ObjectHashAggregate with a partial map-side phase") {
+    val plan = planOf("q29_bitmap_distinct")
+    // TypedImperativeAggregate plans as ObjectHashAggregate; two phases =
+    // map-side partial buffers, merged after one exchange
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      "bitmap aggregate lost its partial (map-side) phase")
+    assert(!plan.contains("Expand"),
+      "bitmap distinct must not fall back to count-distinct expand")
+  }
+
   test("sequence packing: window partitions by shard — no single-partition window") {
     val plan = planOf("d18_seq_packing")
     assert(plan.contains("Window"), "packing should plan a window")

@@ -119,6 +119,43 @@ class SpatialBboxRuleSpec extends SparkSpec {
     }
   }
 
+  test("property: the box contains the ENTIRE cap for random centers/radii") {
+    // worst case is the cap BOUNDARY: walk the destination-point formula
+    // around the circle at exactly r and require every boundary point
+    // inside the box. 2000 random configs × 64 bearings, plus interior
+    // points via smaller radii. Seeded — failures reproduce.
+    val rnd = new scala.util.Random(20260813)
+    val R = graft.expr.GeoExprs.EarthRadiusKm
+    var tested = 0
+    (1 to 2000).foreach { _ =>
+      val cLat = rnd.nextDouble() * 178.0 - 89.0
+      val cLon = rnd.nextDouble() * 360.0 - 180.0
+      val r = math.pow(10.0, rnd.nextDouble() * 3.3) // 1 .. ~2000 km
+      SpatialBboxRule.boxBounds(cLat, cLon, r).foreach {
+        case (latLo, latHi, lonLo, lonHi) =>
+          tested += 1
+          val d = r / R
+          (0 until 64).foreach { i =>
+            val th = i * math.Pi / 32.0
+            val f1 = math.toRadians(cLat)
+            val lat2 = math.asin(math.sin(f1) * math.cos(d) +
+              math.cos(f1) * math.sin(d) * math.cos(th))
+            val lon2 = math.toRadians(cLon) + math.atan2(
+              math.sin(th) * math.sin(d) * math.cos(f1),
+              math.cos(d) - math.sin(f1) * math.sin(lat2))
+            val (pLat, pLon) = (math.toDegrees(lat2), math.toDegrees(lon2))
+            // boundary points can land across ±180 only if the box did too,
+            // which boxBounds rejects — so pLon needs no wrapping here
+            assert(pLat >= latLo - 1e-9 && pLat <= latHi + 1e-9,
+              s"cap boundary lat $pLat outside [$latLo, $latHi] (c=($cLat,$cLon), r=$r)")
+            assert(pLon >= lonLo - 1e-9 && pLon <= lonHi + 1e-9,
+              s"cap boundary lon $pLon outside [$lonLo, $lonHi] (c=($cLat,$cLon), r=$r)")
+          }
+      }
+    }
+    assert(tested > 1000, s"only $tested configs were injectable — generator broken?")
+  }
+
   test("SQL surface: geo_within_km is callable and rule-optimized") {
     registered
     points(40.0, -105.0).createOrReplaceTempView("geo_pts")
