@@ -119,6 +119,47 @@ class SpatialBboxRuleSpec extends SparkSpec {
     }
   }
 
+  test("on a z-sorted layout the injected box SKIPS row groups — scan output shrinks") {
+    // end-to-end 100 TB story: mortonKey-sorted files have tight lat/lon
+    // row-group stats; the rule's pushed range predicates let the parquet
+    // reader skip whole row groups, so the radius query's scan emits a
+    // fraction of the table. The un-assisted haversine filter (no rule
+    // node) scans everything — that's the measured difference.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dirPath = java.nio.file.Files.createTempDirectory("geo_zskip")
+    val dir = dirPath.toString
+    val n = 200000L
+    registered.range(n).select(
+      col("id"),
+      (lit(35.0) + (col("id") % 2000) / 100.0).as("lat"),
+      (lit(-125.0) + ((col("id") * 7919) % 3000) / 100.0).as("lon"))
+      .withColumn("z", graft.expr.GeoExprs.mortonKey(col("lat"), col("lon"), 16))
+      .repartitionByRange(8, col("z")).sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(dir)
+    def scannedRows(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      q.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // stable metric access
+    try {
+      val withRule = scannedRows(spark.read.parquet(dir).where(
+        GeoWithinKm.geoWithinKm(col("lat"), col("lon"), lit(40.0), lit(-110.0), lit(30.0))))
+      val noRule = scannedRows(spark.read.parquet(dir).where(
+        GeoExprs.haversineKm(col("lat"), col("lon"), lit(40.0), lit(-110.0)) <= 30.0))
+      assert(noRule == n, s"control should scan the whole table, got $noRule")
+      assert(withRule < n / 2,
+        s"box pushdown skipped nothing: scanned $withRule of $n")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("property: the box contains the ENTIRE cap for random centers/radii") {
     // worst case is the cap BOUNDARY: walk the destination-point formula
     // around the circle at exactly r and require every boundary point
