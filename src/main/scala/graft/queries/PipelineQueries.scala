@@ -515,6 +515,60 @@ object PipelineQueries {
         .limit(25)
     }),
 
+    // --- the full corpus-construction funnel (ops COMPOSED end-to-end) -----
+    // What a real pretraining data pipeline runs as one job: exact dedup →
+    // eval-set removal + decontamination → cross-doc boilerplate filter →
+    // per-domain quota → seed-stable sampling, reporting the survivor count
+    // after every stage. Each stage is the documented scale shape of its
+    // standalone op (d01/d15/d19/d21/d13); the funnel proves they compose.
+    // Quota ranks are computed on the SURVIVORS of the preceding stages,
+    // like a real pipeline (not on the raw corpus).
+    "d23_corpus_funnel" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // s1: exact-dedup keepers (min doc_id per text hash)
+      val keepers = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val s1 = docs.join(keepers, "doc_id")
+      // s2: drop the eval slice itself and training docs contaminated > 0.2
+      val contaminated = docTrigrams(s, dir).distinct()
+        .where(col("doc_id") % 23 =!= 0)
+        .join(broadcast(docTrigrams(s, dir).distinct()
+          .where(col("doc_id") % 23 === 0).select("gram").distinct()
+          .withColumn("__hit", lit(1))), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg((count(col("__hit")).cast("double") / count(lit(1))).as("c"))
+        .where(col("c") > 0.2).select("doc_id")
+      val s2 = s1.where(col("doc_id") % 23 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      // s3: drop cross-corpus boilerplate (dup-span ratio > 0.6 on the
+      // ORIGINAL corpus — df stats don't shift as the funnel narrows)
+      val grams = docTrigrams(s, dir).distinct()
+      val boilerplate = grams
+        .join(grams.groupBy("gram").agg(count(lit(1)).as("d")), "gram")
+        .groupBy("doc_id")
+        .agg((sum(when(col("d") >= 2, 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("r"))
+        .where(col("r") > 0.6).select("doc_id")
+      val s3 = s2.join(boilerplate, Seq("doc_id"), "left_anti")
+      // s4: per-domain quota over the survivors
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val s4 = s3.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+      // s5: the d13 sampling gates
+      val gate = SampleGates.map { case (lang, hexGate) =>
+        (col("lang") === lang) &&
+          (substring(md5(col("doc_id").cast("string")), 1, 4) < hexGate)
+      }.reduce(_ || _)
+      val s5 = s4.where(gate)
+      val stages = Seq("0_all" -> docs, "1_dedup" -> s1, "2_decontam" -> s2,
+        "3_boilerplate" -> s3, "4_quota" -> s4.drop("rk"), "5_sample" -> s5)
+      stages.map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("n_chars"), lit(0L)).as("n_chars"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_chars"))
+      }.reduce(_ unionByName _).orderBy("stage")
+    }),
+
     // --- sequence packing (concat-and-chunk) -------------------------------
     // Pretraining batch construction: each shard's token stream is
     // concatenated in deterministic doc order and chunked into 512-token
@@ -903,6 +957,52 @@ object PipelineQueries {
         |  FROM documents)
         |WHERE rank <= 10
         |ORDER BY source, rank""".stripMargin,
+
+    // the composed funnel: every stage re-derived relationally, same
+    // thresholds, same d13 gates
+    "d23_corpus_funnel" -> {
+      val gates = SampleGates.map { case (lang, hexGate) =>
+        s"(lang = '$lang' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '$hexGate')"
+      }.mkString(" OR ")
+      s"""WITH tri AS (
+         |  SELECT doc_id,
+         |         unnest(list_distinct(list_transform(generate_series(1, n - 2),
+         |                i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+         |               len(string_split(text, ' ')) AS n
+         |        FROM documents) WHERE n >= 3),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |s1 AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+         |ev AS (SELECT DISTINCT gram FROM tri WHERE doc_id % 23 = 0),
+         |contam AS (
+         |  SELECT t.doc_id
+         |  FROM tri t LEFT JOIN (SELECT gram, 1 AS hit FROM ev) e USING (gram)
+         |  WHERE t.doc_id % 23 <> 0
+         |  GROUP BY t.doc_id
+         |  HAVING CAST(count(e.hit) AS DOUBLE) / count(*) > 0.2),
+         |s2 AS (SELECT * FROM s1
+         |       WHERE doc_id % 23 <> 0
+         |         AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |bp AS (
+         |  SELECT t.doc_id
+         |  FROM tri t JOIN (SELECT gram, count(*) AS d FROM tri GROUP BY 1) g USING (gram)
+         |  GROUP BY t.doc_id
+         |  HAVING CAST(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) > 0.6),
+         |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM bp)),
+         |s4 AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |            ORDER BY n_chars DESC, doc_id ASC) AS rk FROM s3) WHERE rk <= 10),
+         |s5 AS (SELECT * FROM s4 WHERE $gates)
+         |SELECT stage, n_docs, n_chars FROM (
+         |  SELECT '0_all' AS stage, count(*) AS n_docs,
+         |         CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS n_chars FROM documents
+         |  UNION ALL SELECT '1_dedup', count(*), CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s1
+         |  UNION ALL SELECT '2_decontam', count(*), CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s2
+         |  UNION ALL SELECT '3_boilerplate', count(*), CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s3
+         |  UNION ALL SELECT '4_quota', count(*), CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s4
+         |  UNION ALL SELECT '5_sample', count(*), CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s5)
+         |ORDER BY stage""".stripMargin
+    },
 
     // shard-local running offsets → chunk ids; both engines floor the same
     // exact-integer ratio

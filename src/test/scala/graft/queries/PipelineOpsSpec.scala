@@ -111,6 +111,20 @@ class PipelineOpsSpec extends SparkSpec {
       s"freqItems missed exact heavy hitters: ${mustHave -- sketch}")
   }
 
+  test("d23: funnel stages only narrow, start at the corpus, end non-empty") {
+    val rows = PipelineQueries.queries("d23_corpus_funnel")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(
+      "0_all", "1_dedup", "2_decontam", "3_boilerplate", "4_quota", "5_sample"))
+    val counts = rows.map(_._2).toSeq
+    assert(counts.head == graft.Tables.documents(spark, dir).count())
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"funnel grew at some stage: $counts")
+    assert(counts.last > 0, "the pipeline filtered everything out")
+    val chars = rows.map(_._3).toSeq
+    assert(chars.zip(chars.tail).forall { case (a, b) => b <= a })
+  }
+
   test("d18: chunks conserve tokens per shard and pack near capacity") {
     val docs = graft.Tables.documents(spark, dir)
       .select((col("doc_id") % 8).as("shard"),
