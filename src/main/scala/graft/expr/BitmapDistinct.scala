@@ -43,7 +43,15 @@ case class BitmapDistinct(child: Expression, maxIdExpr: Expression,
         s"bitmap_distinct requires an int/long id column, got ${child.dataType}")
     else if (maxIdExpr.dataType != IntegerType || !maxIdExpr.foldable)
       TypeCheckResult.TypeCheckFailure("bitmap_distinct max_id must be an int literal")
-    else TypeCheckResult.TypeCheckSuccess
+    else maxIdExpr.eval(null) match {
+      // reject at analysis: a NULL literal would unbox to 0 and fail every
+      // row at runtime with a misleading range error (or silently return 0
+      // on an all-null id column)
+      case null => TypeCheckResult.TypeCheckFailure("bitmap_distinct max_id must not be null")
+      case m: Integer if m <= 0 =>
+        TypeCheckResult.TypeCheckFailure(s"bitmap_distinct max_id must be positive, got $m")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
 
   override def createAggregationBuffer(): JBitSet = new JBitSet()
 

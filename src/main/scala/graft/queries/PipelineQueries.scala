@@ -523,50 +523,76 @@ object PipelineQueries {
     // standalone op (d01/d15/d19/d21/d13); the funnel proves they compose.
     // Quota ranks are computed on the SURVIVORS of the preceding stages,
     // like a real pipeline (not on the raw corpus).
+    // SINGLE-PASS shape: instead of re-deriving every funnel prefix (which
+    // executes stage k's lineage 6-k times), each doc is tagged with the
+    // FURTHEST stage it survives — every heavy set (dedup keepers,
+    // contaminated ids, boilerplate ids) computes once, the quota rank
+    // among prior-stage survivors is a conditional running count (a
+    // row_number over a filtered set, without filtering), and the funnel
+    // counts come from one tiny stage-dim fan-out over the tagged docs.
     "d23_corpus_funnel" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      // s1: exact-dedup keepers (min doc_id per text hash)
+      val grams = docTrigrams(s, dir).distinct()
       val keepers = docs.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-      val s1 = docs.join(keepers, "doc_id")
-      // s2: drop the eval slice itself and training docs contaminated > 0.2
-      val contaminated = docTrigrams(s, dir).distinct()
-        .where(col("doc_id") % 23 =!= 0)
-        .join(broadcast(docTrigrams(s, dir).distinct()
-          .where(col("doc_id") % 23 === 0).select("gram").distinct()
-          .withColumn("__hit", lit(1))), Seq("gram"), "left")
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(1).as("__keep"))
+      // training docs sharing > 20% of their distinct grams with the eval
+      // slice (doc_id % 23 == 0)
+      val contaminated = grams.where(col("doc_id") % 23 =!= 0)
+        .join(broadcast(grams.where(col("doc_id") % 23 === 0)
+          .select("gram").distinct().withColumn("__hit", lit(1))),
+          Seq("gram"), "left")
         .groupBy("doc_id")
         .agg((count(col("__hit")).cast("double") / count(lit(1))).as("c"))
-        .where(col("c") > 0.2).select("doc_id")
-      val s2 = s1.where(col("doc_id") % 23 =!= 0)
-        .join(contaminated, Seq("doc_id"), "left_anti")
-      // s3: drop cross-corpus boilerplate (dup-span ratio > 0.6 on the
-      // ORIGINAL corpus — df stats don't shift as the funnel narrows)
-      val grams = docTrigrams(s, dir).distinct()
+        .where(col("c") > 0.2).select(col("doc_id"), lit(1).as("__contam"))
+      // cross-corpus boilerplate: dup-span ratio > 0.6 on the ORIGINAL
+      // corpus (df stats don't shift as the funnel narrows)
       val boilerplate = grams
         .join(grams.groupBy("gram").agg(count(lit(1)).as("d")), "gram")
         .groupBy("doc_id")
         .agg((sum(when(col("d") >= 2, 1).otherwise(0)).cast("double") /
           count(lit(1))).as("r"))
-        .where(col("r") > 0.6).select("doc_id")
-      val s3 = s2.join(boilerplate, Seq("doc_id"), "left_anti")
-      // s4: per-domain quota over the survivors
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
-        .orderBy(col("n_chars").desc, col("doc_id").asc)
-      val s4 = s3.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
-      // s5: the d13 sampling gates
+        .where(col("r") > 0.6).select(col("doc_id"), lit(1).as("__boiler"))
       val gate = SampleGates.map { case (lang, hexGate) =>
         (col("lang") === lang) &&
           (substring(md5(col("doc_id").cast("string")), 1, 4) < hexGate)
       }.reduce(_ || _)
-      val s5 = s4.where(gate)
-      val stages = Seq("0_all" -> docs, "1_dedup" -> s1, "2_decontam" -> s2,
-        "3_boilerplate" -> s3, "4_quota" -> s4.drop("rk"), "5_sample" -> s5)
-      stages.map { case (name, df) =>
-        df.agg(count(lit(1)).as("n_docs"),
+      val tagged = docs
+        .join(keepers, Seq("doc_id"), "left")
+        .join(contaminated.select("doc_id", "__contam"), Seq("doc_id"), "left")
+        .join(boilerplate.select("doc_id", "__boiler"), Seq("doc_id"), "left")
+      // quota rank among stage-3 survivors: running count of survivors in
+      // quota order — for surviving rows this IS their row_number over the
+      // filtered set, computed without materializing the filter
+      val surv3 = col("__keep").isNotNull && col("doc_id") % 23 =!= 0 &&
+        col("__contam").isNull && col("__boiler").isNull
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val reached = tagged
+        .withColumn("rk", sum(when(surv3, 1).otherwise(0)).over(w))
+        .withColumn("reached",
+          when(col("__keep").isNull, 0)
+            .when(col("doc_id") % 23 === 0 || col("__contam").isNotNull, 1)
+            .when(col("__boiler").isNotNull, 2)
+            .when(col("rk") > 10, 3)
+            .when(!gate, 4)
+            .otherwise(5))
+      val stageName = Seq("0_all", "1_dedup", "2_decontam", "3_boilerplate",
+        "4_quota", "5_sample")
+      val stagesDim = s.range(6).select(col("id").cast("int").as("k"))
+      stagesDim
+        .join(reached.select("doc_id", "n_chars", "reached"),
+          col("reached") >= col("k"), "left")
+        .groupBy("k")
+        .agg(count(col("doc_id")).as("n_docs"),
           coalesce(sum("n_chars"), lit(0L)).as("n_chars"))
-          .select(lit(name).as("stage"), col("n_docs"), col("n_chars"))
-      }.reduce(_ unionByName _).orderBy("stage")
+        .select(
+          stageName.zipWithIndex.foldLeft(when(lit(false), lit(""))) {
+            case (acc, (n, i)) => acc.when(col("k") === i, n)
+          }.otherwise("?").as("stage"),
+          col("n_docs"), col("n_chars"))
+        .orderBy("stage")
     }),
 
     // --- sequence packing (concat-and-chunk) -------------------------------

@@ -143,6 +143,7 @@ class SpatialBboxRuleSpec extends SparkSpec {
         .collect { case s: FileSourceScanExec => s }
         .map(_.metrics("numOutputRows").value).sum
     }
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false") // stable metric access
     try {
       val withRule = scannedRows(spark.read.parquet(dir).where(
@@ -153,7 +154,7 @@ class SpatialBboxRuleSpec extends SparkSpec {
       assert(withRule < n / 2,
         s"box pushdown skipped nothing: scanned $withRule of $n")
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
