@@ -46,15 +46,29 @@ object KernelPruning {
 
   private val KmPerDegLat = 111.0
 
-  /** Grid-cell assignment: (latCell, lonCell) with cell size ≥ the prune
-    * radius in degrees. `maxAbsLat` bounds the longitude shrinkage so the
-    * lon cell size stays conservative at high latitude.
+  /** Longitude cell COUNT for a prune radius: the largest count whose
+    * uniform cell width (360/count degrees) still covers the radius at
+    * `maxAbsLat`. A count that divides 360 evenly is what makes the
+    * antimeridian seam safe — every cell has the same width, so ±1
+    * wrap-around neighbors always cover the radius (a non-dividing cell
+    * size would leave a narrow final cell through which an in-radius pair
+    * could sit two cells apart).
+    */
+  private def lonCells(radiusKm: Double, maxAbsLat: Double): Long = {
+    val minDeg = radiusKm / (KmPerDegLat * math.cos(math.toRadians(maxAbsLat)))
+    math.max(1L, math.floor(360.0 / minDeg).toLong)
+  }
+
+  /** Grid-cell assignment: (latCell, lonCell). Latitude cells are plain
+    * floor-buckets (no wrap); longitude cells index a uniform [0, n) ring
+    * so the accident fan-out can wrap modulo n across ±180°.
     */
   private def cellIds(lat: Column, lon: Column, radiusKm: Double,
                       maxAbsLat: Double): (Column, Column) = {
     val latDeg = radiusKm / KmPerDegLat
-    val lonDeg = radiusKm / (KmPerDegLat * math.cos(math.toRadians(maxAbsLat)))
-    (floor(lat / latDeg).cast("long"), floor(lon / lonDeg).cast("long"))
+    val n = lonCells(radiusKm, maxAbsLat)
+    val lonCell = pmod(floor((lon + 180.0) / (360.0 / n)).cast("long"), lit(n))
+    (floor(lat / latDeg).cast("long"), lonCell)
   }
 
   /** The pruned pair stream: same columns as SafetyKernel.pairInfluence,
@@ -67,8 +81,11 @@ object KernelPruning {
                           floor: Double = SafetyKernel.SignificanceFloor,
                           maxAbsLat: Double = 72.0): DataFrame = {
     val r = pruneRadiusKm(floor)
+    val nLon = lonCells(r, maxAbsLat)
     val (rLatCell, rLonCell) = cellIds(col("lat"), col("lon"), r, maxAbsLat)
-    val routesCelled = SafetyKernel.enrichRoutes(routes)
+    // balanced like the exact path: a single-split routes scan would run
+    // the whole pruned kernel on one core (graft.Partitioning.balanced)
+    val routesCelled = SafetyKernel.enrichRoutes(graft.Partitioning.balanced(routes))
       .withColumn("__cell_lat", rLatCell)
       .withColumn("__cell_lon", rLonCell)
 
@@ -79,7 +96,9 @@ object KernelPruning {
       .withColumn("__dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("__dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("__cell_lat", col("__a_cell_lat") + col("__dlat"))
-      .withColumn("__cell_lon", col("__a_cell_lon") + col("__dlon"))
+      // wrap-around: the lon ring is uniform, so modulo adjacency is exact
+      // across the ±180° seam
+      .withColumn("__cell_lon", pmod(col("__a_cell_lon") + col("__dlon"), lit(nLon)))
       .drop("__a_cell_lat", "__a_cell_lon", "__dlat", "__dlon")
 
     val joined = routesCelled.join(broadcast(accCelled), Seq("__cell_lat", "__cell_lon"))
@@ -106,10 +125,19 @@ object KernelPruning {
     * prune radius are re-attached with risk 0 (the exact kernel gives them
     * a sub-floor positive risk; both round to green/0-ish, and the serving
     * layer treats missing as 0 — documented divergence below the floor).
+    *
+    * DOMAIN: losslessness above the floor holds for |lat| ≤ `maxAbsLat`
+    * (default 72° — raise it for polar data at the cost of more lon
+    * cells). Longitude wraps correctly across ±180° (uniform cell ring,
+    * modulo fan-out). Rows beyond `maxAbsLat` can silently miss in-radius
+    * pairs — route polar workloads through the exact kernel or a higher
+    * `maxAbsLat`.
     */
   def scoreRoutesPruned(routes: DataFrame, accidents: DataFrame, planDate: Column,
-                        floor: Double = SafetyKernel.SignificanceFloor): DataFrame = {
-    val scored = SafetyKernel.scoreRoutes(pairInfluencePruned(routes, accidents, planDate, floor))
+                        floor: Double = SafetyKernel.SignificanceFloor,
+                        maxAbsLat: Double = 72.0): DataFrame = {
+    val scored = SafetyKernel.scoreRoutes(
+      pairInfluencePruned(routes, accidents, planDate, floor, maxAbsLat))
     routes.select("route_id").join(scored, Seq("route_id"), "left")
       .na.fill(Map("total_influence" -> 0.0, "n_contributing" -> 0L, "risk_score" -> 0.0))
       .na.fill(Map("color_code" -> "green"))

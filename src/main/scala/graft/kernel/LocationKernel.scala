@@ -133,6 +133,17 @@ object LocationKernel {
     * location row at all) are re-attached with risk 0 / green — same
     * contract as KernelPruning.scoreRoutesPruned: the nightly upsert must
     * overwrite their previous scores with 0, not leave them stale.
+    *
+    * DOCUMENTED DIVERGENCE (faithful to the reference's own two paths):
+    * `n_contributing` here counts every pair surviving the BASE-grain
+    * significance floor — `location_safety_computation.py:490-491` counts
+    * `route_influence > 0`, and type/grade weights are always positive, so
+    * the reference's batch path counts exactly the post-base-floor pairs.
+    * The exact kernel (`SafetyKernel.scoreRoutes`, mirroring
+    * `safety_algorithm.py`) instead counts FINAL influence above the
+    * floor, so a pair with base 2e-6 × adjustments 0.05 = 1e-7 counts
+    * here but not there. Do not compare `n_contributing` across the two
+    * paths; totals and risk agree up to the documented floor bound.
     */
   def scoreRoutesViaLocations(routes: DataFrame, locations: DataFrame,
                               accidents: DataFrame, targetDate: Column): DataFrame = {

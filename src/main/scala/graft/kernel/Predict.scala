@@ -138,8 +138,14 @@ object Predict {
       WeatherExprs.MinWeatherDaysRequired
     if (!curValid) return predict(spark, req, accidents, topK)
 
-    val withPat = accidents
-      .join(WeatherAssembly.assemblePatterns(weatherRows, accidents),
+    // P6 gate FIRST (it needs only a_lat/a_lon/acc_type), mirroring the
+    // reference's order (gate at predict.py:132-173, weather at :533+):
+    // the hottest prep path — pattern assembly + similarity — then runs
+    // only over accidents the kernel will actually see. predict() re-gates
+    // idempotently.
+    val gated = gateAccidents(req, accidents)
+    val withPat = gated
+      .join(WeatherAssembly.assemblePatterns(weatherRows, gated),
         Seq("accident_id"), "left")
       .crossJoin(broadcast(cur.select("cur_pattern")))
     val simmed = withPat.withColumn("__ws",

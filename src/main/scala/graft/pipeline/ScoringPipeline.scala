@@ -25,12 +25,14 @@ object ScoringPipeline {
     * `prediction_date` (the partition column).
     */
   def computeDailyScores(routes: DataFrame, accidents: DataFrame,
-                         dates: Seq[String]): DataFrame =
+                         dates: Seq[String]): DataFrame = {
+    require(dates.nonEmpty, "computeDailyScores: empty dates list")
     dates.map { d =>
       SafetyKernel.scoreRoutes(routes, accidents, to_date(lit(d)))
         .withColumn("prediction_date", to_date(lit(d)))
         .withColumn("calculated_at", current_timestamp())
     }.reduce(_ unionByName _)
+  }
 
   /** Write scores with dynamic partition overwrite (upsert-by-partition,
     * S9). Re-running a date replaces exactly that date's partition.
@@ -134,9 +136,17 @@ object ScoringPipeline {
   def applyAccidentDelta(oldScores: DataFrame, routes: DataFrame,
                          newAccidents: DataFrame,
                          planDate: org.apache.spark.sql.Column,
-                         pruned: Boolean = false): DataFrame =
-    applyDeltaTotals(oldScores,
-      accidentDeltaTotals(routes, newAccidents, planDate, pruned))
+                         pruned: Boolean = false): DataFrame = {
+    val delta = accidentDeltaTotals(routes, newAccidents, planDate, pruned)
+    // a multi-date scores table: the delta is computed FOR planDate, so it
+    // must land only on that date's rows — joining on route alone would
+    // silently add it to every date of the route
+    if (oldScores.columns.contains("prediction_date"))
+      applyDeltaTotals(oldScores,
+        delta.withColumn("prediction_date", to_date(planDate)),
+        Seq("route_id", "prediction_date"))
+    else applyDeltaTotals(oldScores, delta)
+  }
 
   /** The per-route delta a set of new accidents contributes:
     * (route_id, d_total, d_n). With `pruned`, only in-radius routes carry

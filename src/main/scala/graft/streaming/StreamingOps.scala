@@ -64,9 +64,25 @@ object StreamingOps {
             val tsUs = e.ts.getTime * 1000
             val cents = math.round(e.value * 100)
             cur match {
-              case Some(s) if tsUs - s.lastTsUs <= SessionGapUs =>
-                cur = Some(s.copy(lastTsUs = tsUs, nEvents = s.nEvents + 1,
+              // Within gap of the open session's span (events between start
+              // and last always chain; a cross-batch LATE event within gap
+              // of the start chains backwards). lastTs takes max() so a
+              // late event can never REGRESS the session clock — regressing
+              // would mis-split on the next in-order event.
+              case Some(s) if tsUs - s.lastTsUs <= SessionGapUs &&
+                  tsUs >= s.sessionStartUs - SessionGapUs =>
+                cur = Some(s.copy(
+                  sessionStartUs = math.min(s.sessionStartUs, tsUs),
+                  lastTsUs = math.max(s.lastTsUs, tsUs),
+                  nEvents = s.nEvents + 1,
                   totalValueCents = s.totalValueCents + cents))
+              // STALE: older than the open session's reach — it belongs to
+              // some closed earlier session whose output is already final;
+              // emit it as its own singleton rather than corrupting the
+              // open session's state (batch parity for such events needs
+              // event-time windows; this is the bounded-damage choice).
+              case Some(s) if tsUs < s.sessionStartUs - SessionGapUs =>
+                out += closed(userId, SessionState(tsUs, tsUs, 1, cents))
               case Some(s) =>
                 out += closed(userId, s)
                 cur = Some(SessionState(tsUs, tsUs, 1, cents))
@@ -289,10 +305,16 @@ object StreamingOps {
   def foldedBatchIds(fs: org.apache.hadoop.fs.FileSystem, deltaPath: String): Set[Long] = {
     val p = markerPath(deltaPath)
     if (!fs.exists(p)) return Set.empty
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in).getLines().filter(_.nonEmpty)
-      .map(_.toLong).toSet
-    finally in.close()
+    def readOne(f: org.apache.hadoop.fs.Path): Set[Long] = {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in).getLines().filter(_.nonEmpty)
+        .map(_.toLong).toSet
+      finally in.close()
+    }
+    if (fs.getFileStatus(p).isFile) readOne(p) // legacy single-file marker
+    else fs.listStatus(p).toSeq.filter(_.isFile)
+      .filterNot(_.getPath.getName.endsWith(".tmp"))
+      .map(s => readOne(s.getPath)).foldLeft(Set.empty[Long])(_ ++ _)
   }
 
   /** Forget the folded-batch ids — REQUIRED when re-creating the ingest
@@ -301,21 +323,41 @@ object StreamingOps {
   def clearFoldedMarker(spark: org.apache.spark.sql.SparkSession, deltaPath: String): Unit = {
     val p = markerPath(deltaPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, false)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 
+  /** The marker is an APPEND-ONLY directory of id files and readers union
+    * them all: each record writes a NEW complete-set file (temp → rename),
+    * and only after it exists are older files pruned. There is no instant
+    * at which the recorded set shrinks — the previous delete-target-then-
+    * rename scheme had a crash window (between delete and rename) that
+    * lost the entire marker and disarmed the replay guard for every
+    * previously folded batch.
+    */
   private def recordFolded(fs: org.apache.hadoop.fs.FileSystem, deltaPath: String,
                            ids: Set[Long]): Unit = {
-    // write-temp-then-rename: an in-place truncate would lose EVERY
-    // previously recorded id if the write crashed midway, silently
-    // disarming the replay guard for all older batches
-    val target = markerPath(deltaPath)
-    val tmp = new org.apache.hadoop.fs.Path(target.getParent, target.getName + ".tmp")
+    val dir = markerPath(deltaPath)
+    // one-time migration of a legacy single-file marker: merge its ids and
+    // replace the file with the directory layout
+    val all =
+      if (fs.exists(dir) && fs.getFileStatus(dir).isFile) {
+        val legacy = foldedBatchIds(fs, deltaPath)
+        fs.delete(dir, false)
+        ids ++ legacy
+      } else ids
+    fs.mkdirs(dir)
+    val name = s"ids-${java.util.UUID.randomUUID()}"
+    val tmp = new org.apache.hadoop.fs.Path(dir, name + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(ids.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    try out.write(all.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(target)) fs.delete(target, false)
-    require(fs.rename(tmp, target), s"marker rename failed: $tmp -> $target")
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, name)),
+      s"marker rename failed in $dir")
+    // prune superseded files — best-effort, crash here leaves extras whose
+    // union is still correct
+    fs.listStatus(dir).toSeq.filter(_.isFile)
+      .filter(s => s.getPath.getName != name)
+      .foreach(s => fs.delete(s.getPath, false))
   }
 
   /** The `ingest_batch=N` partitions currently in the log. */
@@ -337,12 +379,18 @@ object StreamingOps {
                        baseScores: DataFrame, deltaPath: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(deltaPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (batchPartitions(fs, new org.apache.hadoop.fs.Path(deltaPath)).isEmpty)
-      return baseScores
+    val parts = batchPartitions(fs, new org.apache.hadoop.fs.Path(deltaPath))
+    // exclude partitions already folded into the base: after a compaction
+    // crash between the marker write and the partition deletion, a folded
+    // partition can linger on disk — summing it on top of a base that
+    // already contains it would double-count until the next compaction
+    val live = parts.filterNot(foldedBatchIds(fs, deltaPath).contains)
+    if (live.isEmpty) return baseScores
     val keys =
       if (baseScores.columns.contains("prediction_date")) Seq("route_id", "prediction_date")
       else Seq("route_id")
     val deltas = spark.read.parquet(deltaPath)
+      .where(col("ingest_batch").isin(live: _*))
       .groupBy(keys.map(col): _*)
       .agg(sum("d_total").as("d_total"), sum("d_n").as("d_n"))
     graft.pipeline.ScoringPipeline.applyDeltaTotals(baseScores, deltas, keys)
@@ -379,12 +427,14 @@ object StreamingOps {
         .where(col("ingest_batch").isin(toFold: _*))
         .groupBy("route_id", "prediction_date")
         .agg(sum("d_total").as("d_total"), sum("d_n").as("d_n"))
+      // no checkpoint here: mergeScores checkpoints the merged frame (which
+      // subsumes this one) before any write, breaking the read-overwrite
+      // lineage once instead of materializing the same rows twice
       val touched = graft.pipeline.ScoringPipeline.applyDeltaTotals(
         spark.read.parquet(basePath)
           .join(deltas.select("route_id", "prediction_date"),
             Seq("route_id", "prediction_date"), "left_semi"),
         deltas, Seq("route_id", "prediction_date"))
-        .localCheckpoint() // the merge overwrites partitions this plan reads
       graft.pipeline.ScoringPipeline.mergeScores(spark, touched, basePath)
       recordFolded(fs, deltaPath, folded ++ toFold)
     }

@@ -143,6 +143,39 @@ class ScoringPipelineSpec extends SparkSpec {
     }
   }
 
+  test("applyAccidentDelta on a multi-date table updates only the plan date") {
+    val newAcc = Seq(
+      (2, 40.2, -105.1, Some(2800.0), "alpine", "serious", "2024-06-01", Some(9.5)))
+      .toDF("accident_id", "a_lat", "a_lon", "a_elev", "acc_type", "severity_raw", "d", "a_difficulty")
+      .withColumn("a_date", to_date(col("d"))).drop("d")
+    val dates = Seq("2024-07-15", "2024-07-16")
+    val multi = ScoringPipeline.computeDailyScores(routes, accidents, dates)
+    val updated = ScoringPipeline.applyAccidentDelta(
+      multi, routes, newAcc, to_date(lit("2024-07-15")))
+      .select(col("route_id"), col("prediction_date").cast("string").as("d"),
+        col("risk_score"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val before = multi
+      .select(col("route_id"), col("prediction_date").cast("string").as("d"),
+        col("risk_score"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    routes.select("route_id").collect().map(_.getLong(0)).foreach { id =>
+      // pre-fix, the route-only join added the 07-15 delta to BOTH dates
+      assert(updated((id, "2024-07-16")) == before((id, "2024-07-16")),
+        s"route $id: other date's score was touched")
+      assert(updated((id, "2024-07-15")) > before((id, "2024-07-15")),
+        s"route $id: plan date did not absorb the delta")
+    }
+    // and the plan-date rows equal a full recompute with both accidents
+    val full = graft.kernel.SafetyKernel.scoreRoutes(
+      routes, accidents.unionByName(newAcc), to_date(lit("2024-07-15")))
+      .select("route_id", "risk_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    full.foreach { case (id, r) =>
+      assert(math.abs(updated((id, "2024-07-15")) - r) < 1e-9, s"route $id")
+    }
+  }
+
   test("pruned delta touches only routes near the new accident") {
     import spark.implicits._
     val routes = (1L to 500L).map { i =>

@@ -69,6 +69,45 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: a cross-batch late event never regresses the session clock") {
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: events at t=60 and t=70 (open session, lastTs = 70)
+      mem.addData(Event(1, ts(60), 9, "view", 1.0), Event(2, ts(70), 9, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: LATE event at t=45 — within gap of session start (60):
+      // chains backwards, must NOT set lastTs back to 45
+      mem.addData(Event(3, ts(45), 9, "view", 1.0))
+      q.processAllAvailable()
+      // batch 3: event at t=95 — 25 min after the true lastTs (70): same
+      // session. Pre-fix, lastTs had regressed to 45 so 95-45=50min > gap
+      // would wrongly split here.
+      mem.addData(Event(4, ts(95), 9, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("late_sessions").as[SessionOut].collect().isEmpty,
+        "no session should have closed — all four events chain")
+      // batch 4: event far in the future closes the one merged session
+      mem.addData(Event(5, ts(200), 9, "view", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("late_sessions").as[SessionOut].collect()
+      assert(closed.length == 1 && closed.head.n_events == 4,
+        s"expected one 4-event session, got ${closed.toSeq}")
+      assert(closed.head.session_start_us == ts(45).getTime * 1000,
+        "late event should extend the session start backwards")
+      // batch 5: a STALE event older than the open session's reach is
+      // emitted as its own singleton, leaving the open session intact
+      mem.addData(Event(6, ts(100), 9, "view", 2.5))
+      q.processAllAvailable()
+      val stale = spark.table("late_sessions").as[SessionOut].collect()
+        .filter(_.session_start_us == ts(100).getTime * 1000)
+      assert(stale.length == 1 && stale.head.n_events == 1
+        && stale.head.session_value == 2.5)
+    } finally q.stop()
+  }
+
   case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
   test("streamingExactDedup keeps first-seen digest, watermark bounds state") {
@@ -276,6 +315,48 @@ class StreamingOpsSpec extends SparkSpec {
     StreamingOps.clearFoldedMarker(spark, deltas)
     StreamingOps.ingestAccidentBatch(Seq(a1).toDF(), routes, d1, deltas, batchId = 0L)
     assert(new java.io.File(deltas).exists(), "cleared lineage must ingest again")
+  }
+
+  test("a folded partition surviving a crashed compaction is not double-served") {
+    import org.apache.spark.sql.functions._
+    val routes = Seq((1L, 40.0, -105.0, Some(2000.0), "alpine", Some(7.0)))
+      .toDF("route_id", "lat", "lon", "elev", "route_type", "difficulty")
+    val a0 = IngestAcc(1, 40.1, -105.1, Some(2100.0), "alpine", "serious",
+      java.sql.Date.valueOf("2024-06-01"), Some(7.5))
+    val a1 = IngestAcc(2, 40.2, -105.05, Some(2100.0), "alpine", "fatal",
+      java.sql.Date.valueOf("2024-06-10"), Some(7.5))
+    val d1 = "2024-07-15"
+    val base = java.nio.file.Files.createTempDirectory("cf-base").toString
+    val deltas = java.nio.file.Files.createTempDirectory("cf-deltas").toString + "/log"
+    graft.pipeline.ScoringPipeline.writeScores(
+      graft.pipeline.ScoringPipeline.computeDailyScores(
+        routes, Seq(a0).toDF(), Seq(d1)), base)
+    StreamingOps.ingestAccidentBatch(Seq(a1).toDF(), routes, d1, deltas, batchId = 0L)
+    def risk(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("risk_score").head().getDouble(0)
+    val servedTruth = risk(StreamingOps.scoresWithDeltas(
+      spark, spark.read.parquet(base), deltas))
+    StreamingOps.compactDeltas(spark, base, deltas)
+
+    // simulate a compaction that crashed AFTER the marker write but BEFORE
+    // deleting the partition: recreate batch 0's delta on disk while the
+    // marker still lists it as folded
+    graft.pipeline.ScoringPipeline.accidentDeltaTotals(
+      routes, Seq(a1).toDF(), to_date(lit(d1)), pruned = true)
+      .where(col("d_total") > 0 || col("d_n") > 0)
+      .withColumn("prediction_date", to_date(lit(d1)))
+      .withColumn("ingest_batch", lit(0L))
+      .write.mode("append").partitionBy("ingest_batch").parquet(deltas)
+
+    // serving must IGNORE the folded partition — pre-fix this double-counted
+    val served = risk(StreamingOps.scoresWithDeltas(
+      spark, spark.read.parquet(base), deltas))
+    assert(math.abs(served - servedTruth) < 1e-12,
+      s"lingering folded partition double-counted: $served vs $servedTruth")
+    // and a compaction re-run deletes it without folding twice
+    StreamingOps.compactDeltas(spark, base, deltas)
+    assert(!new java.io.File(deltas).exists())
+    assert(math.abs(risk(spark.read.parquet(base)) - servedTruth) < 1e-12)
   }
 
   test("stream-stream interval join: window + key gating, equals the batch join") {
