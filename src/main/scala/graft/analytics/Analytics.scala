@@ -19,9 +19,12 @@ object Analytics {
     * (`backend/app/api/v1/mp_routes.py:838-851`).
     */
   def slcDistanceKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
-    lit(GeoExprs.EarthRadiusKm) * acos(
+    // clamp to [-1, 1]: at near-zero distances cos²+sin² lands 1+1ulp and
+    // acos(>1) is NaN — which `where(dist < r)` silently treats as false,
+    // dropping exactly the CLOSEST accidents from proximity listings
+    lit(GeoExprs.EarthRadiusKm) * acos(least(greatest(
       cos(radians(lat1)) * cos(radians(lat2)) * cos(radians(lon2) - radians(lon1)) +
-        sin(radians(lat1)) * sin(radians(lat2)))
+        sin(radians(lat1)) * sin(radians(lat2)), lit(-1.0)), lit(1.0)))
 
   /** F14: raw route type → canonical {alpine,ice,mixed,trad,sport,aid,
     * boulder}, default trad (`mp_routes.py:109-150`).
@@ -282,8 +285,13 @@ object Analytics {
       if (excludeStates) lower(trim(col("p_name"))).isInCollection(StateStopNames)
       else lit(false)
     var current = base
-    var level = 0
-    while (level < maxLevels) {
+    var level = 1 // the start node consumed level 1, like the driver twin
+    // maxLevels counts NAMES INCLUDING the start (reference: `for _ in
+    // range(max_depth)` appends one name per iteration, mp_routes.py:83) —
+    // so at most maxLevels-1 ancestor extensions run here; without the -1
+    // this twin walked one level deeper than breadcrumb()
+    while (level < maxLevels &&
+        !current.where(col("cursor").isNotNull).isEmpty) {
       current = current.join(broadcast(parents), col("cursor") === col("p_id"), "left")
         .select(
           col("mp_id"),
@@ -291,6 +299,7 @@ object Analytics {
             .otherwise(col("p_parent")).as("cursor"),
           when(col("p_name").isNotNull && !isStop, concat(col("p_name"), lit(" > "), col("path")))
             .otherwise(col("path")).as("path"))
+        .localCheckpoint() // keep the iterative plan flat; frontier check re-reads it
       level += 1
     }
     current.select(col("mp_id"), col("path").as("breadcrumb"))
@@ -316,7 +325,9 @@ object Analytics {
       .withColumn("eff_lon", coalesce(col("longitude"), col("loc_lon")))
       .where(col("eff_lat").isNotNull && col("eff_lon").isNotNull)
       .where(seasonFilter)
-      .where(!lower(col("name")).isin(blacklist.map(_.toLowerCase): _*))
+      // coalesce: the blacklist removes specific NAMED routes — a null name
+      // must pass (isin over null is NULL, and !NULL would drop the row)
+      .where(!lower(coalesce(col("name"), lit(""))).isin(blacklist.map(_.toLowerCase): _*))
       .join(scores, Seq("mp_route_id"), "left")
   }
 }

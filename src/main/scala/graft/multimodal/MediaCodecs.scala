@@ -159,8 +159,11 @@ object MediaCodecs {
         }
         // declared size may exceed the bytes present (we parse headers, not
         // whole files) — any further chunk is then out of range; guard the
-        // int overflow a hostile 4-byte size could cause
-        off = if (size > payload.length.toLong) payload.length else off + 8 + size.toInt
+        // int overflow a hostile 4-byte size could cause. RIFF chunks are
+        // WORD-aligned: an odd-sized chunk is followed by a pad byte, which
+        // must be skipped or every later tag read is off by one.
+        off = if (size > payload.length.toLong) payload.length
+          else off + 8 + size.toInt + (size.toInt & 1)
       }
       if (rate.isEmpty) (None, None, None, None, None, None)
       else (Some("wav"), None, None, rate, ch, dur)

@@ -705,7 +705,7 @@ object PipelineQueries {
          |         ${langs.map(l => s"${score(l)} AS s_$l").mkString(", ")},
          |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS ntok,
          |         CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"]', '', 'g')) AS DOUBLE)
-         |           / length(text) AS punct
+         |           / greatest(length(text), 1) AS punct
          |  FROM documents)
          |SELECT s.doc_id, s.lang,
          |       CASE greatest(${packed.mkString(", ")}) ${arms.mkString(" ")} END AS lang_guess,

@@ -46,10 +46,14 @@ object TextExprs {
   def avgTokenLength(text: Column): Column =
     length(regexp_replace(text, " ", "")).cast("double") / tokenCount(text)
 
-  /** Fraction of chars that are punctuation. */
+  /** Fraction of chars that are punctuation. greatest(…, 1): an empty
+    * document is 0/1 = 0.0 — a bare length(text) denominator is a
+    * DIVIDE_BY_ZERO under ANSI mode (every registered query must pass
+    * AnsiCheck) and a silent NULL otherwise.
+    */
   def punctRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[\\.,;:!\\?'\"]", "")))
-      .cast("double") / length(text)
+      .cast("double") / greatest(length(text), lit(1))
 
   /** Fraction of tokens found in a stopword set. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {

@@ -21,9 +21,11 @@ object Forecast {
   val VisibilityDefaultM = 10000.0
 
   /** 0.01°-rounded bucket key (`weather_service.py` cache-key rounding /
-    * FIXTURES.md §5 keying).
+    * FIXTURES.md §5 keying). `bround` = HALF_EVEN, matching Python's
+    * `round()` on exact .xx5 coordinates — `round` (HALF_UP) would probe a
+    * different bucket than a reference-keyed fixture on those boundaries.
     */
-  def bucketOf(coord: Column): Column = round(coord, 2)
+  def bucketOf(coord: Column): Column = bround(coord, 2)
 
   /** One-row frame `(cur_pattern, cur_days)` for the bucket of (lat, lon)
     * with the 7-day window ending at `targetDate`. Zero rows in the window
@@ -35,8 +37,8 @@ object Forecast {
     val recs = col("recs")
     def series(f: String): Column = transform(recs, r => r.getField(f))
     currentWeather
-      .where(col("bucket_lat") === bucketOf(lit(lat)) &&
-        col("bucket_lon") === bucketOf(lit(lon)) &&
+      .where(col("lat_bucket") === bucketOf(lit(lat)) &&
+        col("lon_bucket") === bucketOf(lit(lon)) &&
         col("date") >= date_sub(targetDate, 6) && col("date") <= targetDate)
       .agg(sort_array(collect_list(struct(
         col("date"), col("temperature_mean"), col("temperature_min"),

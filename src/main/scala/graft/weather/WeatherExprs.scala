@@ -116,9 +116,13 @@ object WeatherExprs {
       .withColumn("_acc", accident)
     d = d.withColumn("_n",
       least(size(col("_cur.temperature")), size(col("_acc.temperature"))))
-    // withinWindowWeights(n): raw = pow(decay, n-1-k); normalized by its sum
+    // withinWindowWeights(n): raw = pow(decay, n-1-k); normalized by its
+    // sum. greatest(…, 0): an EMPTY pattern (_n = 0, e.g. a no-rows
+    // Forecast bucket) must flow through to the final <5-day guard as 0.0,
+    // not crash on sequence(-1, 0, -1) — the Column-form twin survives the
+    // same input only because its CaseWhen evaluates weights lazily.
     d = d.withColumn("_wraw",
-      transform(sequence(col("_n") - 1, lit(0), lit(-1)),
+      transform(sequence(greatest(col("_n") - 1, lit(0)), lit(0), lit(-1)),
         k => pow(lit(StatsExprs.WithinWindowDecay), k.cast("double"))))
     d = d.withColumn("_wsum1", StatsExprs.arraySum(col("_wraw")))
     d = d.withColumn("_w1", transform(col("_wraw"), w => w / col("_wsum1")))

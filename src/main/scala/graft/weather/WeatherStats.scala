@@ -32,11 +32,15 @@ object WeatherStats {
   def bucketStats(archive: DataFrame, valueCol: String, refMonth: Int): DataFrame = {
     val w = monthWeight(col("month"), lit(refMonth))
     val v = col(valueCol)
+    // per-SAMPLE accounting (weather_service.py:437-442 builds each
+    // factor's series from its non-null rows): the weight denominator and
+    // the validity count must skip null-v rows — counting them would bias
+    // the mean toward 0 and grant validity a bucket's data can't support
     archive.groupBy("bucket")
       .agg(
-        count(lit(1)).as("n_samples"),
-        (sum(w * v) / sum(w)).as("w_mean"),
-        sum(w).as("w_sum"),
+        count(v).as("n_samples"),
+        (sum(w * v) / sum(when(v.isNotNull, w))).as("w_mean"),
+        sum(when(v.isNotNull, w)).as("w_sum"),
         sum(w * v * v).as("w_sq"))
       // population-style weighted std: sqrt(E_w[v²] − E_w[v]²)
       .withColumn("w_std", sqrt(greatest(col("w_sq") / col("w_sum") -
@@ -56,19 +60,24 @@ object WeatherStats {
   def bucketFactorStats(archive: DataFrame, factorCols: Seq[String],
                         refMonth: Int): DataFrame = {
     val w = monthWeight(col("month"), lit(refMonth))
+    // per-factor null-aware sums (see bucketStats): each factor carries its
+    // own weight denominator and sample count, like the reference's
+    // per-factor series
     val aggs = factorCols.flatMap { f =>
-      Seq(sum(w * col(f)).as(s"__s_$f"), sum(w * col(f) * col(f)).as(s"__s2_$f"))
+      Seq(sum(w * col(f)).as(s"__s_$f"), sum(w * col(f) * col(f)).as(s"__s2_$f"),
+        sum(when(col(f).isNotNull, w)).as(s"__sw_$f"), count(col(f)).as(s"__n_$f"))
     }
     factorCols.foldLeft(
       archive.groupBy("bucket")
-        .agg(count(lit(1)).as("n_samples"), (sum(w).as("__sw") +: aggs): _*)
+        .agg(count(lit(1)).as("n_samples"), aggs: _*)
     ) { (df, f) =>
-      val mean = col(s"__s_$f") / col("__sw")
-      val std = sqrt(greatest(col(s"__s2_$f") / col("__sw") - mean * mean, lit(0.0)))
+      val mean = col(s"__s_$f") / col(s"__sw_$f")
+      val std = sqrt(greatest(col(s"__s2_$f") / col(s"__sw_$f") - mean * mean, lit(0.0)))
       df.withColumn(s"${f}_mean", mean)
         .withColumn(s"${f}_std",
-          when(col("n_samples") >= MinSamples, std).otherwise(lit(null).cast("double")))
-    }.drop("__sw" +: factorCols.flatMap(f => Seq(s"__s_$f", s"__s2_$f")): _*)
+          when(col(s"__n_$f") >= MinSamples, std).otherwise(lit(null).cast("double")))
+    }.drop(factorCols.flatMap(f =>
+      Seq(s"__s_$f", s"__s2_$f", s"__sw_$f", s"__n_$f")): _*)
   }
 
   /** Per-(bucket, month) volatility groups: plain mean/std/count. */

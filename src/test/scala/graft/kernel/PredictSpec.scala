@@ -90,7 +90,7 @@ class PredictSpec extends SparkSpec {
     val cw = (0 to 6).map { k =>
       (40.25, -105.64, Date.valueOf(LocalDate.parse("2024-07-09").plusDays(k)),
         temps(k), temps(k) - 5.0, temps(k) + 5.0, prec(k), wind(k), cloud(k))
-    }.toDF("bucket_lat", "bucket_lon", "date", "temperature_mean",
+    }.toDF("lat_bucket", "lon_bucket", "date", "temperature_mean",
       "temperature_min", "temperature_max", "precipitation_sum",
       "wind_speed_max", "cloud_cover_mean")
 
@@ -114,7 +114,7 @@ class PredictSpec extends SparkSpec {
 
     // bucket miss → service-None path → identical to the neutral predict
     val pMiss = Predict.predictWithWeather(spark, longsPeak, accidents, wrows,
-      cw.where(col("bucket_lat") === 0.0))
+      cw.where(col("lat_bucket") === 0.0))
     assert(pMiss.riskScore == pNeutral.riskScore)
 
     // A7 amplification: wind stats far from the current mean with tiny σ
