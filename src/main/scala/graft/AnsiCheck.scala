@@ -22,5 +22,8 @@ object AnsiCheck {
     }
     println(s"[ansi] failures: $failed")
     spark.stop()
+    // a guard that always exits 0 can't gate anything (same class of bug
+    // as the fixed Scratch exit code)
+    if (failed > 0) sys.exit(1)
   }
 }

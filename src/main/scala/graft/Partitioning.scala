@@ -11,6 +11,12 @@ object Partitioning {
     * per-row compute (hashing, trig, explodes) onto one core. At real
     * scale a scan already has ≥ defaultParallelism splits and this is a
     * no-op — no shuffle is added.
+    *
+    * CONTRACT: intended for scan-/limit-rooted frames (every current call
+    * site). `df.rdd` resolves the physical plan, and under AQE that
+    * EXECUTES any upstream shuffle stages just to read the partition
+    * count — a frame containing aggregates/joins would run that pipeline
+    * twice. For such frames call `repartition` explicitly instead.
     */
   def balanced(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism

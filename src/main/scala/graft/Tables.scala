@@ -30,6 +30,13 @@ object Tables {
     * double arithmetic would lose precision on epoch-nanos magnitudes).
     * DuckDB performs the identical ns→us truncation, so oracle SQL sees
     * the same instants.
+    *
+    * SIDE EFFECT: `nanosAsLong` is a SESSION conf consulted at scan
+    * planning, so it stays set after this call — other TIMESTAMP(NANOS)
+    * parquet reads in the session will also get raw longs instead of the
+    * loud [PARQUET_TYPE_ILLEGAL]. Scoping it set/restore would race the
+    * lazy plan, so it is deliberately left session-wide; the only NANOS
+    * table in this engine's surface is `events`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -20,6 +20,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a previous run's parquet behind —
+        // the DuckDB compare would pass on the stale (older-code) result
+        // and mask the regression
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(stale)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -115,4 +115,13 @@ object GradeParser {
 
   def register(spark: SparkSession): Unit =
     spark.udf.register("parse_grade", (g: String) => parse(g))
+
+  /** Expression builder so the SparkSessionExtensions path (GraftExtensions)
+    * exposes the same `parse_grade` SQL surface as the live-session
+    * [[register]] — the UDF's Column form round-trips through the bridge.
+    */
+  def parseExpression(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+      parseUdf(org.apache.spark.sql.graftbridge.ColumnBridge.column(child)))
 }

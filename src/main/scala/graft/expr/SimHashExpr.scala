@@ -15,7 +15,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * reference form): per token `h = xxhash64(token)` (Spark's default seed
   * 42), each of the 63 low bits votes ±1, the result packs `vote > 0` bits
   * with bit 62 as MSB. A null token hashes to the seed (XxHash64's
-  * null-skip behavior); a null/empty array packs to 0L.
+  * null-skip behavior); an EMPTY array packs to 0L, a null array yields
+  * NULL (standard unary null propagation — same as the staged twin's
+  * aggregate-over-null).
   *
   * Why native: the HOF form is CodegenFallback (interpreted lambda per
   * token × 63 bits), and the bulk explode→63-aggregate form pays 63

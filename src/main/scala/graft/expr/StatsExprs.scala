@@ -32,7 +32,11 @@ object StatsExprs {
   val WithinWindowDecay = 0.85
 
   def withinWindowWeights(numDays: Column, decay: Double = WithinWindowDecay): Column = {
-    val raw = transform(sequence(numDays - 1, lit(0), lit(-1)),
+    // greatest(…, 0): numDays = 0 (an empty pattern) must yield a harmless
+    // [1.0] instead of the illegal sequence(-1, 0, -1) — downstream
+    // validity guards (≥5 days) zero the result anyway, and fixing the
+    // shared helper covers every call site
+    val raw = transform(sequence(greatest(numDays - 1, lit(0)), lit(0), lit(-1)),
       k => pow(lit(decay), k.cast("double")))
     val total = arraySum(raw)
     transform(raw, w => w / total)

@@ -195,8 +195,13 @@ object WeightExprs {
     val m = map(entries.flatMap { case ((p, a), w) =>
       Seq(lit(s"$p|$a"), lit(w))
     }: _*)
+    // try_element_at: a pair outside the 49-entry matrix must fall to the
+    // 0.5 default (ROUTE_TYPE_COMPATIBILITY.get(pair, 0.5)) — plain
+    // element_at THROWS under ANSI mode for a missing key, so the coalesce
+    // default was unreachable exactly when an unnormalized type (raw user
+    // input, or inference's 'default') reached the kernel on an ANSI session
     coalesce(
-      element_at(m, concat(lower(planningType), lit("|"), lower(accidentType))),
+      try_element_at(m, concat(lower(planningType), lit("|"), lower(accidentType))),
       lit(DefaultRouteTypeWeight))
   }
 

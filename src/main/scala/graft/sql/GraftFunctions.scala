@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bitmap_distinct"),
       new ExpressionInfo(classOf[BitmapDistinct].getName, "bitmap_distinct"),
       (exprs: Seq[Expression]) => BitmapDistinct(exprs(0), exprs(1))))
+    // parse_grade too: both deployment modes must expose the same SQL surface
+    ext.injectFunction((
+      FunctionIdentifier("parse_grade"),
+      new ExpressionInfo(GradeParser.getClass.getName, "parse_grade"),
+      (exprs: Seq[Expression]) => GradeParser.parseExpression(exprs.head)))
     // bbox injection for geo_within_km filters — inside the operator-
     // optimization batch, so the injected ranges get pushed/folded normally
     ext.injectOptimizerRule(_ => SpatialBboxRule)

@@ -81,6 +81,22 @@ class RobustnessSpec extends SparkSpec {
       s"twins disagree:\n  driver: ${driver.mkString(" > ")}\n  dist:   $dist")
   }
 
+  test("route-type weight falls to the 0.5 default for unknown pairs UNDER ANSI") {
+    import graft.expr.WeightExprs
+    val before = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      // raw user input / inference's 'default' — plain element_at would
+      // throw MAP_KEY_DOES_NOT_EXIST here under ANSI
+      val w = spark.range(1).select(WeightExprs.routeTypeWeight(
+        lit("scramble"), lit("alpine")).as("w")).head().getDouble(0)
+      assert(w == 0.5, s"unknown pair must default to 0.5, got $w")
+      val known = spark.range(1).select(WeightExprs.routeTypeWeight(
+        lit("alpine"), lit("sport")).as("w")).head().getDouble(0)
+      assert(known == 0.9, "known pairs unchanged")
+    } finally spark.conf.set("spark.sql.ansi.enabled", before)
+  }
+
   test("map serving keeps null-named routes; the blacklist removes only names") {
     val routes = Seq(
       (1L, Some("route a"), 10L, "trad", Some(40.0), Some(-105.0)),
