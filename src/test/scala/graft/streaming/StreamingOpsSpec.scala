@@ -359,6 +359,41 @@ class StreamingOpsSpec extends SparkSpec {
     assert(math.abs(risk(spark.read.parquet(base)) - servedTruth) < 1e-12)
   }
 
+  test("a legacy single-file folded marker migrates into the directory layout") {
+    import org.apache.spark.sql.functions._
+    val routes = Seq((1L, 40.0, -105.0, Some(2000.0), "alpine", Some(7.0)))
+      .toDF("route_id", "lat", "lon", "elev", "route_type", "difficulty")
+    val a0 = IngestAcc(1, 40.1, -105.1, Some(2100.0), "alpine", "serious",
+      java.sql.Date.valueOf("2024-06-01"), Some(7.5))
+    val a1 = IngestAcc(2, 40.2, -105.05, Some(2100.0), "alpine", "fatal",
+      java.sql.Date.valueOf("2024-06-10"), Some(7.5))
+    val d1 = "2024-07-15"
+    val base = java.nio.file.Files.createTempDirectory("lm-base").toString
+    val deltasRoot = java.nio.file.Files.createTempDirectory("lm-deltas").toString
+    val deltas = deltasRoot + "/log"
+    graft.pipeline.ScoringPipeline.writeScores(
+      graft.pipeline.ScoringPipeline.computeDailyScores(
+        routes, Seq(a0).toDF(), Seq(d1)), base)
+    // pre-upgrade state: a single-FILE marker recording batch 99 as folded
+    java.nio.file.Files.write(java.nio.file.Paths.get(deltasRoot, "log_folded"),
+      "99\n".getBytes("UTF-8"))
+    val fs = new org.apache.hadoop.fs.Path(deltas)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(StreamingOps.foldedBatchIds(fs, deltas) == Set(99L),
+      "legacy file must be readable as-is")
+    // batch 99 must be skipped on replay, batch 0 ingests normally
+    StreamingOps.ingestAccidentBatch(Seq(a1).toDF(), routes, d1, deltas, batchId = 99L)
+    assert(!new java.io.File(deltas).exists(), "legacy-folded id must be skipped")
+    StreamingOps.ingestAccidentBatch(Seq(a1).toDF(), routes, d1, deltas, batchId = 0L)
+    // compaction records batch 0 AND carries the legacy id forward into the
+    // directory layout
+    StreamingOps.compactDeltas(spark, base, deltas)
+    assert(StreamingOps.foldedBatchIds(fs, deltas) == Set(0L, 99L),
+      "migration must union legacy ids with the newly folded set")
+    assert(new java.io.File(deltasRoot, "log_folded").isDirectory,
+      "marker must now be the directory layout")
+  }
+
   test("stream-stream interval join: window + key gating, equals the batch join") {
     import org.apache.spark.sql.functions._
     val accMem = MemoryStream[SjAcc]
