@@ -52,13 +52,17 @@ import graft.expr.GeoWithinKm
   */
 object SpatialBboxRule extends Rule[LogicalPlan] {
 
-  /** An untagged radius predicate with a literal center/radius — the shape
-    * the rule can act on. Non-literal centers are left untouched (not even
-    * tagged): constant folding inside the same fixed-point batch may still
-    * turn them into literals on a later iteration.
+  /** An untagged radius predicate with a literal NON-NULL center/radius —
+    * the shape the rule can act on. Non-literal centers are left untouched
+    * (not even tagged): constant folding inside the same fixed-point batch
+    * may still turn them into literals on a later iteration. Null literals
+    * (e.g. `CAST(NULL AS DOUBLE)` folded by the same batch) are also left
+    * uninjected — the exact predicate evaluates to NULL and the Filter
+    * drops every row, which is already the right answer; matching them here
+    * would send a null through injectBox's non-null binding and crash.
     */
   private def injectable(e: Expression): Boolean = e match {
-    case GeoWithinKm(lat, lon, Literal(_, DoubleType), Literal(_, DoubleType),
+    case GeoWithinKm(lat, lon, Literal(_: Double, DoubleType), Literal(_: Double, DoubleType),
         Literal(r: Double, DoubleType), false) =>
       lat.deterministic && lon.deterministic && r >= 0
     case _ => false

@@ -302,19 +302,36 @@ object StreamingOps {
     * too ([[clearFoldedMarker]]) or the first ids' worth of genuinely new
     * batches would be skipped as "already folded".
     */
+  /** Migration staging dir, sibling to the marker. Readers UNION it with the
+    * marker path so a crash at any instant of the legacy-file → directory
+    * migration never shrinks the visible id set.
+    */
+  private def migrateStagePath(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dir.getParent, dir.getName + ".migrate")
+
+  private def readIdsFile(fs: org.apache.hadoop.fs.FileSystem,
+                          f: org.apache.hadoop.fs.Path): Set[Long] = {
+    val in = fs.open(f)
+    try scala.io.Source.fromInputStream(in).getLines().filter(_.nonEmpty)
+      .map(_.toLong).toSet
+    finally in.close()
+  }
+
+  private def readIdsDir(fs: org.apache.hadoop.fs.FileSystem,
+                         d: org.apache.hadoop.fs.Path): Set[Long] =
+    fs.listStatus(d).toSeq.filter(_.isFile)
+      .filterNot(_.getPath.getName.endsWith(".tmp"))
+      .map(s => readIdsFile(fs, s.getPath)).foldLeft(Set.empty[Long])(_ ++ _)
+
   def foldedBatchIds(fs: org.apache.hadoop.fs.FileSystem, deltaPath: String): Set[Long] = {
     val p = markerPath(deltaPath)
-    if (!fs.exists(p)) return Set.empty
-    def readOne(f: org.apache.hadoop.fs.Path): Set[Long] = {
-      val in = fs.open(f)
-      try scala.io.Source.fromInputStream(in).getLines().filter(_.nonEmpty)
-        .map(_.toLong).toSet
-      finally in.close()
-    }
-    if (fs.getFileStatus(p).isFile) readOne(p) // legacy single-file marker
-    else fs.listStatus(p).toSeq.filter(_.isFile)
-      .filterNot(_.getPath.getName.endsWith(".tmp"))
-      .map(s => readOne(s.getPath)).foldLeft(Set.empty[Long])(_ ++ _)
+    val stage = migrateStagePath(p)
+    val main =
+      if (!fs.exists(p)) Set.empty[Long]
+      else if (fs.getFileStatus(p).isFile) readIdsFile(fs, p) // legacy single-file marker
+      else readIdsDir(fs, p)
+    val staged = if (fs.exists(stage)) readIdsDir(fs, stage) else Set.empty[Long]
+    main ++ staged
   }
 
   /** Forget the folded-batch ids — REQUIRED when re-creating the ingest
@@ -324,6 +341,8 @@ object StreamingOps {
     val p = markerPath(deltaPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
+    val stage = migrateStagePath(p)
+    if (fs.exists(stage)) fs.delete(stage, true)
   }
 
   /** The marker is an APPEND-ONLY directory of id files and readers union
@@ -334,17 +353,12 @@ object StreamingOps {
     * lost the entire marker and disarmed the replay guard for every
     * previously folded batch.
     */
-  private def recordFolded(fs: org.apache.hadoop.fs.FileSystem, deltaPath: String,
-                           ids: Set[Long]): Unit = {
-    val dir = markerPath(deltaPath)
-    // one-time migration of a legacy single-file marker: merge its ids and
-    // replace the file with the directory layout
-    val all =
-      if (fs.exists(dir) && fs.getFileStatus(dir).isFile) {
-        val legacy = foldedBatchIds(fs, deltaPath)
-        fs.delete(dir, false)
-        ids ++ legacy
-      } else ids
+  /** Write one NEW complete-set id file into `dir` (temp → rename), then
+    * prune superseded siblings. Crash-safe: every instant either the old
+    * files, the new file, or both are visible, and the union never shrinks.
+    */
+  private def writeIdsInto(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path, all: Set[Long]): Unit = {
     fs.mkdirs(dir)
     val name = s"ids-${java.util.UUID.randomUUID()}"
     val tmp = new org.apache.hadoop.fs.Path(dir, name + ".tmp")
@@ -358,6 +372,36 @@ object StreamingOps {
     fs.listStatus(dir).toSeq.filter(_.isFile)
       .filter(s => s.getPath.getName != name)
       .foreach(s => fs.delete(s.getPath, false))
+  }
+
+  private def recordFolded(fs: org.apache.hadoop.fs.FileSystem, deltaPath: String,
+                           ids: Set[Long]): Unit = {
+    val dir = markerPath(deltaPath)
+    val stage = migrateStagePath(dir)
+    if (fs.exists(dir) && fs.getFileStatus(dir).isFile) {
+      // One-time migration of a legacy single-file marker, with NO instant
+      // at which the durably recorded set shrinks:
+      //   1. write the full merged set into the sibling stage dir (readers
+      //      union stage with the marker path, so it is live immediately);
+      //   2. delete the legacy file — stage still covers its ids;
+      //   3. rename the stage dir into place.
+      // A crash between (2) and (3) leaves the stage dir authoritative via
+      // the reader union; the non-migration path below finishes the swap on
+      // the next call. The stage dir itself is only ever appended to here
+      // (writeIdsInto's temp→rename), never deleted before its content is
+      // safely at the marker path.
+      val merged = ids ++ foldedBatchIds(fs, deltaPath) // legacy ∪ stage leftovers
+      writeIdsInto(fs, stage, merged)
+      fs.delete(dir, false)
+      require(fs.rename(stage, dir), s"marker migration rename failed for $dir")
+      return
+    }
+    // absorb a crashed migration's stage dir: its ids go into the new
+    // complete-set file first; stage is removed only after that file exists
+    val staged = if (fs.exists(stage)) readIdsDir(fs, stage) else Set.empty[Long]
+    writeIdsInto(fs, dir, ids ++ staged ++
+      (if (fs.exists(dir)) readIdsDir(fs, dir) else Set.empty[Long]))
+    if (fs.exists(stage)) fs.delete(stage, true)
   }
 
   /** The `ingest_batch=N` partitions currently in the log. */

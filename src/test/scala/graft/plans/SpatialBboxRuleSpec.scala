@@ -80,6 +80,27 @@ class SpatialBboxRuleSpec extends SparkSpec {
     assert(ids == Set(0L), s"3VL broken: got $ids")
   }
 
+  test("null center literal: no injection, no crash, zero rows") {
+    // CAST(NULL AS DOUBLE) folds to Literal(null, DoubleType) in the same
+    // optimizer batch the rule runs in. The rule must leave it uninjected
+    // (predicate is NULL for every row → Filter drops all) rather than
+    // MatchError inside injectBox's non-null binding.
+    val df = points(40.0, -105.0)
+    df.createOrReplaceTempView("geo_null_center")
+    val viaSql = registered.sql(
+      "SELECT count(*) FROM geo_null_center " +
+        "WHERE geo_within_km(lat, lon, CAST(NULL AS DOUBLE), -105.0D, 100.0D)")
+      .head().getLong(0)
+    assert(viaSql == 0L)
+    val viaApi = df.where(GeoWithinKm.geoWithinKm(
+      col("lat"), col("lon"), lit(null).cast("double"), lit(-105.0), lit(100.0))).count()
+    assert(viaApi == 0L)
+    // null radius takes the same uninjected path
+    val nullRadius = df.where(GeoWithinKm.geoWithinKm(
+      col("lat"), col("lon"), lit(40.0), lit(-105.0), lit(null).cast("double"))).count()
+    assert(nullRadius == 0L)
+  }
+
   test("polar and antimeridian centers skip injection but stay correct") {
     for ((cLat, cLon) <- Seq((89.7, 10.0), (45.0, 179.95))) {
       val df = points(cLat, cLon)

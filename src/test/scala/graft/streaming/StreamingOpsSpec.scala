@@ -394,6 +394,44 @@ class StreamingOpsSpec extends SparkSpec {
       "marker must now be the directory layout")
   }
 
+  test("marker migration crash window: stage dir keeps the folded set visible") {
+    import org.apache.spark.sql.functions._
+    // simulate a migration that crashed AFTER deleting the legacy file but
+    // BEFORE renaming the stage directory into place: only the sibling
+    // stage dir exists. The folded set must stay visible (reader unions the
+    // stage) and the next compaction must absorb it into the real layout.
+    val routes = Seq((1L, 40.0, -105.0, Some(2000.0), "alpine", Some(7.0)))
+      .toDF("route_id", "lat", "lon", "elev", "route_type", "difficulty")
+    val a0 = IngestAcc(1, 40.1, -105.1, Some(2100.0), "alpine", "serious",
+      java.sql.Date.valueOf("2024-06-01"), Some(7.5))
+    val a1 = IngestAcc(2, 40.2, -105.05, Some(2100.0), "alpine", "fatal",
+      java.sql.Date.valueOf("2024-06-10"), Some(7.5))
+    val d1 = "2024-07-15"
+    val base = java.nio.file.Files.createTempDirectory("mw-base").toString
+    val deltasRoot = java.nio.file.Files.createTempDirectory("mw-deltas").toString
+    val deltas = deltasRoot + "/log"
+    graft.pipeline.ScoringPipeline.writeScores(
+      graft.pipeline.ScoringPipeline.computeDailyScores(
+        routes, Seq(a0).toDF(), Seq(d1)), base)
+    val stageDir = java.nio.file.Paths.get(deltasRoot, "log_folded.migrate")
+    java.nio.file.Files.createDirectories(stageDir)
+    java.nio.file.Files.write(stageDir.resolve("ids-crashed"), "99\n".getBytes("UTF-8"))
+    val fs = new org.apache.hadoop.fs.Path(deltas)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(StreamingOps.foldedBatchIds(fs, deltas) == Set(99L),
+      "stage-only state must still expose the folded set")
+    // replay of the folded batch is still skipped mid-migration
+    StreamingOps.ingestAccidentBatch(Seq(a1).toDF(), routes, d1, deltas, batchId = 99L)
+    assert(!new java.io.File(deltas).exists(), "stage-recorded id must be skipped")
+    StreamingOps.ingestAccidentBatch(Seq(a1).toDF(), routes, d1, deltas, batchId = 0L)
+    StreamingOps.compactDeltas(spark, base, deltas)
+    assert(StreamingOps.foldedBatchIds(fs, deltas) == Set(0L, 99L),
+      "compaction must absorb the crashed stage into the directory layout")
+    assert(new java.io.File(deltasRoot, "log_folded").isDirectory)
+    assert(!new java.io.File(deltasRoot, "log_folded.migrate").exists(),
+      "stage dir must be cleaned up once its content is safely recorded")
+  }
+
   test("stream-stream interval join: window + key gating, equals the batch join") {
     import org.apache.spark.sql.functions._
     val accMem = MemoryStream[SjAcc]
