@@ -189,11 +189,36 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Exact n-gram (token w-shingle) Jaccard for all pairs sharing ≥1
-    * shingle. For bounded candidate sets (or post-LSH verification).
+    * shingle.
+    *
+    * `maxShingleDf` is the 100 TB skew guard (the shingle-space twin of
+    * [[lshCandidatePairs]]' `maxBucketSize`): the shingle-share self-join is
+    * quadratic in per-shingle document frequency — one boilerplate shingle
+    * shared by m docs emits m² join rows, and real corpora HAVE such
+    * shingles (headers, licenses, templated text). With a cap, shingles
+    * whose df exceeds it are dropped BEFORE the join — both from candidate
+    * generation and from the size/overlap counts — so the result is exact
+    * Jaccard over the df ≤ cap shingle vocabulary: boilerplate-insensitive
+    * (the idf intuition — a shingle in everything carries no pair signal;
+    * docs equal in boilerplate only are exact-dedup/LSH territory), and the
+    * join's worst case is |shingles|·cap² instead of corpus². None (default)
+    * keeps the full exact semantics for bounded candidate sets or post-LSH
+    * verification.
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
-    val sh = graft.Partitioning.balanced(df).select(col(idCol).as("id"),
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, w: Int,
+                        maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh0 = graft.Partitioning.balanced(df).select(col(idCol).as("id"),
       explode(TextExprs.shingleHashes(col(textCol), w)).as("sh"))
+    val sh = maxShingleDf match {
+      case Some(cap) =>
+        // shingleHashes is distinct-per-doc, so the per-shingle window count
+        // IS the document frequency; the window reuses the same shingle
+        // exchange the self-join needs anyway
+        val dfw = Window.partitionBy("sh")
+        sh0.withColumn("__df", count(lit(1)).over(dfw))
+          .where(col("__df") <= cap).drop("__df")
+      case None => sh0
+    }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val common = sh.as("a").join(sh.as("b"),
       col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))

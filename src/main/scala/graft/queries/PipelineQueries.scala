@@ -83,6 +83,14 @@ object PipelineQueries {
         concat(lit(PiiCall), lpad((docId % PiiPhoneDigitsMod).cast("string"), 4, "0")))
         .otherwise(lit("")))
 
+  /** d24's planted boilerplate + df cap — shared constants so the Spark
+    * query and the DuckDB oracle can't drift. The boilerplate is appended to
+    * EVERY doc of the subset, so its tokens' df (40) exceeds the cap and the
+    * capped Jaccard must ignore them on both engines.
+    */
+  private[queries] val JaccardBoiler = " all rights reserved subscribe to our newsletter"
+  private[queries] val JaccardDfCap = 30
+
   /** Exact token-set Jaccard for every (id_a < id_b) pair of the doc_id<40
     * subset — shared by d04 (pair dump) and d10 (clustering input).
     */
@@ -595,6 +603,20 @@ object PipelineQueries {
         .orderBy("stage")
     }),
 
+    // --- df-capped Jaccard (the ngramJaccardPairs skew guard, oracle-d) ---
+    // Every doc gets the same planted boilerplate suffix; with the df cap
+    // engaged those tokens (df 40 > 30) drop out of the vocabulary BEFORE
+    // the shingle self-join, so the result is exact Jaccard over the
+    // df ≤ cap tokens — DuckDB re-derives it relationally from strings
+    // while Spark runs the hashed-shingle library operator (w = 1).
+    "d24_jaccard_capped" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).where(col("doc_id") < 40)
+        .select(col("doc_id"), concat(col("text"), lit(JaccardBoiler)).as("text"))
+      graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text", w = 1,
+        maxShingleDf = Some(JaccardDfCap))
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- sequence packing (concat-and-chunk) -------------------------------
     // Pretraining batch construction: each shard's token stream is
     // concatenated in deterministic doc order and chunked into 512-token
@@ -1029,6 +1051,28 @@ object PipelineQueries {
          |  UNION ALL SELECT '5_sample', count(*), CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s5)
          |ORDER BY stage""".stripMargin
     },
+
+    // capped Jaccard re-derived from token strings (Spark hashes shingles;
+    // Jaccard over collision-free hashes equals Jaccard over the tokens)
+    "d24_jaccard_capped" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text || '$JaccardBoiler' AS text
+         |  FROM documents WHERE doc_id < 40),
+         |tok AS (SELECT DISTINCT doc_id, tok FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs)),
+         |keep AS (SELECT tok FROM tok GROUP BY tok HAVING count(*) <= $JaccardDfCap),
+         |tf AS (SELECT t.doc_id, t.tok FROM tok t JOIN keep USING (tok)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM tf GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_common,
+         |       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // shard-local running offsets → chunk ids; both engines floor the same
     // exact-integer ratio

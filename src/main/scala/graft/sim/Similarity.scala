@@ -117,48 +117,81 @@ object Similarity {
 
   // --- IVF (inverted-file) — the other classic ANN scale path --------------
 
-  /** Deterministic spherical k-means coarse quantizer: `nlist` centroids
-    * over the L2-normalized corpus, Lloyd's iterations with a fixed count
-    * and id-ordered seeding (the `nlist` lowest-id vectors), so training is
-    * reproducible run-to-run with no stored model. Each iteration is one
-    * distributed assign (cross join against the ≤ few-hundred-row centroid
-    * frame) + one element-wise mean (posexplode → per-(cell, dim) avg);
-    * only the nlist × dim centroid table ever touches the driver.
+  /** Per-row nearest-centroid cell as ONE map-side expression: the centroid
+    * matrix rides along as an array literal and the argmax runs inside the
+    * row's codegen — no cross-join row duplication, no per-id re-aggregation,
+    * and no vector dragged through a shuffle. Ties break to the lowest cell
+    * via the (sim, -cell) lexicographic struct max. `vec` need not be
+    * normalized: centroids are unit vectors and the row's own norm is a
+    * positive constant across cells, so argmax(dot) = argmax(cosine).
+    * Returns the INDEX into `centroids` (cells are numbered 0..n-1).
+    */
+  private def nearestCell(vec: Column, centroids: Array[(Int, Seq[Double])]): Column = {
+    require(centroids.nonEmpty, "nearestCell needs at least one centroid")
+    val cmat = typedLit(centroids.map(_._2).toSeq)
+    val best = array_max(transform(sequence(lit(0), lit(centroids.length - 1)),
+      i => struct(VectorExprs.dot(vec, element_at(cmat, i + 1)).as("sim"),
+        (-i).as("negCell"))))
+    (-best.getField("negCell")).cast("int")
+  }
+
+  /** Deterministic spherical k-means coarse quantizer: `nlist` centroids,
+    * Lloyd's iterations with a fixed count and id-ordered seeding (the
+    * `nlist` lowest-id sampled vectors), so training is reproducible
+    * run-to-run with no stored model.
+    *
+    * 100 TB shape: Lloyd's refines cluster SHAPE, which a uniform sample
+    * captures as well as the full corpus — training runs on a deterministic
+    * md5-gated sample of ~`samplePerCell`·nlist vectors (the d13 gate idiom:
+    * seed-stable across runs, engines, and cluster sizes, unlike Bernoulli
+    * `sample()` whose RNG is partition-dependent). The corpus is scanned
+    * once for the count and once for the gate; every Lloyd iteration then
+    * costs O(sample), not O(corpus), and the assignment is the map-side
+    * [[nearestCell]] expression — no vectors cross a shuffle, only
+    * (cell, pos, value) triples feed the per-dimension mean. Only the
+    * nlist × dim centroid table ever touches the driver.
     */
   def ivfTrainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                        nlist: Int, iters: Int = 3): Array[(Int, Seq[Double])] = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val unit = withNorm(corpus, idCol, vecCol, "id", "v", "n")
+                        nlist: Int, iters: Int = 3,
+                        samplePerCell: Int = 100): Array[(Int, Seq[Double])] = {
+    val unitAll = withNorm(corpus, idCol, vecCol, "id", "v", "n")
       .where(col("n") > 0)
       .select(col("id"), transform(col("v"), x => x / col("n")).as("v"))
-    var centroids: Array[(Int, Seq[Double])] = unit
+    val target = samplePerCell.toLong * nlist
+    val total = unitAll.count()
+    val sample = (if (total <= target) unitAll else {
+      // admitted fraction = thr/16^8: fixed-width lowercase-hex compare is
+      // monotone in the hash value, so the gate is uniform and exact in
+      // expectation; ceil + clamp keeps at least one admissible prefix
+      val thr = math.max(1L, math.min(0xFFFFFFFFL,
+        math.ceil(target.toDouble / total * 4294967296.0).toLong))
+      unitAll.where(substring(md5(col("id").cast("string")), 1, 8) < f"$thr%08x")
+    }).cache()
+    // the gate undershooting nlist (tiny corpus, aggressive rate) would drop
+    // centroids; fall back to the full (small) corpus in that case
+    val train = if (sample.count() >= nlist) sample else unitAll
+    var centroids: Array[(Int, Seq[Double])] = train
       .orderBy("id").limit(nlist)
       .collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Double](1) }
-    for (_ <- 0 until iters) {
-      val cdf = broadcast(centroids.toSeq.toDF("cell", "c_vec"))
-      // argmax as a hash aggregate (max_by over a (sim, -cell) struct —
-      // lexicographic, so ties break to the lowest cell exactly like the
-      // former row_number window) — no shuffle-sort per iteration
-      val assigned = unit.crossJoin(cdf)
-        .withColumn("sim", VectorExprs.dot(col("v"), col("c_vec")))
-        .groupBy("id")
-        .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"),
-          first(col("v")).as("v"))
-      val means = assigned
+    for (_ <- 0 until iters if centroids.nonEmpty) {
+      val means = train
+        .withColumn("cell", nearestCell(col("v"), centroids))
         .select(col("cell"), posexplode(col("v")))
         .groupBy("cell", "pos").agg(avg("col").as("m"))
         .groupBy("cell")
         .agg(map_from_arrays(collect_list("pos"), collect_list("m")).as("byPos"))
         .collect()
+      // empty cells drop out; re-number so cell ids stay the positions of
+      // the centroid array (what nearestCell returns)
       centroids = means.map { r =>
         val byPos = r.getMap[Int, Double](1)
         val raw = Array.tabulate(byPos.size)(byPos(_))
         val nrm = math.sqrt(raw.map(x => x * x).sum)
         r.getInt(0) -> (if (nrm > 0) raw.map(_ / nrm).toSeq else raw.toSeq)
-      }.sortBy(_._1)
+      }.sortBy(_._1).zipWithIndex.map { case ((_, v), i) => i -> v }
     }
+    sample.unpersist()
     centroids
   }
 
@@ -172,21 +205,21 @@ object Similarity {
               nlist: Int, nprobe: Int, k: Int, iters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cdf = broadcast(
-      ivfTrainCentroids(corpus, idCol, vecCol, nlist, iters).toSeq.toDF("cell", "c_vec"))
+    val centroids = ivfTrainCentroids(corpus, idCol, vecCol, nlist, iters)
+    if (centroids.isEmpty) // empty / all-zero-norm corpus: empty result, right schema
+      return bruteForceTopK(queries.limit(0), corpus.limit(0), idCol, vecCol, k)
+    val cdf = broadcast(centroids.toSeq.toDF("cell", "c_vec"))
 
+    // map-side cell assignment (argmax inlined per row) — the corpus is
+    // scanned ONCE, nothing is duplicated nlist×, and no vector crosses a
+    // shuffle before the broadcast probe join below
     val assigned = withNorm(graft.Partitioning.balanced(corpus), idCol, vecCol,
-      "neighbor_id", "c_vec0", "c_n")
+      "neighbor_id", "c_vec", "c_n")
       // a zero-norm vector's cosine is NaN, which Spark orders LARGEST —
       // without this filter it would displace a true neighbor at rank 1
       // of every query probing its cell
       .where(col("c_n") > 0)
-      .crossJoin(cdf)
-      .withColumn("sim", VectorExprs.dot(col("c_vec0"), col("c_vec")) / col("c_n"))
-      // same argmax-as-aggregate as training: ties to the lowest cell
-      .groupBy("neighbor_id")
-      .agg(max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"),
-        first(col("c_vec0")).as("c_vec"), first(col("c_n")).as("c_n"))
+      .withColumn("cell", nearestCell(col("c_vec"), centroids))
       .select("cell", "neighbor_id", "c_vec", "c_n")
 
     val wProbe = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell").asc)

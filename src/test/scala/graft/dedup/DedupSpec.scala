@@ -49,6 +49,33 @@ class DedupSpec extends SparkSpec {
     assert(bulk == colForm)
   }
 
+  test("maxShingleDf drops boilerplate shingles: pair blow-up bounded, survivors kept") {
+    // 100 docs: unique body + a boilerplate sentence shared by ALL of them;
+    // docs 0 and 1 additionally share a real phrase. Uncapped, the
+    // boilerplate shingles alone connect every pair — the quadratic blow-up
+    // the cap exists to stop.
+    val boiler = " all rights reserved subscribe to our newsletter for updates"
+    val shared = " colorless green ideas sleep furiously tonight"
+    val corpus = spark.range(100).select(
+      col("id").as("doc_id"),
+      concat(
+        concat_ws(" ", transform(sequence(lit(0), lit(9)),
+          i => concat(lit("u"), col("id"), lit("x"), i))),
+        lit(boiler),
+        when(col("id") < 2, lit(shared)).otherwise(lit(""))).as("text"))
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3).count()
+    assert(uncapped == 100L * 99 / 2, s"boilerplate must connect all pairs, got $uncapped")
+    val capped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3,
+      maxShingleDf = Some(50))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((0L, 1L)),
+      s"only the genuinely-similar pair may survive the cap, got $capped")
+    // a cap above the corpus's max df changes nothing
+    val vacuous = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3,
+      maxShingleDf = Some(100)).count()
+    assert(vacuous == uncapped)
+  }
+
   test("LSH candidate pairs surface the exact and near duplicates") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16, 3)
     val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", 16, 4)

@@ -72,6 +72,33 @@ class SimilaritySpec extends SparkSpec {
     assert(c1.toSeq == c2.toSeq)
   }
 
+  test("IVF training samples the corpus: gated path deterministic, unit centroids, recall holds") {
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.Tables.embeddings(spark, dir) // 5000 vectors ≫ 100·16 target
+    val q = e.where(col("vec_id") < 5)
+    val c = e.where(col("vec_id") >= 5)
+    // the md5 gate engages (target 16·100 = 1600 < corpus) and stays
+    // deterministic across trainings
+    val c1 = Similarity.ivfTrainCentroids(c, "vec_id", "embedding", 16)
+    val c2 = Similarity.ivfTrainCentroids(c, "vec_id", "embedding", 16)
+    assert(c1.toSeq == c2.toSeq)
+    assert(c1.length == 16, s"expected 16 centroids, got ${c1.length}")
+    c1.foreach { case (_, v) =>
+      assert(approx(math.sqrt(v.map(x => x * x).sum), 1.0, 1e-9), "centroid not unit-norm")
+    }
+    // sampled centroids still buy real recall on the full corpus
+    val exact = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfTop = Similarity.ivfTopK(q, c, "vec_id", "embedding", nlist = 16, nprobe = 4, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivfTop).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall below floor with sampled training")
+    // aggressive sampling below nlist falls back to the full corpus
+    val few = Similarity.ivfTrainCentroids(c.limit(20), "vec_id", "embedding",
+      nlist = 16, samplePerCell = 0)
+    assert(few.length == 16, "sub-nlist sample must fall back, not drop centroids")
+  }
+
   test("hyperplane signature is deterministic and splits the space") {
     val df = Seq((1L, vec(1, 0, 0, 0)), (2L, vec(1, 0.01, 0, 0)), (3L, vec(-1, 0, 0, 0)))
       .toDF("vec_id", "embedding")
