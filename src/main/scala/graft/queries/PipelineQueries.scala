@@ -83,6 +83,44 @@ object PipelineQueries {
         concat(lit(PiiCall), lpad((docId % PiiPhoneDigitsMod).cast("string"), 4, "0")))
         .otherwise(lit("")))
 
+  /** SQL-mirrorable token hash for the d05b/d06b oracle twins: a plain
+    * arithmetic fold over the first three characters and the length,
+    * derivable identically in Spark Column code and DuckDB SQL (unlike
+    * xxhash64). Deliberately weak — its job is to make the DOWNSTREAM
+    * stages (banding, bucket join, hamming, est-Jaccard) oracle-checkable,
+    * not to be a good hash; hash-quality-independent structure is exactly
+    * what those stages must preserve. Everything is cast to long up front:
+    * CJK codepoints (≤ 0xFFFF) times 131³ overflow a 32-bit int, which
+    * ANSI Spark and DuckDB both refuse rather than wrap.
+    */
+  private def mirrorTokenHash(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val t = concat(tok, lit("abc")) // ≥3 chars so substr never comes up empty
+    ((ascii(substring(t, 1, 1)).cast("long") * MirrorHashMul +
+      ascii(substring(t, 2, 1)).cast("long")) * MirrorHashMul +
+      ascii(substring(t, 3, 1)).cast("long")) * MirrorHashMul +
+      length(tok).cast("long")
+  }
+  private[queries] val MirrorHashMul = 131L
+  private[queries] val MirrorHashMod = 2147483647L
+  private[queries] val MirrorSigLen = 16
+  private[queries] val MirrorBands = 4
+  /** The SQL spelling of [[mirrorTokenHash]], interpolated into oracles so
+    * the two derivations share their constants.
+    */
+  private[queries] val MirrorTokenHashSql: String =
+    s"((CAST(ascii(substr(tok || 'abc', 1, 1)) AS BIGINT) * $MirrorHashMul + " +
+      s"CAST(ascii(substr(tok || 'abc', 2, 1)) AS BIGINT)) * $MirrorHashMul + " +
+      s"CAST(ascii(substr(tok || 'abc', 3, 1)) AS BIGINT)) * $MirrorHashMul + " +
+      "CAST(length(tok) AS BIGINT)"
+
+  /** (doc_id, h) token-hash rows for the doc_id < 40 subset — shared by the
+    * d05b and d06b oracle twins.
+    */
+  private def mirrorTokenHashes(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).where(col("doc_id") < 40)
+      .select(col("doc_id"), explode(TextExprs.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), mirrorTokenHash(col("tok")).as("h"))
+
   /** d24's planted boilerplate + df cap — shared constants so the Spark
     * query and the DuckDB oracle can't drift. The boilerplate is appended to
     * EVERY doc of the subset, so its tokens' df (40) exceeds the cap and the
@@ -171,6 +209,45 @@ object PipelineQueries {
     "d05_minhash_lsh" -> ((s, dir) => {
       val sigs = Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text", 16, 3)
       Dedup.lshCandidatePairs(sigs, "doc_id", 16, 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- ORACLE TWIN of d05's downstream: the xxhash64 minhash signature
+    // itself has no SQL mirror, but everything AFTER a signature is
+    // deterministic relational algebra. Feed lshCandidatePairs — the REAL
+    // banding / bucket-join / est-Jaccard code path — signatures built from
+    // the mirrorable arithmetic hash, and DuckDB re-derives the exact pair
+    // set + estimates from first principles. A banding off-by-one (wrong
+    // slice bounds, band indexing, agreement count) now mismatches.
+    "d05b_lsh_banding" -> ((s, dir) => {
+      val tok = mirrorTokenHashes(s, dir)
+      val mins = (0 until MirrorSigLen).map(i =>
+        min((lit(2L * i + 3) * col("h") + lit(5L * i + 7)) % MirrorHashMod).as(s"m$i"))
+      val sigs = tok.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+        .select(col("doc_id"),
+          array((0 until MirrorSigLen).map(i => col(s"m$i")): _*).as("sig"))
+      Dedup.lshCandidatePairs(sigs, "doc_id", MirrorSigLen, MirrorBands)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- ORACLE TWIN of d06's downstream: sign-vote simhash over the
+    // mirrorable hash's low 16 bits, then the library's hamming64
+    // (bit_count of xor) over every pair — DuckDB recomputes both the
+    // signatures and the distances relationally.
+    "d06b_hamming_pairs" -> ((s, dir) => {
+      val tok = mirrorTokenHashes(s, dir)
+      val votes = (0 until 16).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+          .as(s"v$j"))
+      val sigs = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          (0 until 16).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
+      val a = sigs.select(col("doc_id").as("id_a"), col("simhash").as("s_a"))
+      val b = sigs.select(col("doc_id").as("id_b"), col("simhash").as("s_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.hamming64(col("s_a"), col("s_b")).cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -265,6 +342,22 @@ object PipelineQueries {
       Similarity.lshTopK(
         e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
         "vec_id", "embedding", dim = 64, bits = 8, k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- ORACLE TWIN of s02's downstream: the seeded random hyperplanes
+    // aren't SQL-derivable, but the bucket equi-join, 1-bit multi-probe
+    // fan-out, exact-cosine ranking, and top-k cut are — run lshTopK with
+    // the axis-sign signature family (bit j = v[j] > 0, mirrorable in SQL)
+    // and DuckDB re-derives buckets, probes, candidates, and ranks.
+    "s02b_bucket_probe" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(
+        e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+        "vec_id", "embedding", dim = 64, bits = 6, k = 3,
+        signature = Some(Similarity.axisSignSignature(_, 6)))
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"))
         .orderBy("query_id", "rank")
@@ -1051,6 +1144,95 @@ object PipelineQueries {
          |  UNION ALL SELECT '5_sample', count(*), CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s5)
          |ORDER BY stage""".stripMargin
     },
+
+    // d05's downstream re-derived: same arithmetic signatures, pairs = docs
+    // sharing at least one identical band slice, estimate = agreement/16.
+    // (Spark buckets on xxhash64 of the slice — equal slices hash equal, so
+    // the pair sets agree up to a ~2^-64 hash collision.)
+    "d05b_lsh_banding" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE doc_id < 40),
+         |h AS (SELECT doc_id, $MirrorTokenHashSql AS h FROM tok),
+         |i AS (SELECT unnest(generate_series(0, ${MirrorSigLen - 1})) AS i),
+         |sig AS (
+         |  SELECT doc_id, i, min(((2*i + 3) * h + 5*i + 7) % $MirrorHashMod) AS m
+         |  FROM h CROSS JOIN i GROUP BY doc_id, i),
+         |band AS (
+         |  SELECT doc_id, i // ${MirrorSigLen / MirrorBands} AS band,
+         |         string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
+         |  FROM sig GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT c.id_a, c.id_b,
+         |       CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / $MirrorSigLen AS est_jaccard
+         |FROM cand c
+         |JOIN sig sa ON sa.doc_id = c.id_a
+         |JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+         |GROUP BY c.id_a, c.id_b
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // d06's downstream re-derived: sign-vote simhash from the same hash's
+    // low 16 bits, hamming = bit_count(xor) over all pairs
+    "d06b_hamming_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE doc_id < 40),
+         |h AS (SELECT doc_id, $MirrorTokenHashSql AS h FROM tok),
+         |votes AS (
+         |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+         |  GROUP BY doc_id, j),
+         |sig AS (
+         |  SELECT doc_id,
+         |         CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+         |              AS BIGINT) AS s
+         |  FROM votes GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // s02's downstream re-derived: axis-sign buckets, the query's own
+    // bucket plus every 1-bit flip as probes, exact cosine over candidates,
+    // rank-then-cut — the same shape as the s01 oracle but bucket-gated
+    "s02b_bucket_probe" ->
+      """WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+        |            FROM embeddings WHERE vec_id < 10),
+        |c0 AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v
+        |       FROM embeddings WHERE vec_id >= 10),
+        |qs AS (SELECT query_id, v,
+        |              CAST(list_sum(list_transform(generate_series(0, 5),
+        |                j -> CASE WHEN v[j+1] > 0 THEN CAST(1 AS BIGINT) << j
+        |                     ELSE 0 END)) AS BIGINT) AS sig
+        |       FROM q0),
+        |cs AS (SELECT neighbor_id, v,
+        |              CAST(list_sum(list_transform(generate_series(0, 5),
+        |                j -> CASE WHEN v[j+1] > 0 THEN CAST(1 AS BIGINT) << j
+        |                     ELSE 0 END)) AS BIGINT) AS bucket
+        |       FROM c0),
+        |probes AS (
+        |  SELECT query_id, v,
+        |         unnest(list_prepend(sig, list_transform(generate_series(0, 5),
+        |           j -> xor(sig, CAST(1 AS BIGINT) << j)))) AS bucket
+        |  FROM qs),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, c.neighbor_id,
+        |         list_dot_product(p.v, c.v) /
+        |           (sqrt(list_dot_product(p.v, p.v)) *
+        |            sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+        |  FROM probes p JOIN cs c USING (bucket)),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM cand)
+        |SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cosine
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
 
     // capped Jaccard re-derived from token strings (Spark hashes shingles;
     // Jaccard over collision-free hashes equals Jaccard over the tokens)

@@ -240,21 +240,36 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Axis-aligned sign signature: bit j = (vec[j] > 0). A degenerate but
+    * legitimate hyperplane family (the coordinate planes), and — unlike the
+    * seeded random planes — derivable in plain SQL, which is what lets the
+    * s02b oracle twin re-verify [[lshTopK]]'s bucket/multi-probe/ranking
+    * machinery relationally in DuckDB.
+    */
+  def axisSignSignature(vec: Column, bits: Int): Column = {
+    require(bits <= 62, "packed signature must fit a long without overflow")
+    (0 until bits).map(j => when(element_at(vec, j + 1) > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+  }
+
   /** Approximate top-k via LSH bucketing with multi-probe fallback: probe
     * the exact bucket plus all 1-bit-flip neighbors (bits+1 probes), rank
     * candidates by exact cosine. Trades recall for pruning the corpus scan:
     * with b bits, each query touches ~ (b+1)/2^b of the corpus in
-    * expectation.
+    * expectation. `signature` swaps the bucketing family (default: seeded
+    * random hyperplanes) — the probe/join/rank machinery is family-agnostic.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
-              idCol: String, vecCol: String, dim: Int, bits: Int, k: Int): DataFrame = {
+              idCol: String, vecCol: String, dim: Int, bits: Int, k: Int,
+              signature: Option[Column => Column] = None): DataFrame = {
     require(bits <= 16, "multi-probe signature is meant to be short")
+    val sigOf: Column => Column = signature.getOrElse(hyperplaneSignature(_, dim, bits))
     val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "c_vec", "c_n")
       .where(col("c_n") > 0) // NaN cosine would out-rank every real neighbor
-      .withColumn("bucket", hyperplaneSignature(col("c_vec"), dim, bits))
+      .withColumn("bucket", sigOf(col("c_vec")))
     // queries fan out to their own bucket + every 1-bit flip (multi-probe)
     val q = withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_n")
-      .withColumn("sig", hyperplaneSignature(col("q_vec"), dim, bits))
+      .withColumn("sig", sigOf(col("q_vec")))
       .select(col("query_id"), col("q_vec"), col("q_n"),
         explode(concat(array(col("sig")),
           transform(sequence(lit(0), lit(bits - 1)),
