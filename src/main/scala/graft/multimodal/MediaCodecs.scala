@@ -106,6 +106,62 @@ object MediaCodecs {
         col("payload")))
   }
 
+  // --- real content serializers (codec-free formats) -----------------------
+
+  /** Spec-conformant 24-bit bottom-up BMP serialized in column space, pixel
+    * bytes from pure id arithmetic: the channel byte at linear index
+    * k = (y·w + x)·3 + c — image coordinates, y = 0 the TOP row — is
+    * (id·7 + k) % 256. File rows are stored bottom-up with 4-byte stride
+    * padding, as BITMAPINFOHEADER with positive height mandates, so a
+    * decoder ignoring either mismatches the m03 oracle's position-weighted
+    * sum.
+    */
+  def bmpImage(id: Column, w: Column, h: Column): Column = {
+    val rowBytes = (w * 3).cast("long")
+    val rowSize = floor((w * 3 + 3) / 4).cast("long") * 4
+    val pad = (rowSize - rowBytes).cast("int")
+    def rowHex(yImg: Column): Column = concat(
+      concat_ws("", transform(sequence(lit(0L), rowBytes - 1),
+        j => lpad(hex(pmod(id * 7 + yImg * rowBytes + j, lit(256))), 2, "0"))),
+      repeat(lit("00"), pad))
+    val pixelHex = concat_ws("", transform(sequence(lit(0), h - 1),
+      r => rowHex((h - 1 - r).cast("long"))))
+    concat(
+      ascii("BM"), le4(lit(54) + h.cast("long") * rowSize), le4(lit(0)), le4(lit(54)),
+      le4(lit(40)), le4(w), le4(h), le2(lit(1)), le2(lit(24)),
+      le4(lit(0)), le4(h.cast("long") * rowSize), le4(lit(2835)), le4(lit(2835)),
+      le4(lit(0)), le4(lit(0)),
+      unhex(pixelHex))
+  }
+
+  /** Canonical 16-bit mono 8 kHz PCM WAV in column space: sample t is
+    * ((id·31 + t·17) % 4096) − 2048, stored little-endian two's complement.
+    */
+  def wavPcm(id: Column, n: Column): Column = {
+    val samplesHex = concat_ws("", transform(sequence(lit(0), n - 1), t => {
+      val u = pmod(pmod(id * 31 + t.cast("long") * 17, lit(4096)) - 2048, lit(65536))
+      concat(lpad(hex(pmod(u, lit(256))), 2, "0"),
+        lpad(hex(shiftright(u, 8)), 2, "0"))
+    }))
+    concat(wavHeader(lit(8000L), lit(1L), (n * 2).cast("long")), unhex(samplesHex))
+  }
+
+  /** Replace payloads with REAL decodable content: a small 24-bit BMP for
+    * images ((1+id%5)×(1+id%4) pixels), 16-bit PCM WAV for audio
+    * (40+id%17 samples). Dimensions are kept small because every byte is
+    * materialized; the decode path is size-agnostic.
+    */
+  def plantContent(media: DataFrame): DataFrame = {
+    val id = col("media_id")
+    media.withColumn("payload",
+      when(col("kind") === "image",
+        bmpImage(id, (lit(1) + pmod(id, lit(5))).cast("int"),
+          (lit(1) + pmod(id, lit(4))).cast("int")))
+        .when(col("kind") === "audio",
+          wavPcm(id, (lit(40) + pmod(id, lit(17))).cast("int")))
+        .otherwise(col("payload")))
+  }
+
   // --- the decoder-shaped parser -------------------------------------------
 
   val ParsedSchema: StructType = StructType(Seq(
@@ -173,6 +229,104 @@ object MediaCodecs {
       (Some("avi"), Some(u32le(b, 64).toInt), Some(u32le(b, 68).toInt),
         None, None, Some(uspf * frames / 1000L))
     } else (None, None, None, None, None, None)
+  }
+
+  // --- real content decode (codec-free formats) ----------------------------
+
+  /** Raw decoded content units from real bytes — Some(("bmp", channel bytes
+    * 0..255 in image coordinates, top row first)) for 24-bit uncompressed
+    * BMP, Some(("wav", signed 16-bit samples)) for 16-bit PCM WAVE, None
+    * for anything needing an actual codec. Null-safe like [[parseHeader]]:
+    * truncated or malformed input yields None, never an exception.
+    */
+  def decodeUnits(payload: Array[Byte]): Option[(String, Array[Int])] = {
+    if (payload == null || payload.length < 12) return None
+    val b = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String = new String(payload, off, 4, "US-ASCII")
+
+    if (payload(0) == 'B' && payload(1) == 'M' && payload.length >= 54 &&
+        u16le(b, 28) == 24 && u32le(b, 30) == 0L) {
+      val off = u32le(b, 10).toInt
+      val w = u32le(b, 18).toInt; val h = u32le(b, 22).toInt
+      val rowSize = (w * 3 + 3) / 4 * 4
+      if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) || off < 54 ||
+          off.toLong + h.toLong * rowSize > payload.length) None
+      else {
+        val units = new Array[Int](w * h * 3)
+        var y = 0
+        while (y < h) {
+          // positive biHeight ⇒ file rows run bottom-up; image row y sits at
+          // file row h-1-y, padded to the 4-byte stride
+          val rowStart = off + (h - 1 - y) * rowSize
+          var j = 0
+          while (j < w * 3) {
+            units(y * w * 3 + j) = payload(rowStart + j) & 0xff
+            j += 1
+          }
+          y += 1
+        }
+        Some(("bmp", units))
+      }
+    } else if (tag(0) == "RIFF" && tag(8) == "WAVE") {
+      var off = 12
+      var pcm16 = false
+      var out = Option.empty[(String, Array[Int])]
+      while (off + 8 <= payload.length && out.isEmpty) {
+        val id = tag(off); val size = u32le(b, off + 4)
+        if (id == "fmt " && off + 24 <= payload.length) {
+          // fmt data: audioFormat @+8, bitsPerSample @+22 (both LE)
+          pcm16 = u16le(b, off + 8) == 1 && u16le(b, off + 22) == 16
+        } else if (id == "data" && pcm16) {
+          val dataOff = off + 8
+          val n = (math.min(size, (payload.length - dataOff).toLong) / 2).toInt
+          val units = new Array[Int](n)
+          var t = 0
+          while (t < n) { units(t) = b.getShort(dataOff + 2 * t).toInt; t += 1 }
+          out = Some(("wav", units))
+        }
+        off = if (size > payload.length.toLong) payload.length
+          else off + 8 + size.toInt + (size.toInt & 1)
+      }
+      out
+    } else None
+  }
+
+  val ContentSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = true),
+    StructField("n_units", LongType, nullable = true),
+    StructField("sum_units", LongType, nullable = true),
+    StructField("geom_sum", LongType, nullable = true)))
+
+  /** Batch REAL content decode → per-payload aggregates over the decoded
+    * units (one 8-bit channel byte for bmp, one signed 16-bit sample for
+    * wav): count, plain sum, and the position-weighted Σ value·(k+1).
+    * The weighted sum is what makes geometry bugs visible — a decoder that
+    * ignores row padding, reads rows top-down, or flips endianness moves
+    * values to different k and mismatches the m03 oracle's first-principles
+    * prediction even when the plain sum happens to agree.
+    */
+  def decodeContent(media: DataFrame): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(ContentSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val decoded = decodeUnits(r.getAs[Array[Byte]]("payload"))
+          val agg = decoded.map { case (fmt, units) =>
+            var sum = 0L; var geom = 0L
+            var k = 0
+            while (k < units.length) {
+              sum += units(k); geom += units(k).toLong * (k + 1); k += 1
+            }
+            (fmt, units.length.toLong, sum, geom)
+          }
+          Row(r.getAs[Long]("media_id"),
+            agg.map(_._1).orNull,
+            agg.map(a => Long.box(a._2)).orNull,
+            agg.map(a => Long.box(a._3)).orNull,
+            agg.map(a => Long.box(a._4)).orNull)
+        }
+      }(encoder)
   }
 
   /** Batch header decode over (media_id, payload) — partition-iterator

@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, and per-partition feature
   * extraction.
   *
-  * The PIXEL/SAMPLE decode step is a clearly-marked STUB — this container
-  * has no image/audio codecs, so `decodeStub` produces a deterministic
-  * fake feature vector (byte-value histogram). The codec-free slice of
-  * decode — container/header parsing (PNG dimensions, WAV audio format,
-  * AVI video header) — is REAL and oracle-checked in [[MediaCodecs]].
+  * The pixel/sample decode is REAL for codec-free formats: 24-bit BMP
+  * pixel rows and 16-bit PCM WAV samples are decoded byte-for-byte
+  * ([[MediaCodecs.decodeUnits]], oracle-checked by m03), and features come
+  * from the decoded values. Only formats that genuinely need a codec this
+  * container lacks (JPEG, MP3, H.264, …) fall back to the clearly-marked
+  * `decodeStub` histogram. Container/header parsing (PNG dimensions, WAV
+  * audio format, AVI video header) is likewise real ([[MediaCodecs]], m02).
   * The Spark-side plumbing is the real thing throughout: schema, binary
   * payload handling, partition-wise batch processing via `mapPartitions`
   * (the JVM analog of `mapInPandas` batch UDFs), and stride-based frame
@@ -50,10 +52,11 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** STUB decode: a real implementation would decode the payload with an
-    * image/audio codec; here features are a deterministic 16-bin byte
-    * histogram, L1-normalized. Signature and batch shape match what a real
-    * decoder would use.
+  /** STUB decode: the fallback for formats that genuinely need a codec this
+    * container lacks (JPEG, MP3, H.264, …) — features are a deterministic
+    * 16-bin byte histogram, L1-normalized. Signature and batch shape match
+    * what a real decoder would use. Codec-FREE formats never reach this:
+    * [[decodeFeatures]] dispatches them to the real BMP/PCM decode first.
     */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](FeatureDim)
@@ -62,6 +65,26 @@ object Multimodal {
     val total = payload.length.toFloat
     hist.map(_ / total)
   }
+
+  private def hist16(bins: Iterator[Int], n: Int): Array[Float] = {
+    val hist = new Array[Float](FeatureDim)
+    bins.foreach(b => hist(b) += 1f)
+    if (n > 0) hist.map(_ / n.toFloat) else hist
+  }
+
+  /** Feature decode on REAL bytes where no codec is needed: 24-bit BMP →
+    * 16-bin histogram of decoded pixel channel values (bin = v ≫ 4);
+    * 16-bit PCM WAV → 16-bin amplitude histogram over the full signed
+    * range (bin = (s+32768) ≫ 12); both L1-normalized. Everything else
+    * falls back to [[decodeStub]] (this container has no codecs).
+    */
+  def decodeFeatures(payload: Array[Byte]): Array[Float] =
+    MediaCodecs.decodeUnits(payload) match {
+      case Some(("bmp", units)) => hist16(units.iterator.map(_ >> 4), units.length)
+      case Some(("wav", units)) =>
+        hist16(units.iterator.map(s => (s + 32768) >> 12), units.length)
+      case _ => decodeStub(payload)
+    }
 
   /** Partition-wise feature extraction — the expensive decode runs once per
     * row inside a partition iterator (no per-row task overhead, no
@@ -78,7 +101,7 @@ object Multimodal {
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
-            decodeStub(payload).toSeq)
+            decodeFeatures(payload).toSeq)
         }
       }(encoder)
   }

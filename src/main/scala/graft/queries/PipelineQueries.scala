@@ -325,6 +325,21 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // --- REAL pixel/sample decode (codec-free formats): column-space ------
+    // serializer plants 24-bit BMPs / 16-bit PCM WAVs whose every byte
+    // derives from id arithmetic; the ByteBuffer decoder reads them back
+    // (bottom-up rows, stride padding, two's-complement LE samples); the
+    // oracle predicts count, sum, and the position-weighted sum of the
+    // DECODED units from first principles — geometry and endianness bugs
+    // in either half mismatch.
+    "m03_media_pixels" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.deriveMedia(Tables.documents(s, dir))
+        .where(col("kind").isin("image", "audio"))
+      graft.multimodal.MediaCodecs.decodeContent(
+        graft.multimodal.MediaCodecs.plantContent(media))
+        .orderBy("media_id")
+    }),
+
     // --- brute-force cosine top-k (exact ANN baseline) --------------------
     "s01_cosine_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -891,6 +906,37 @@ object PipelineQueries {
         |            WHEN kind = 'video' THEN CAST(floor(33333 * frames / 1000) AS BIGINT)
         |       END AS duration_ms
         |FROM calc
+        |ORDER BY media_id""".stripMargin,
+
+    // m03: the DECODED pixel/sample aggregates predicted from the same id
+    // arithmetic the serializer uses — the decoder must reproduce them from
+    // real bytes (bottom-up rows, stride padding, signed LE samples)
+    "m03_media_pixels" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' END AS kind
+        |  FROM documents WHERE doc_id % 3 IN (0, 1)),
+        |img AS (
+        |  SELECT media_id, 'bmp' AS format,
+        |         CAST((1 + media_id % 5) * (1 + media_id % 4) * 3 AS BIGINT) AS n_units,
+        |         CAST(list_sum(list_transform(
+        |           generate_series(0, (1 + media_id % 5) * (1 + media_id % 4) * 3 - 1),
+        |           k -> (media_id * 7 + k) % 256)) AS BIGINT) AS sum_units,
+        |         CAST(list_sum(list_transform(
+        |           generate_series(0, (1 + media_id % 5) * (1 + media_id % 4) * 3 - 1),
+        |           k -> ((media_id * 7 + k) % 256) * (k + 1))) AS BIGINT) AS geom_sum
+        |  FROM m WHERE kind = 'image'),
+        |aud AS (
+        |  SELECT media_id, 'wav' AS format,
+        |         CAST(40 + media_id % 17 AS BIGINT) AS n_units,
+        |         CAST(list_sum(list_transform(
+        |           generate_series(0, 40 + media_id % 17 - 1),
+        |           t -> (media_id * 31 + t * 17) % 4096 - 2048)) AS BIGINT) AS sum_units,
+        |         CAST(list_sum(list_transform(
+        |           generate_series(0, 40 + media_id % 17 - 1),
+        |           t -> ((media_id * 31 + t * 17) % 4096 - 2048) * (t + 1))) AS BIGINT) AS geom_sum
+        |  FROM m WHERE kind = 'audio')
+        |SELECT * FROM img UNION ALL SELECT * FROM aud
         |ORDER BY media_id""".stripMargin,
 
     "d02_token_stats" ->

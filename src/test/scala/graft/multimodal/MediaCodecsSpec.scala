@@ -71,6 +71,79 @@ class MediaCodecsSpec extends SparkSpec {
     assert(avi.getAs[Long]("duration_ms") == 466L)
   }
 
+  test("BMP pixel decode: values, geometry, padding — against hand arithmetic") {
+    // media_id=6 → image (6%3=0); w=1+6%5=2, h=1+6%4=3 → rowBytes=6,
+    // rowSize=8 (2 pad bytes). Unit k (image coords) must be (6*7+k)%256.
+    val docs = Seq((6L, "x")).toDF("doc_id", "text")
+    val media = MediaCodecs.plantContent(Multimodal.deriveMedia(docs))
+    val payload = media.select("payload").head().getAs[Array[Byte]](0)
+    // raw-byte geometry: bottom-up → image row 0 is the LAST file row
+    assert(payload.length == 54 + 3 * 8)
+    val topRowStart = 54 + 2 * 8 // file row h-1-0 = 2
+    (0 until 6).foreach { j =>
+      assert((payload(topRowStart + j) & 0xff) == (6 * 7 + j) % 256,
+        s"top image row byte $j")
+    }
+    // padding bytes are zero
+    assert(payload(54 + 6) == 0 && payload(54 + 7) == 0)
+    val Some(("bmp", units)) = MediaCodecs.decodeUnits(payload)
+    assert(units.length == 2 * 3 * 3)
+    units.zipWithIndex.foreach { case (v, k) =>
+      assert(v == (6 * 7 + k) % 256, s"unit $k")
+    }
+  }
+
+  test("WAV PCM decode: signed LE samples against hand arithmetic") {
+    // media_id=4 → audio; n = 40 + 4%17 = 44; s_t = (4*31 + 17t) % 4096 - 2048
+    val docs = Seq((4L, "x")).toDF("doc_id", "text")
+    val media = MediaCodecs.plantContent(Multimodal.deriveMedia(docs))
+    val payload = media.select("payload").head().getAs[Array[Byte]](0)
+    val Some(("wav", units)) = MediaCodecs.decodeUnits(payload)
+    assert(units.length == 44)
+    units.zipWithIndex.foreach { case (s, t) =>
+      assert(s == (4 * 31 + 17 * t) % 4096 - 2048, s"sample $t")
+    }
+    assert(units.exists(_ < 0), "plant must cover the signed range")
+  }
+
+  test("decodeContent aggregates match brute-force over decodeUnits") {
+    val docs = (0L to 11L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val media = MediaCodecs.plantContent(Multimodal.deriveMedia(docs))
+      .where(col("kind") =!= "video")
+    val rows = MediaCodecs.decodeContent(media).orderBy("media_id").collect()
+    val payloads = media.select("media_id", "payload").orderBy("media_id").collect()
+    assert(rows.length == 8) // 12 ids minus 4 video
+    rows.zip(payloads).foreach { case (r, p) =>
+      val Some((fmt, units)) = MediaCodecs.decodeUnits(p.getAs[Array[Byte]]("payload"))
+      assert(r.getAs[String]("format") == fmt)
+      assert(r.getAs[Long]("n_units") == units.length.toLong)
+      assert(r.getAs[Long]("sum_units") == units.map(_.toLong).sum)
+      assert(r.getAs[Long]("geom_sum") ==
+        units.zipWithIndex.map { case (v, k) => v.toLong * (k + 1) }.sum)
+    }
+  }
+
+  test("decodeFeatures: real histograms for bmp/wav, stub fallback otherwise") {
+    val docs = Seq((6L, "img"), (4L, "aud")).toDF("doc_id", "text")
+    val media = MediaCodecs.plantContent(Multimodal.deriveMedia(docs))
+      .select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val Some(("bmp", px)) = MediaCodecs.decodeUnits(media(6L))
+    val fImg = Multimodal.decodeFeatures(media(6L))
+    assert(math.abs(fImg.sum - 1f) < 1e-5)
+    (0 until 16).foreach { bin =>
+      assert(fImg(bin) == px.count(_ >> 4 == bin).toFloat / px.length, s"bin $bin")
+    }
+    val Some(("wav", sm)) = MediaCodecs.decodeUnits(media(4L))
+    val fAud = Multimodal.decodeFeatures(media(4L))
+    (0 until 16).foreach { bin =>
+      assert(fAud(bin) == sm.count(s => (s + 32768) >> 12 == bin).toFloat / sm.length)
+    }
+    // non-decodable bytes take the stub path
+    val junk = "no magic here".getBytes("UTF-8")
+    assert(Multimodal.decodeFeatures(junk).toSeq == Multimodal.decodeStub(junk).toSeq)
+  }
+
   test("malformed input never throws: nulls for garbage/truncated/missing") {
     val cases = Seq[(Long, Array[Byte])](
       (1L, null),
@@ -83,5 +156,16 @@ class MediaCodecsSpec extends SparkSpec {
     val out = MediaCodecs.parseHeaders(df).orderBy("media_id").collect()
     assert(out.length == 5)
     assert(out.forall(r => r.isNullAt(r.fieldIndex("format"))))
+    // the content decoder is equally unshockable, including a BMP whose
+    // header promises more pixel rows than the payload carries
+    val truncatedBmp = {
+      val full = MediaCodecs.plantContent(Multimodal.deriveMedia(
+        Seq((6L, "x")).toDF("doc_id", "text")))
+        .select("payload").head().getAs[Array[Byte]](0)
+      full.take(full.length - 3)
+    }
+    (cases.map(_._2) :+ truncatedBmp).foreach { p =>
+      assert(MediaCodecs.decodeUnits(p).isEmpty)
+    }
   }
 }
