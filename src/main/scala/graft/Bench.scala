@@ -113,6 +113,57 @@ object Bench {
       routes, locations, scores, season = "all", blacklist = Seq("route 13"))
   }
 
+  // --- scale-stress gate: 10× blow-up + planted skew ------------------------
+
+  /** The nightly batch at 10× the reference's production scale — 1.68M
+    * routes × 69K accidents ≈ 116G pair-candidates. Only the grid-pruned
+    * path runs here: this is precisely the scale-up the pruning exists for
+    * (the exact cross join would evaluate all 116G pairs; the grid keeps
+    * the per-route work proportional to nearby accidents).
+    * KernelPruningSpec pins exact-vs-pruned bit-equality above the 1e-6
+    * floor at 10× density with a planted hot cell; this entry demonstrates
+    * throughput and bounded memory at the full blown-up shape.
+    */
+  def kernelBatch10x(spark: SparkSession): DataFrame =
+    KernelPruning.scoreRoutesPruned(
+      syntheticRoutes(spark, 1680000), syntheticAccidents(spark, 69000), planDate)
+
+  /** LSH candidate generation over the sf corpus PLUS a planted degenerate
+    * bucket: 5000 byte-identical documents share one minhash signature, so
+    * every band maps them to one bucket — the uncapped join would emit
+    * ~4·5000²/2 = 50M candidate pairs from the plant alone. With
+    * `maxBucketSize` engaged the hot bucket is dropped wholesale (its
+    * members are exact-dup territory, d01's job) and the stage stays at
+    * baseline cost.
+    */
+  def lshSkew(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val hot = spark.range(5000).select(
+      (col("id") + 10000000L).as("doc_id"),
+      lit("all rights reserved this page is intentionally boilerplate").as("text"))
+    val sigs = graft.dedup.Dedup.minhashSignatures(
+      docs.union(hot), "doc_id", "text", 16, 3)
+    graft.dedup.Dedup.lshCandidatePairs(sigs, "doc_id", 16, 4, maxBucketSize = Some(64))
+  }
+
+  /** The d21 quota cut under a planted hot domain: one source holds 500K of
+    * the rows (10× the whole sf0.1 corpus). The plain window form sorts the
+    * hot domain in one task; ScaleLayout.saltedTopK spreads it over 32
+    * salted runs and re-ranks only the survivors (ScaleLayoutSpec pins
+    * equality with the window form).
+    */
+  def quotaSkew(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    val hot = spark.range(500000).select(
+      lit("hot_domain").as("source"),
+      (col("id") + 10000000L).as("doc_id"),
+      (col("id") * 7919 % 10007).as("n_chars"))
+    graft.pipeline.ScaleLayout.saltedTopK(
+      docs.union(hot), "source",
+      Seq(col("n_chars").desc, col("doc_id").asc), k = 10, factor = 32)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -146,17 +197,25 @@ object Bench {
     Tables.documents(spark, sfDir).count()
     Tables.lineitem(spark, sfDir).select(count(lit(1))).collect()
 
+    // dev-only subsetting (SPARK_GRAFT_BENCH_ONLY="kernel_batch_10x,d05_…"):
+    // re-time individual entries without paying for the whole suite. The
+    // driver sets no such env, so its per-round run is always complete.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    def want(name: String): Boolean = only.forall(_.contains(name))
+
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     // two timed executions per query, min reported: the first run often
     // pays codegen + JIT of that query's generated classes (measured up to
     // 3-4× on shared hosts), which is session bring-up, not operator
     // throughput — the min is the steady-state number a long-running
     // cluster job sees. Errors keep the -1.0 sentinel.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val a = time(fn(spark, sfDir))
-      val b = time(fn(spark, sfDir))
-      results(name) = if (a < 0 || b < 0) -1.0 else math.min(a, b)
-    }
+    SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => want(kv._1))
+      .foreach { case (name, fn) =>
+        val a = time(fn(spark, sfDir))
+        val b = time(fn(spark, sfDir))
+        results(name) = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      }
 
     // the suite above leaves dead broadcasts + generated classes behind;
     // give ContextCleaner/GC a chance to reclaim them so the headline
@@ -165,7 +224,7 @@ object Bench {
     System.gc()
 
     // interactive predict: collect, like the API would (top-50 included)
-    results("predict_single_route") = {
+    if (want("predict_single_route")) results("predict_single_route") = {
       val t0 = System.nanoTime()
       val route = syntheticRoutes(spark, 1)
       val pairs = SafetyKernel.pairInfluence(route, syntheticAccidents(spark, 6900), planDate)
@@ -177,7 +236,7 @@ object Bench {
     // concurrency < 15-16 s, current ~13 s) — independent single-route
     // kernels submitted in parallel; Spark's FIFO scheduler interleaves
     // their stages across the same executor pool
-    results("predict_10_concurrent") = {
+    if (want("predict_10_concurrent")) results("predict_10_concurrent") = {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
       implicit val ec: ExecutionContext = ExecutionContext.global
@@ -199,11 +258,21 @@ object Bench {
       Await.result(Future.sequence(reqs), 600.seconds)
       (System.nanoTime() - t0) / 1e9
     }
-    results("kernel_batch_168k") = time(kernelBatch168k(spark))
-    results("kernel_batch_168k_pruned") = time(kernelBatch168kPruned(spark))
+    // min-of-2 like the suite: the pruned plan is a 3-branch union whose
+    // first execution pays JIT for every branch's codegen — session
+    // bring-up, not kernel throughput (the once-only 10× entry amortizes
+    // the same cost over minutes of real work)
+    def time2(fn: => DataFrame): Double = {
+      val a = time(fn); val b = time(fn)
+      if (a < 0 || b < 0) -1.0 else math.min(a, b)
+    }
+    if (want("kernel_batch_168k"))
+      results("kernel_batch_168k") = time2(kernelBatch168k(spark))
+    if (want("kernel_batch_168k_pruned"))
+      results("kernel_batch_168k_pruned") = time2(kernelBatch168kPruned(spark))
     // incremental nightly: 100 new accidents arrive → delta-kernel only
     // (exact decomposition; the reference rebuilds all 1.16B pairs instead)
-    results("kernel_batch_incremental_100new") = {
+    if (want("kernel_batch_incremental_100new")) results("kernel_batch_incremental_100new") = {
       val oldScores = kernelBatch168k(spark)
         .select("route_id", "total_influence", "n_contributing", "risk_score", "color_code")
         .localCheckpoint()
@@ -215,8 +284,18 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    results("kernel_batch_168k_factorized") = time(kernelBatch168kFactorized(spark))
-    results("map_with_safety_168k") = time(mapWithSafety168k(spark))
+    if (want("kernel_batch_168k_factorized"))
+      results("kernel_batch_168k_factorized") = time2(kernelBatch168kFactorized(spark))
+    if (want("map_with_safety_168k"))
+      results("map_with_safety_168k") = time2(mapWithSafety168k(spark))
+    // scale-stress gate: 10× blow-up + planted skew (see the factory docs);
+    // the 10× batch runs ONCE — it is minutes long and self-amortizing
+    if (want("kernel_batch_10x"))
+      results("kernel_batch_10x") = time(kernelBatch10x(spark))
+    if (want("lsh_skew"))
+      results("lsh_skew") = time2(lshSkew(spark, sfDir))
+    if (want("quota_skew"))
+      results("quota_skew") = time2(quotaSkew(spark, sfDir))
 
     // The harness that collects this output keeps only the last ~2000 chars,
     // so order the line for tail visibility: suite queries fastest-first
@@ -227,7 +306,8 @@ object Bench {
     val headlineKeys = Seq(
       "predict_single_route", "predict_10_concurrent", "kernel_batch_168k",
       "kernel_batch_168k_pruned", "kernel_batch_incremental_100new",
-      "kernel_batch_168k_factorized", "map_with_safety_168k")
+      "kernel_batch_168k_factorized", "map_with_safety_168k",
+      "kernel_batch_10x", "lsh_skew", "quota_skew")
     def fmt(v: Double) = // Locale.ROOT: a comma-decimal default locale would break the JSON
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

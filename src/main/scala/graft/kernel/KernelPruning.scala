@@ -71,47 +71,95 @@ object KernelPruning {
     (floor(lat / latDeg).cast("long"), lonCell)
   }
 
+  /** Bandwidth TIERS for the grid: every route's bandwidth maps UP to the
+    * smallest tier ≥ it, and each tier gets its own (cell size, lon ring)
+    * grid — still lossless (the tier radius covers the route's true gate
+    * radius) but a sport route (h=25) now searches ~(30/75)² ≈ 6× less
+    * area than under a uniform h_max grid. Three tiers balance candidate
+    * reduction against plan/broadcast duplication (one 9× accident fan-out
+    * per tier).
+    */
+  private[kernel] val RadiusTierKm: Seq[Double] = {
+    val hMax = (WeightExprs.SpatialBandwidth.values.toSet +
+      WeightExprs.SpatialBandwidthDefault).max
+    Seq(30.0, 60.0, hMax).filter(_ <= hMax).distinct.sorted
+  }
+
+  private def tierOf(h: Column): Column =
+    RadiusTierKm.zipWithIndex.dropRight(1)
+      .foldLeft(when(lit(false), lit(0))) { case (acc, (t, i)) => acc.when(h <= t, i) }
+      .otherwise(RadiusTierKm.length - 1)
+
+  /** Per-tier chained lookup: `exprs(i)` where `tier` = i. */
+  private def byTier(tier: Column, exprs: Seq[Column]): Column =
+    exprs.zipWithIndex.dropRight(1)
+      .foldLeft(when(lit(false), exprs.head)) { case (acc, (e, i)) => acc.when(tier === i, e) }
+      .otherwise(exprs.last)
+
   /** The pruned pair stream: same columns as SafetyKernel.pairInfluence,
-    * containing every pair within the prune radius (superset of all pairs
-    * with influence ≥ floor). Accidents fan out to their 3×3 cell
-    * neighborhood (9× a small table) and the join is a broadcast EQUI-join
-    * on cell id — no cross join anywhere in the plan.
+    * containing every pair within the per-route prune radius (superset of
+    * all pairs with influence ≥ floor). ONE broadcast equi-join on the
+    * composite key (tier, latCell, lonCell): each route probes with its own
+    * tier's grid; accidents fan out to every tier × the 3×3 neighborhood
+    * (27× a small table, one broadcast, one codegen stage). No cross join
+    * anywhere in the plan; a route sits in exactly one tier, so no pair can
+    * be produced twice.
+    *
+    * Candidate → pair funnel, cheapest test first:
+    *  1. tier grid membership (the equi-join itself);
+    *  2. a latitude-only prefilter — true distance ≥ 111.19·|Δlat| km, so
+    *     111·|Δlat| > gate ⇒ the pair is out; one subtraction+compare
+    *     instead of a haversine for the majority of cell-window candidates
+    *     (no longitude twin: without both latitudes there is NO sound
+    *     lon-only lower bound — Δlon compresses toward the poles);
+    *  3. exact haversine against the per-route gate radius
+    *     d ≤ h_route·√(2·ln(B/floor)) — sharper than any grid, since it
+    *     uses the route's own bandwidth, not the tier's.
     */
   def pairInfluencePruned(routes: DataFrame, accidents: DataFrame, planDate: Column,
                           floor: Double = SafetyKernel.SignificanceFloor,
                           maxAbsLat: Double = 72.0): DataFrame = {
-    val r = pruneRadiusKm(floor)
-    val nLon = lonCells(r, maxAbsLat)
-    val (rLatCell, rLonCell) = cellIds(col("lat"), col("lon"), r, maxAbsLat)
+    val radiusFactor = math.sqrt(2.0 * math.log(NonSpatialBound / floor))
+    val tierRadii = RadiusTierKm.map(_ * radiusFactor)
+    val latDegs = tierRadii.map(_ / KmPerDegLat)
+    val nLons = tierRadii.map(r => lonCells(r, maxAbsLat))
+
+    // the `floor` PARAMETER shadows functions.floor in this scope
+    val F = org.apache.spark.sql.functions
+    def latCellFor(lat: Column, tier: Column): Column =
+      byTier(tier, latDegs.map(d => F.floor(lat / d).cast("long")))
+    def lonCellFor(lon: Column, tier: Column): Column =
+      byTier(tier, nLons.map(n =>
+        pmod(F.floor((lon + 180.0) / (360.0 / n)).cast("long"), lit(n))))
+
     // balanced like the exact path: a single-split routes scan would run
     // the whole pruned kernel on one core (graft.Partitioning.balanced)
     val routesCelled = SafetyKernel.enrichRoutes(graft.Partitioning.balanced(routes))
-      .withColumn("__cell_lat", rLatCell)
-      .withColumn("__cell_lon", rLonCell)
+      .withColumn("__tier", tierOf(col("__h")))
+      .withColumn("__cell_lat", latCellFor(col("lat"), col("__tier")))
+      .withColumn("__cell_lon", lonCellFor(col("lon"), col("__tier")))
 
-    val (aLatCell, aLonCell) = cellIds(col("a_lat"), col("a_lon"), r, maxAbsLat)
     val accCelled = SafetyKernel.enrichAccidents(accidents, planDate)
-      .withColumn("__a_cell_lat", aLatCell)
-      .withColumn("__a_cell_lon", aLonCell)
+      .withColumn("__tier", explode(array(RadiusTierKm.indices.map(i => lit(i)): _*)))
+      .withColumn("__a_cell_lat", latCellFor(col("a_lat"), col("__tier")))
+      .withColumn("__a_cell_lon", lonCellFor(col("a_lon"), col("__tier")))
       .withColumn("__dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("__dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("__cell_lat", col("__a_cell_lat") + col("__dlat"))
-      // wrap-around: the lon ring is uniform, so modulo adjacency is exact
-      // across the ±180° seam
-      .withColumn("__cell_lon", pmod(col("__a_cell_lon") + col("__dlon"), lit(nLon)))
+      // wrap-around: each tier's lon ring is uniform, so modulo adjacency
+      // is exact across the ±180° seam
+      .withColumn("__cell_lon", byTier(col("__tier"),
+        nLons.map(n => pmod(col("__a_cell_lon") + col("__dlon"), lit(n)))))
       .drop("__a_cell_lat", "__a_cell_lon", "__dlat", "__dlon")
 
-    val joined = routesCelled.join(broadcast(accCelled), Seq("__cell_lat", "__cell_lon"))
-      .drop("__cell_lat", "__cell_lon")
-    // PER-TYPE radius gate, sharper than the (uniform, h_max-sized) grid:
-    // a pair with influence ≥ floor needs spatial ≥ floor/B, i.e.
-    // d ≤ h_route·√(2·ln(B/floor)). The grid can't use per-type cells (the
-    // equi-join key must be uniform), but the post-join filter can — narrow
-    // types (sport h=25 vs alpine 75) drop ~(1−(25/75)²) ≈ 89% of their
-    // cell-neighborhood pairs BEFORE any factor math. Still lossless above
-    // the floor: only pairs with guaranteed sub-floor influence are cut.
-    val radiusFactor = math.sqrt(2.0 * math.log(NonSpatialBound / floor))
+    val joined = routesCelled
+      .join(broadcast(accCelled), Seq("__tier", "__cell_lat", "__cell_lon"))
+      .drop("__tier", "__cell_lat", "__cell_lon")
+
     val gated = joined
+      // step 2: latitude prefilter (111.0 < 111.19 km/° keeps it sound)
+      .where(abs(col("lat") - col("a_lat")) * KmPerDegLat <=
+        col("__h") * radiusFactor)
       // enrichment hoisted both cos(lat)s — bit-identical to the inline form
       .withColumn("dist_km", graft.expr.GeoExprs.haversineKmHoisted(
         col("__coslat"), col("lat"), col("lon"),

@@ -68,4 +68,31 @@ object ScaleLayout {
       .agg(sum("__partial_sum").as(s"sum_$valueCol"),
         sum("__partial_n").as("n_rows"))
   }
+
+  /** Two-phase salted top-K per key — the skew-proof form of the
+    * row_number() quota cut (d21's shape). A plain window partitioned by
+    * the key sorts every row of the hot key in ONE task; here phase 1 takes
+    * a partial top-K per (key, salt) — the hot key's rows spread over
+    * `factor` independent sorted runs — and phase 2 re-ranks only the
+    * ≤ K·factor survivors per key. Lossless for any TOTAL `order`: a true
+    * top-K row's rank within its salt slice is ≤ its global rank ≤ K, so it
+    * always survives phase 1. Output matches the window form: input columns
+    * plus `rank` (1-based, in `order`).
+    */
+  def saltedTopK(df: org.apache.spark.sql.DataFrame, key: String,
+                 order: Seq[org.apache.spark.sql.Column], k: Int,
+                 factor: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val salted = df.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(factor)))
+    val w1 = Window.partitionBy(col(key), col("__salt")).orderBy(order: _*)
+    val survivors = salted
+      .withColumn("__r1", row_number().over(w1))
+      .where(col("__r1") <= k)
+      .drop("__r1", "__salt")
+    val w2 = Window.partitionBy(col(key)).orderBy(order: _*)
+    survivors
+      .withColumn("rank", row_number().over(w2).cast("int"))
+      .where(col("rank") <= k)
+  }
 }

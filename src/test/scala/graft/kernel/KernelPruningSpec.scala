@@ -70,6 +70,64 @@ class KernelPruningSpec extends SparkSpec {
     assert(prunedPairs.length < totalPairs)
   }
 
+  test("10x density + planted hot cell: pruned still bit-equal above the floor") {
+    // the scale-stress shape the bench runs at 1.7M × 69K: accident density
+    // 100× the base spec, including a degenerate cluster — 5000 accidents
+    // piled onto ONE coordinate (one grid cell). Equality above the floor
+    // must be exact, not approximate, and the 3×3 fan-out must not
+    // duplicate pairs even in the hot cell.
+    val denseRoutes = spark.range(1000).select(
+      col("id").as("route_id"),
+      (lit(35.0) + (col("id") % 2000) / 100.0).as("lat"),
+      (lit(-125.0) + (col("id") % 3000) / 100.0).as("lon"),
+      (lit(1000.0) + (col("id") % 3000)).as("elev"),
+      when(col("id") % 3 === 0, "alpine").when(col("id") % 3 === 1, "sport")
+        .otherwise("trad").as("route_type"),
+      (lit(5.0) + (col("id") % 11)).as("difficulty"))
+    val spread = spark.range(15000).select(
+      col("id").as("accident_id"),
+      (lit(35.0) + ((col("id") * 37) % 2000) / 100.0).as("a_lat"),
+      (lit(-125.0) + ((col("id") * 53) % 3000) / 100.0).as("a_lon"),
+      (lit(800.0) + ((col("id") * 13) % 3500)).as("a_elev"),
+      when(col("id") % 2 === 0, "alpine").otherwise("sport").as("acc_type"),
+      when(col("id") % 3 === 0, "fatal").otherwise("minor").as("severity_raw"),
+      date_add(to_date(lit("2024-01-01")), (col("id") % 730).cast("int")).as("a_date"),
+      (lit(4.0) + ((col("id") * 7) % 13)).as("a_difficulty"))
+    val hotCell = spark.range(5000).select(
+      (col("id") + 1000000L).as("accident_id"),
+      lit(40.0).as("a_lat"), lit(-120.0).as("a_lon"),
+      (lit(2000.0) + col("id") % 100).as("a_elev"),
+      lit("alpine").as("acc_type"),
+      when(col("id") % 3 === 0, "fatal").otherwise("minor").as("severity_raw"),
+      date_add(to_date(lit("2024-01-01")), (col("id") % 730).cast("int")).as("a_date"),
+      (lit(4.0) + (col("id") % 13)).as("a_difficulty"))
+    val dense = spread.union(hotCell)
+
+    val exactPairs = SafetyKernel.pairInfluence(denseRoutes, dense, planDate)
+      .select("route_id", "accident_id", "influence")
+      .where(col("influence") >= SafetyKernel.SignificanceFloor)
+      .as[(Long, Long, Double)].collect().toSet
+    val prunedPairs = KernelPruning.pairInfluencePruned(denseRoutes, dense, planDate)
+      .select("route_id", "accident_id", "influence")
+      .as[(Long, Long, Double)].collect()
+    assert(prunedPairs.length == prunedPairs.map(p => (p._1, p._2)).distinct.length,
+      "3x3 fan-out duplicated a pair")
+    assert(exactPairs.subsetOf(prunedPairs.toSet),
+      "a significant pair was pruned at 10x density")
+    // the planted cluster is inside the grid's reach of nearby routes
+    assert(exactPairs.exists(_._2 >= 1000000L), "hot cell produced no significant pairs")
+    // risk error bound still holds with 20K accidents
+    val exact = SafetyKernel.scoreRoutes(denseRoutes, dense, planDate)
+      .select("route_id", "risk_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pruned = KernelPruning.scoreRoutesPruned(denseRoutes, dense, planDate)
+      .select("route_id", "risk_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bound = 20000 * SafetyKernel.SignificanceFloor * 7.0 + 1e-9
+    val maxErr = exact.keys.map(k => math.abs(exact(k) - pruned(k))).max
+    assert(maxErr <= bound, s"max error $maxErr vs bound $bound")
+  }
+
   test("SQL function registration: dot_f64 + parse_grade + simhash64 + weather_similarity") {
     graft.sql.GraftFunctions.register(spark)
     assert(spark.sql("SELECT dot_f64(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")

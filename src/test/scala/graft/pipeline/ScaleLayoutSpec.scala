@@ -83,4 +83,26 @@ class ScaleLayoutSpec extends SparkSpec {
       .select("__salt").distinct().count()
     assert(phase1Groups > 8, s"salt spread only $phase1Groups groups")
   }
+
+  test("saltedTopK equals the window top-K on a hot-key corpus") {
+    // one domain holds 95% of the rows (the d21 quota shape under skew);
+    // the order is total (value desc, id asc) so both forms are
+    // deterministic and comparable row-for-row
+    val rows = (1L to 20000L).map { i =>
+      val key = if (i % 20 != 0) "hot" else s"cold_${i % 13}"
+      (key, i, (i * 7919 % 10007).toDouble)
+    }.toDF("source", "doc_id", "n_chars")
+    val order = Seq(col("n_chars").desc, col("doc_id").asc)
+    val viaSalt = ScaleLayout.saltedTopK(rows, "source", order, k = 10, factor = 16)
+      .select("source", "doc_id", "rank")
+      .as[(String, Long, Int)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(order: _*)
+    val viaWindow = rows.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= 10)
+      .select("source", "doc_id", "rank")
+      .as[(String, Long, Int)].collect().toSet
+    assert(viaSalt == viaWindow)
+    assert(viaSalt.count(_._1 == "hot") == 10)
+  }
 }
