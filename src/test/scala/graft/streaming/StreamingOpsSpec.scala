@@ -273,6 +273,78 @@ class StreamingOpsSpec extends SparkSpec {
     assert(!new java.io.File(deltas).exists(), "folded replay must not recreate the log")
   }
 
+  test("soak: ingest → kill → crash replay → mid-stream compaction → restart, exactly-once") {
+    import org.apache.spark.sql.functions._
+    // the full lifecycle in one run: a checkpointed ingest is killed after
+    // its first micro-batch, the batch is redelivered (at-least-once), a
+    // compaction folds the log while the stream is DOWN, the stream then
+    // resumes from the same checkpoint for two more batches, and a stale
+    // replay of the folded batch arrives last. End-to-end totals must equal
+    // a from-scratch recompute — every accident counted exactly once.
+    val routes = Seq(
+      (1L, 40.0, -105.0, Some(2000.0), "alpine", Some(7.0)),
+      (2L, 40.3, -105.2, Some(2500.0), "sport", Some(9.0)),
+      (3L, 47.0, -115.0, Some(1500.0), "trad", Some(6.0)))
+      .toDF("route_id", "lat", "lon", "elev", "route_type", "difficulty")
+    def acc(id: Long, lat: Double, lon: Double) = IngestAcc(id, lat, lon, Some(2100.0),
+      "alpine", "serious", java.sql.Date.valueOf("2024-06-01"), Some(7.5))
+    val a0 = acc(1, 40.1, -105.1)
+    val a1 = acc(2, 40.2, -105.05)
+    val a2 = acc(3, 40.25, -105.15)
+    val a3 = acc(4, 40.05, -105.3)
+    val date = "2024-07-15"
+    val base = java.nio.file.Files.createTempDirectory("soak-base").toString
+    val deltas = java.nio.file.Files.createTempDirectory("soak-deltas").toString + "/log"
+    val ckpt = java.nio.file.Files.createTempDirectory("soak-ckpt").toString
+    graft.pipeline.ScoringPipeline.writeScores(
+      graft.pipeline.ScoringPipeline.computeDailyScores(
+        routes, Seq(a0).toDF(), Seq(date)), base)
+
+    val mem = MemoryStream[IngestAcc]
+    // phase 1: one micro-batch (id 0), then the query is KILLED
+    val q1 = StreamingOps.incrementalAccidentIngest(mem.toDF(), routes, date, deltas)
+      .option("checkpointLocation", ckpt).start()
+    try { mem.addData(a1); q1.processAllAvailable() } finally q1.stop()
+    // at-least-once redelivery of the killed batch (same id) — idempotent
+    StreamingOps.ingestAccidentBatch(Seq(a1).toDF(), routes, date, deltas, batchId = 0L)
+    // compaction while the stream is down: batch 0 folds into the base
+    StreamingOps.compactDeltas(spark, base, deltas)
+
+    // phase 2: resume from the SAME checkpoint; ids continue at 1, 2
+    val q2 = StreamingOps.incrementalAccidentIngest(mem.toDF(), routes, date, deltas)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(a2); q2.processAllAvailable()
+      mem.addData(a3); q2.processAllAvailable()
+    } finally q2.stop()
+    // a stale replay of the already-FOLDED batch arrives after the restart
+    StreamingOps.ingestAccidentBatch(Seq(a1).toDF(), routes, date, deltas, batchId = 0L)
+
+    val full = graft.kernel.SafetyKernel.scoreRoutes(
+      routes, Seq(a0, a1, a2, a3).toDF(), to_date(lit(date)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def assertServedMatches(): Unit = {
+      val served = StreamingOps.scoresWithDeltas(
+        spark, spark.read.parquet(base), deltas)
+        .select("route_id", "risk_score", "n_contributing", "color_code")
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(served.keySet == full.keySet)
+      full.foreach { case (id, f) =>
+        val s = served(id)
+        assert(math.abs(s.getAs[Double]("risk_score") - f.getAs[Double]("risk_score")) < 1e-9,
+          s"route $id risk drifted across the soak")
+        assert(s.getAs[Long]("n_contributing") == f.getAs[Long]("n_contributing"),
+          s"route $id accident multiplicity broken")
+        assert(s.getAs[String]("color_code") == f.getAs[String]("color_code"))
+      }
+    }
+    assertServedMatches()
+    // final compaction: base alone carries the same totals, log is gone
+    StreamingOps.compactDeltas(spark, base, deltas)
+    assertServedMatches()
+    assert(!new java.io.File(deltas).exists())
+  }
+
   test("delta folding is date-grained: a delta never leaks onto another date") {
     import org.apache.spark.sql.functions._
     val routes = Seq((1L, 40.0, -105.0, Some(2000.0), "alpine", Some(7.0)))
