@@ -18,13 +18,19 @@ object Analytics {
     * this `6371·acos(…)` form rather than haversine
     * (`backend/app/api/v1/mp_routes.py:838-851`).
     */
-  def slcDistanceKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+  def slcDistanceKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
     // clamp to [-1, 1]: at near-zero distances cos²+sin² lands 1+1ulp and
     // acos(>1) is NaN — which `where(dist < r)` silently treats as false,
-    // dropping exactly the CLOSEST accidents from proximity listings
-    lit(GeoExprs.EarthRadiusKm) * acos(least(greatest(
-      cos(radians(lat1)) * cos(radians(lat2)) * cos(radians(lon2) - radians(lon1)) +
-        sin(radians(lat1)) * sin(radians(lat2)), lit(-1.0)), lit(1.0)))
+    // dropping exactly the CLOSEST accidents from proximity listings.
+    // NaN must BYPASS the clamp: greatest/least order NaN largest, so a NaN
+    // coordinate (which passes isNotNull filters) would clamp to 1.0 and
+    // claim distance 0 — promoting a garbage row to the TOP of every
+    // proximity listing instead of sinking/dropping like the reference.
+    val c = cos(radians(lat1)) * cos(radians(lat2)) * cos(radians(lon2) - radians(lon1)) +
+      sin(radians(lat1)) * sin(radians(lat2))
+    lit(GeoExprs.EarthRadiusKm) *
+      acos(when(isnan(c), c).otherwise(least(greatest(c, lit(-1.0)), lit(1.0))))
+  }
 
   /** F14: raw route type → canonical {alpine,ice,mixed,trad,sport,aid,
     * boulder}, default trad (`mp_routes.py:109-150`).
@@ -79,8 +85,12 @@ object Analytics {
       .withColumn("distance_km", dist)
       .where(col("distance_km") < 50)
       .withColumn("impact_score", round(lit(100.0) * exp(-col("distance_km") / 10), 1))
+      // guard BOTH names (the reference's `if route_name` guard): a null
+      // routeName would make the whole predicate NULL (not false), and an
+      // empty string on either side matches everything via contains("")
       .withColumn("same_route",
-        col("route").isNotNull && (a === b || a.contains(b) || b.contains(a)))
+        when(col("route").isNull || a === "" || b.isNull || b === "", false)
+          .otherwise(a === b || a.contains(b) || b.contains(a)))
       .orderBy(col("distance_km").asc, col("date").desc_nulls_last)
       .limit(limit)
   }
@@ -90,6 +100,7 @@ object Analytics {
     */
   def ascentAnalytics(ticks: DataFrame, accidents: DataFrame): DataFrame = {
     val monthlyTicks = ticks
+      .where(col("tick_date").isNotNull) // a null date must not form a phantom NULL month
       .where(!lower(coalesce(col("type"), lit(""))).isin("boulder", "bouldering"))
       .groupBy(month(col("tick_date")).as("month_num"))
       .agg(count(lit(1)).as("n_ascents"))
@@ -135,13 +146,16 @@ object Analytics {
     * (`mp_routes.py:1033-1057`).
     */
   def riskBreakdown(pairs: DataFrame, topN: Int = 10): DataFrame = {
-    val w = Window.partitionBy("route_id").orderBy(col("influence").desc)
+    // accident_id tiebreak, like SafetyKernel.topContributors: with ties in
+    // influence straddling rank topN, a bare influence sort picks arbitrary
+    // winners per shuffle and the averages change run to run
+    val w = Window.partitionBy("route_id")
+      .orderBy(col("influence").desc, col("accident_id").asc)
     val top = pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= topN)
     val factors = Seq("spatial_w", "temporal_w", "elevation_w",
       "route_type_w", "severity_w", "grade_w")
-    val avgs = top.groupBy("route_id")
-      .agg(factors.map(f => avg(f).as(s"avg_$f")).head,
-        factors.map(f => avg(f).as(s"avg_$f")).tail: _*)
+    val aggs = factors.map(f => avg(f).as(s"avg_$f"))
+    val avgs = top.groupBy("route_id").agg(aggs.head, aggs.tail: _*)
     val total = factors.map(f => col(s"avg_$f")).reduce(_ + _)
     factors.foldLeft(avgs) { (df, f) =>
       df.withColumn(s"share_$f", round(col(s"avg_$f") / total * 100, 1))
@@ -175,7 +189,7 @@ object Analytics {
           (col("precip").isNull || col("precip") < 5) &&
           (col("wind").isNull || col("wind") < 20) &&
           (col("gust").isNull || col("gust") < 20) &&
-          col("hour").between(6, 18))
+          col("is_daylight")) // same window as the column above, by construction
   }
 
   /** F24: bucketed text conditions summary (`mp_routes.py:1348-1362`). */
@@ -284,6 +298,15 @@ object Analytics {
     val isStop =
       if (excludeStates) lower(trim(col("p_name"))).isInCollection(StateStopNames)
       else lit(false)
+    // the storage behind a localCheckpoint is only reclaimed when its RDD is
+    // GC'd — at scale, letting up to 14 full copies of the frame pile up in
+    // the block manager until some future GC is an OOM in waiting; free each
+    // level explicitly once its successor is materialized
+    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+        case _ => None
+      }
     var current = base
     var level = 1 // the start node consumed level 1, like the driver twin
     // maxLevels counts NAMES INCLUDING the start (reference: `for _ in
@@ -292,14 +315,16 @@ object Analytics {
     // this twin walked one level deeper than breadcrumb()
     while (level < maxLevels &&
         !current.where(col("cursor").isNotNull).isEmpty) {
-      current = current.join(broadcast(parents), col("cursor") === col("p_id"), "left")
+      val next = current.join(broadcast(parents), col("cursor") === col("p_id"), "left")
         .select(
           col("mp_id"),
           when(col("p_name").isNotNull && isStop, lit(null).cast("long"))
             .otherwise(col("p_parent")).as("cursor"),
           when(col("p_name").isNotNull && !isStop, concat(col("p_name"), lit(" > "), col("path")))
             .otherwise(col("path")).as("path"))
-        .localCheckpoint() // keep the iterative plan flat; frontier check re-reads it
+        .localCheckpoint() // eager: materialized before the predecessor is freed
+      checkpointRdd(current).foreach(_.unpersist(blocking = false))
+      current = next
       level += 1
     }
     current.select(col("mp_id"), col("path").as("breadcrumb"))

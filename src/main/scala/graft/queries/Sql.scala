@@ -204,13 +204,19 @@ object Sql {
   }
 
   /** CTE producing (route_id, accident_id, influence) pairs. `wsim` is the
-    * per-pair weather-similarity expression (default: the missing-pattern
-    * neutral 0.5; pass a column name to use per-accident similarities
-    * joined into the `pairs` CTE).
+    * per-pair weather-similarity expression, evaluated in the `influences`
+    * CTE — so it may only reference columns the `pairs` CTE emits (the
+    * default is the missing-pattern neutral 0.5). To use PER-ACCIDENT
+    * similarities, pass a `pairsSelect` built with
+    * [[pairInfluenceSelectFrom]] whose FROM pre-joins them and whose
+    * `extraCols` carries the similarity column through — then name that
+    * column here (the k14/k16 oracles in KernelQueries are the worked
+    * examples).
     */
-  def influencePairsCte(wsim: String = SafetyKernelNeutral): String = {
+  def influencePairsCte(wsim: String = SafetyKernelNeutral,
+                        pairsSelect: String = pairInfluenceSelect): String = {
     val wf = weatherFactor(wsim)
-    s"""pairs AS ($pairInfluenceSelect),
+    s"""pairs AS ($pairsSelect),
        |influences AS (
        |  SELECT route_id, accident_id,
        |         spatial_w * temporal_w * elevation_w * route_type_w * severity_w * grade_w AS base_influence,

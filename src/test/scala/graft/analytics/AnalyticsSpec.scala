@@ -44,6 +44,68 @@ class AnalyticsSpec extends SparkSpec {
     assert(dists.sliding(2).forall { case Array(a, b) => a <= b })
   }
 
+  test("accidentProximity: null/empty names never match; NaN coords never rank first") {
+    val acc = accidents.withColumn("route",
+      when(col("accident_id") === 1, "The Great Roof").otherwise(lit("")))
+    // null query name: same_route must be FALSE everywhere, not NULL
+    val nullName = Analytics.accidentProximity(acc, lit(40.0), lit(-105.0),
+      lit(null).cast("string"), 10).collect()
+    assert(nullName.nonEmpty)
+    nullName.foreach(r => assert(!r.getAs[Boolean]("same_route")))
+    // empty query name: contains("") must not flag everything
+    val emptyName = Analytics.accidentProximity(acc, lit(40.0), lit(-105.0),
+      lit(""), 10).collect()
+    emptyName.foreach(r => assert(!r.getAs[Boolean]("same_route")))
+    // an empty ACCIDENT route must not match a real query name either
+    val realName = Analytics.accidentProximity(acc, lit(40.0), lit(-105.0),
+      lit("the great roof"), 10).collect()
+    assert(realName.count(_.getAs[Boolean]("same_route")) == 1)
+
+    // NaN coordinates pass isNotNull — they must NOT clamp to distance 0
+    // and take over rank 1; they drop out of the radius like the reference
+    val withNaN = accidents.unionByName(Seq(
+      (99, java.sql.Date.valueOf("2023-07-01"), Double.NaN, -105.0, "fatal",
+        null.asInstanceOf[String]))
+      .toDF("accident_id", "date", "latitude", "longitude", "injury_severity", "route"))
+    val ranked = Analytics.accidentProximity(withNaN, lit(40.0), lit(-105.0),
+      lit("x"), 10).collect()
+    assert(!ranked.map(_.getAs[Int]("accident_id")).contains(99))
+    assert(ranked.head.getAs[Int]("accident_id") == 1)
+  }
+
+  test("ascentAnalytics: null tick dates form no phantom month") {
+    val ticks = Seq(
+      (1L, Some(java.sql.Date.valueOf("2023-07-01")), "sport"),
+      (2L, Some(java.sql.Date.valueOf("2023-07-02")), "trad"),
+      (3L, Option.empty[java.sql.Date], "sport"))
+      .toDF("tick_id", "tick_date", "type")
+    val out = Analytics.ascentAnalytics(ticks, accidents).collect()
+    assert(out.forall(!_.isNullAt(0)), "NULL month row leaked from null tick_date")
+    val july = out.find(_.getAs[Int]("month_num") == 7).get
+    assert(july.getAs[Long]("n_ascents") == 2)
+  }
+
+  test("riskBreakdown: influence ties break by accident_id, deterministically") {
+    // two accidents at IDENTICAL coordinates/type/severity/date → identical
+    // influence; topN=1 must pick accident 1 (lowest id), so the breakdown
+    // equals the one computed from accident 1 alone on every run
+    import graft.kernel.SafetyKernel
+    val routes = Seq((1L, 40.0, -105.0, Some(3000.0), "alpine", Some(10.0)))
+      .toDF("route_id", "lat", "lon", "elev", "route_type", "difficulty")
+    def acc(id: Int, grade: Double) =
+      (id, 40.1, -105.0, Some(2900.0), "alpine", "fatal", "2023-07-15", Some(grade))
+    val accs = Seq(acc(2, 9.0), acc(1, 9.0), acc(3, 9.0))
+      .toDF("accident_id", "a_lat", "a_lon", "a_elev", "acc_type", "severity_raw", "d", "a_difficulty")
+      .withColumn("a_date", to_date(col("d"))).drop("d")
+    val pairs = SafetyKernel.pairInfluence(routes, accs, to_date(lit("2024-07-15")))
+    val viaTies = Analytics.riskBreakdown(pairs, topN = 1).head()
+    val viaOne = Analytics.riskBreakdown(
+      pairs.where(col("accident_id") === 1), topN = 1).head()
+    viaTies.schema.fieldNames.filter(_.startsWith("avg_")).foreach { f =>
+      assert(viaTies.getAs[Double](f) == viaOne.getAs[Double](f), f)
+    }
+  }
+
   test("normalizeRouteType: canonical passthrough, variants, default trad") {
     val cases = Seq(
       "sport" -> "sport", "Bouldering" -> "boulder", "big wall" -> "aid",
