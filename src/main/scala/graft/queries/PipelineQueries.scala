@@ -294,6 +294,24 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- ORACLE TWIN of d09's downstream: the planted near-dups, bucket
+    // gating (incl. the maxBucketSize cap), 1-bit multi-probe candidate
+    // relation, and exact-cosine verification — all with the SQL-derivable
+    // axis-sign signature family. The plant here is index-free (+0.01 per
+    // dim) so DuckDB mirrors it with a plain list_transform.
+    "d09b_embedding_lsh_capped" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val planted = e.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.01)).as("embedding"))
+      Similarity.nearDupPairsLsh(e.union(planted), "vec_id", "embedding",
+        dim = 64, bits = 6, threshold = 0.95, maxBucketSize = Some(400),
+        signature = Some(Similarity.axisSignSignature(_, 6)))
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- multimodal column plumbing: binary payloads, typed metadata, ----
     // frame sampling, resize math — everything EXCEPT the codec decode is
     // real and oracle-checked (byte lengths, sampled frame bytes, aspect-
@@ -373,6 +391,23 @@ object PipelineQueries {
         e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
         "vec_id", "embedding", dim = 64, bits = 6, k = 3,
         signature = Some(Similarity.axisSignSignature(_, 6)))
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- ORACLE TWIN of s03's downstream: trained centroids aren't
+    // SQL-derivable, but the assignment/probe/rank machinery is — feed
+    // ivfTopKWithCentroids 8 one-hot unit centroids (dot = a coordinate
+    // read) and DuckDB re-derives cell assignment (argmax, ties to the
+    // lowest cell), the nprobe cut, and the exact-cosine top-k.
+    "s03b_ivf_probe" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val oneHot: Array[(Int, Seq[Double])] = Array.tabulate(8)(j =>
+        j -> Seq.tabulate(64)(d => if (d == j) 1.0 else 0.0))
+      Similarity.ivfTopKWithCentroids(
+        e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+        "vec_id", "embedding", oneHot, nprobe = 3, k = 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"))
         .orderBy("query_id", "rank")
@@ -1271,6 +1306,67 @@ object PipelineQueries {
         |           (sqrt(list_dot_product(p.v, p.v)) *
         |            sqrt(list_dot_product(c.v, c.v))) AS cos_raw
         |  FROM probes p JOIN cs c USING (bucket)),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM cand)
+        |SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cosine
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // d09's downstream re-derived: axis-sign buckets over base ∪ planted
+    // (+0.01/dim) corpus; pair (x<y) emitted iff y's bucket survives the
+    // cap AND hamming(sig_x, sig_y) ≤ 1 (the 1-bit multi-probe relation),
+    // then exact-cosine verified at the raw threshold
+    "d09b_embedding_lsh_capped" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |planted AS (SELECT vec_id + 1000000 AS vec_id,
+        |                   list_transform(v, x -> x + 0.01) AS v FROM base),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |sigs AS (SELECT vec_id, v,
+        |                CAST(list_sum(list_transform(generate_series(0, 5),
+        |                  j -> CASE WHEN v[j+1] > 0 THEN CAST(1 AS BIGINT) << j
+        |                       ELSE 0 END)) AS BIGINT) AS sig
+        |         FROM corpus),
+        |bsz AS (SELECT sig AS bucket, count(*) AS m FROM sigs GROUP BY sig),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         list_dot_product(a.v, b.v) /
+        |           (sqrt(list_dot_product(a.v, a.v)) *
+        |            sqrt(list_dot_product(b.v, b.v))) AS cos_raw
+        |  FROM sigs a
+        |  JOIN sigs b ON a.vec_id < b.vec_id
+        |             AND bit_count(xor(a.sig, b.sig)) <= 1
+        |  JOIN bsz ON bsz.bucket = b.sig
+        |  WHERE bsz.m <= 400)
+        |SELECT id_a, id_b, round(cos_raw, 4) AS cosine
+        |FROM pairs WHERE cos_raw >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // s03's downstream re-derived with one-hot centroids: assignment =
+    // argmax over the first 8 coordinates (ties to the lowest cell via
+    // list_indexof's first occurrence), nprobe cut by the same order,
+    // exact-cosine rank-and-cut like the s01/s02b oracles
+    "s03b_ivf_probe" ->
+      """WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+        |            FROM embeddings WHERE vec_id < 10),
+        |c0 AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v
+        |       FROM embeddings WHERE vec_id >= 10),
+        |cs AS (SELECT neighbor_id, v,
+        |              list_indexof(v[1:8], list_max(v[1:8])) - 1 AS cell
+        |       FROM c0),
+        |qp AS (SELECT query_id, v, j AS cell,
+        |              row_number() OVER (PARTITION BY query_id
+        |                ORDER BY v[j+1] DESC, j ASC) AS rk
+        |       FROM q0, range(8) t(j)),
+        |probes AS (SELECT query_id, v, cell FROM qp WHERE rk <= 3),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, c.neighbor_id,
+        |         list_dot_product(p.v, c.v) /
+        |           (sqrt(list_dot_product(p.v, p.v)) *
+        |            sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+        |  FROM probes p JOIN cs c USING (cell)),
         |ranked AS (
         |  SELECT query_id, neighbor_id, cos_raw,
         |         CAST(row_number() OVER (PARTITION BY query_id

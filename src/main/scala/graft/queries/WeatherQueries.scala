@@ -95,6 +95,32 @@ object WeatherQueries {
         .orderBy("accident_id")
     }),
 
+    // A5 detailed: the reference's calculate_weather_similarity_detailed
+    // (weather_similarity.py:347-483) — per-factor normalized correlations,
+    // freeze-thaw counts and days compared alongside the composite; the
+    // oracle re-derives every factor column independently, so a wrong
+    // factor can no longer hide inside a right sum.
+    "w10_similarity_detailed" -> ((s, dir) => {
+      val d = WeatherExprs.withWeatherSimilarityDetailed(
+        accidentIds(s, dir),
+        Derived.weatherPattern(lit(Derived.CurrentKey)),
+        Derived.weatherPattern(col("accident_id")),
+        "wsim_raw")
+      d.select(
+        col("accident_id"),
+        round(col("ws_score_temperature"), 6).as("score_temperature"),
+        round(col("ws_score_precipitation"), 6).as("score_precipitation"),
+        round(col("ws_score_wind_speed"), 6).as("score_wind_speed"),
+        round(col("ws_score_visibility"), 6).as("score_visibility"),
+        round(col("ws_score_cloud_cover"), 6).as("score_cloud_cover"),
+        round(col("ws_score_freeze_thaw"), 6).as("score_freeze_thaw"),
+        col("ws_ft_current").as("ft_current"),
+        col("ws_ft_accident").as("ft_accident"),
+        col("ws_days_compared").as("days_compared"),
+        round(col("wsim_raw"), 6).as("base_similarity"))
+        .orderBy("accident_id")
+    }),
+
     // S4/A2/J3: the REAL pattern assembly — weather ROWS table → window
     // join → Python-`or` defaults → sort_array(collect_list) → ≥5-day
     // validity — dumped back to per-day scalars through the assembled
@@ -369,6 +395,29 @@ object WeatherQueries {
          |$statsCte
          |SELECT accident_id,
          |       round($scoreSum + ($ftSim) * $fw, 6) AS weather_similarity
+         |FROM s
+         |ORDER BY accident_id""".stripMargin
+    },
+
+    "w10_similarity_detailed" -> {
+      val fw = WeatherExprs.FactorWeight
+      val named = Seq("t" -> "temperature", "p" -> "precipitation",
+        "w" -> "wind_speed", "v" -> "visibility", "c" -> "cloud_cover")
+      val scoreCols = named.map { case (f, n) =>
+        s"round(${corrCase(f)}, 6) AS score_$n"
+      }.mkString(",\n|       ")
+      val scoreSum = factors.map(f => s"(${corrCase(f)}) * $fw").mkString(" + ")
+      val ftSim = s"greatest(0.0, 1.0 - abs(ft_x - ft_y) / (greatest(ft_x, ft_y, 1) + 7))"
+      s"""WITH $seriesCte,
+         |$meansCte,
+         |$statsCte
+         |SELECT accident_id,
+         |       $scoreCols,
+         |       round($ftSim, 6) AS score_freeze_thaw,
+         |       ft_y AS ft_current,
+         |       ft_x AS ft_accident,
+         |       CAST(7 AS BIGINT) AS days_compared,
+         |       round($scoreSum + ($ftSim) * $fw, 6) AS base_similarity
          |FROM s
          |ORDER BY accident_id""".stripMargin
     },

@@ -82,11 +82,13 @@ object Similarity {
     */
   def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
                       dim: Int, bits: Int, threshold: Double,
-                      maxBucketSize: Option[Int] = None): DataFrame = {
+                      maxBucketSize: Option[Int] = None,
+                      signature: Option[Column => Column] = None): DataFrame = {
     require(bits <= 16, "multi-probe signature is meant to be short")
+    val sigOf: Column => Column = signature.getOrElse(hyperplaneSignature(_, dim, bits))
     val b0 = withNorm(df, idCol, vecCol, "id_b", "v_b", "n_b")
       .where(col("n_b") > 0) // zero-norm: cosine NaN passes >= threshold in Spark
-      .withColumn("bucket", hyperplaneSignature(col("v_b"), dim, bits))
+      .withColumn("bucket", sigOf(col("v_b")))
     // 100 TB skew guard (same rationale as Dedup.lshCandidatePairs): a
     // degenerate bucket — duplicated embeddings, all-zero vectors — would
     // make the bucket join quadratic in its size; capped buckets are
@@ -102,7 +104,7 @@ object Similarity {
     }
     val a = withNorm(graft.Partitioning.balanced(df), idCol, vecCol, "id_a", "v_a", "n_a")
       .where(col("n_a") > 0)
-      .withColumn("sig", hyperplaneSignature(col("v_a"), dim, bits))
+      .withColumn("sig", sigOf(col("v_a")))
       .select(col("id_a"), col("v_a"), col("n_a"),
         explode(concat(array(col("sig")),
           transform(sequence(lit(0), lit(bits - 1)),
@@ -203,11 +205,24 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               nlist: Int, nprobe: Int, k: Int, iters: Int = 3): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val centroids = ivfTrainCentroids(corpus, idCol, vecCol, nlist, iters)
     if (centroids.isEmpty) // empty / all-zero-norm corpus: empty result, right schema
       return bruteForceTopK(queries.limit(0), corpus.limit(0), idCol, vecCol, k)
+    ivfTopKWithCentroids(queries, corpus, idCol, vecCol, centroids, nprobe, k)
+  }
+
+  /** The IVF QUERY path with caller-supplied centroids — what [[ivfTopK]]
+    * runs after training. Exposed separately so the probe/assign/rank
+    * machinery is testable (and oracle-checkable: s03b feeds it one-hot
+    * centroids whose dot products are plain coordinate reads, making
+    * assignment, probing, and ranking derivable in SQL).
+    */
+  def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame,
+                           idCol: String, vecCol: String,
+                           centroids: Array[(Int, Seq[Double])],
+                           nprobe: Int, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val cdf = broadcast(centroids.toSeq.toDF("cell", "c_vec"))
 
     // map-side cell assignment (argmax inlined per row) — the corpus is

@@ -107,7 +107,28 @@ object WeatherExprs {
     * order are identical, so results match the Column form bit-for-bit.
     */
   def withWeatherSimilarity(df: org.apache.spark.sql.DataFrame, current: Column,
-                            accident: Column, out: String): org.apache.spark.sql.DataFrame = {
+                            accident: Column, out: String): org.apache.spark.sql.DataFrame =
+    withWeatherSimilarityStaged(df, current, accident, out, detailPrefix = None)
+
+  /** Detailed twin of the reference's
+    * `calculate_weather_similarity_detailed` (`weather_similarity.py:347-483`):
+    * alongside `out`, emits per-factor scores and diagnostics under
+    * `prefix`: `<prefix>score_{temperature,precipitation,wind_speed,
+    * visibility,cloud_cover,freeze_thaw}`, `<prefix>ft_current`,
+    * `<prefix>ft_accident`, `<prefix>days_compared`. Shares the staged core
+    * with [[withWeatherSimilarity]], so the composite is the weighted sum
+    * of the emitted factors bit-for-bit. Divergence from the reference's
+    * dict shape: an INVALID pattern (< 5 days) yields all-zero scores and
+    * counts (the relational spelling of its empty-dict-and-zeros return).
+    */
+  def withWeatherSimilarityDetailed(df: org.apache.spark.sql.DataFrame, current: Column,
+                                    accident: Column, out: String,
+                                    prefix: String = "ws_"): org.apache.spark.sql.DataFrame =
+    withWeatherSimilarityStaged(df, current, accident, out, detailPrefix = Some(prefix))
+
+  private def withWeatherSimilarityStaged(df: org.apache.spark.sql.DataFrame, current: Column,
+                                          accident: Column, out: String,
+                                          detailPrefix: Option[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.DataFrame
     val factors = Seq("temperature", "precipitation", "wind_speed", "visibility", "cloud_cover")
 
@@ -157,13 +178,24 @@ object WeatherExprs {
 
     d = d.withColumn("_ft_a", StatsExprs.freezeThawCount(col("_cur.daily_temps")))
       .withColumn("_ft_b", StatsExprs.freezeThawCount(col("_acc.daily_temps")))
-    val scores = factors.map(f => col(s"_score_$f")) :+
-      freezeThawSimilarity(col("_ft_a"), col("_ft_b"))
+    val ftScore = freezeThawSimilarity(col("_ft_a"), col("_ft_b"))
+    val scores = factors.map(f => col(s"_score_$f")) :+ ftScore
     val base = scores.map(_ * lit(FactorWeight)).reduce(_ + _)
-    d = d.withColumn(out,
-      when(size(col("_cur.temperature")) < MinWeatherDaysRequired ||
-        size(col("_acc.temperature")) < MinWeatherDaysRequired, lit(0.0))
-        .otherwise(base))
+    val invalid = size(col("_cur.temperature")) < MinWeatherDaysRequired ||
+      size(col("_acc.temperature")) < MinWeatherDaysRequired
+    d = d.withColumn(out, when(invalid, lit(0.0)).otherwise(base))
+    detailPrefix.foreach { p =>
+      for (f <- factors)
+        d = d.withColumn(s"${p}score_$f",
+          when(invalid, 0.0).otherwise(col(s"_score_$f")))
+      d = d.withColumn(s"${p}score_freeze_thaw", when(invalid, 0.0).otherwise(ftScore))
+        .withColumn(s"${p}ft_current",
+          when(invalid, 0L).otherwise(col("_ft_a").cast("long")))
+        .withColumn(s"${p}ft_accident",
+          when(invalid, 0L).otherwise(col("_ft_b").cast("long")))
+        .withColumn(s"${p}days_compared",
+          when(invalid, 0L).otherwise(col("_n").cast("long")))
+    }
 
     val tmpCols = Seq("_cur", "_acc", "_n", "_wraw", "_wsum1", "_w1", "_wsum2", "_wn",
       "_ft_a", "_ft_b") ++
