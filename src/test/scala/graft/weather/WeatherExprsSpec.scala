@@ -55,6 +55,40 @@ class WeatherExprsSpec extends SparkSpec {
     assert(evalDouble(WeatherExprs.weatherSimilarity(wp1, short)) == 0.0)
   }
 
+  test("detailed breakdown: factors sum to the composite, invalid → zeros") {
+    val spark0 = spark
+    import spark0.implicits._
+    val base = Seq(1).toDF("id")
+    val d = WeatherExprs.withWeatherSimilarityDetailed(base, wp1, wp2, "sim").head()
+    // weighted sum of the emitted factors IS the composite (shared core)
+    val factors = Seq("ws_score_temperature", "ws_score_precipitation",
+      "ws_score_wind_speed", "ws_score_visibility", "ws_score_cloud_cover",
+      "ws_score_freeze_thaw")
+    val recomposed = factors.map(d.getAs[Double]).sum * WeatherExprs.FactorWeight
+    assert(approx(recomposed, d.getAs[Double]("sim"), 1e-12))
+    assert(approx(d.getAs[Double]("sim"), 0.6549681645127438, 1e-9))
+    // diagnostics: wp1 has no freeze-thaw days, wp2 crosses zero daily
+    assert(d.getAs[Long]("ws_ft_current") == 0L)
+    assert(d.getAs[Long]("ws_ft_accident") == 7L)
+    assert(d.getAs[Long]("ws_days_compared") == 7L)
+    // every factor score is a valid normalized correlation
+    factors.foreach(f => {
+      val v = d.getAs[Double](f)
+      assert(v >= 0.0 && v <= 1.0, s"$f = $v out of [0,1]")
+    })
+    // invalid pattern: all detail columns zero, like the reference's
+    // empty-dict-and-zeros return
+    val short = WeatherExprs.pattern(
+      arr(15, 16, 17), arr(0, 0, 0), arr(5, 5, 5), arr(10, 10, 10),
+      arr(20, 20, 20), temps((10, 15, 20), (10, 15, 20), (10, 15, 20)))
+    val inv = WeatherExprs.withWeatherSimilarityDetailed(base, short, wp1, "sim").head()
+    assert(inv.getAs[Double]("sim") == 0.0)
+    factors.foreach(f => assert(inv.getAs[Double](f) == 0.0, f))
+    assert(inv.getAs[Long]("ws_ft_current") == 0L)
+    assert(inv.getAs[Long]("ws_ft_accident") == 0L)
+    assert(inv.getAs[Long]("ws_days_compared") == 0L)
+  }
+
   test("freeze-thaw closeness formula") {
     // ft 7 vs 0: 1 - 7/(max(7,0,1)+7) = 0.5
     assert(approx(evalDouble(WeatherExprs.freezeThawSimilarity(lit(7), lit(0))), 0.5))
