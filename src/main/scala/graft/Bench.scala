@@ -123,6 +123,14 @@ object Bench {
     * KernelPruningSpec pins exact-vs-pruned bit-equality above the 1e-6
     * floor at 10× density with a planted hot cell; this entry demonstrates
     * throughput and bounded memory at the full blown-up shape.
+    *
+    * Measured funnel at this shape: 116G raw candidates → ~13G inside the
+    * tier-grid windows (30× cut by the equi-join) → 3.79G pairs genuinely
+    * within their per-route gate radius, each owed full influence math for
+    * exactness above the floor. The ~170 s wall is therefore ≈ 1/3
+    * irreducible kernel arithmetic and ≈ 2/3 window filtering — further
+    * candidate shaving (finer tiers, rectangular cells) buys ≤ 20% and
+    * costs broadcast fan-out, so the 3-tier grid is the chosen point.
     */
   def kernelBatch10x(spark: SparkSession): DataFrame =
     KernelPruning.scoreRoutesPruned(
