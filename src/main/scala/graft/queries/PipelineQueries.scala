@@ -1316,20 +1316,23 @@ object PipelineQueries {
         |ORDER BY query_id, rank""".stripMargin,
 
     // d09's downstream re-derived: axis-sign buckets over base ∪ planted
-    // (+0.01/dim) corpus; pair (x<y) emitted iff y's bucket survives the
-    // cap AND hamming(sig_x, sig_y) ≤ 1 (the 1-bit multi-probe relation),
-    // then exact-cosine verified at the raw threshold
+    // (+0.01/dim) corpus; capped-bucket members leave the relation
+    // WHOLESALE (both sides), then pair (x<y) iff hamming(sig_x, sig_y) ≤ 1
+    // (the 1-bit multi-probe relation), exact-cosine verified at the raw
+    // threshold
     "d09b_embedding_lsh_capped" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |planted AS (SELECT vec_id + 1000000 AS vec_id,
         |                   list_transform(v, x -> x + 0.01) AS v FROM base),
         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
-        |sigs AS (SELECT vec_id, v,
-        |                CAST(list_sum(list_transform(generate_series(0, 5),
-        |                  j -> CASE WHEN v[j+1] > 0 THEN CAST(1 AS BIGINT) << j
-        |                       ELSE 0 END)) AS BIGINT) AS sig
-        |         FROM corpus),
-        |bsz AS (SELECT sig AS bucket, count(*) AS m FROM sigs GROUP BY sig),
+        |sigs0 AS (SELECT vec_id, v,
+        |                 CAST(list_sum(list_transform(generate_series(0, 5),
+        |                   j -> CASE WHEN v[j+1] > 0 THEN CAST(1 AS BIGINT) << j
+        |                        ELSE 0 END)) AS BIGINT) AS sig
+        |          FROM corpus),
+        |sigs AS (SELECT * FROM (
+        |           SELECT *, count(*) OVER (PARTITION BY sig) AS m FROM sigs0)
+        |         WHERE m <= 400),
         |pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |         list_dot_product(a.v, b.v) /
@@ -1337,9 +1340,7 @@ object PipelineQueries {
         |            sqrt(list_dot_product(b.v, b.v))) AS cos_raw
         |  FROM sigs a
         |  JOIN sigs b ON a.vec_id < b.vec_id
-        |             AND bit_count(xor(a.sig, b.sig)) <= 1
-        |  JOIN bsz ON bsz.bucket = b.sig
-        |  WHERE bsz.m <= 400)
+        |             AND bit_count(xor(a.sig, b.sig)) <= 1)
         |SELECT id_a, id_b, round(cos_raw, 4) AS cosine
         |FROM pairs WHERE cos_raw >= 0.95
         |ORDER BY id_a, id_b""".stripMargin,

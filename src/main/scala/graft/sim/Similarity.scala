@@ -41,7 +41,11 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_n"))
+    // zero-norm/null QUERY vectors are excluded like corpus ones: their
+    // cosine is NaN for every candidate, and NaN sorts LARGEST — without
+    // the filter such a query emits k garbage "neighbors" ranked 1..k
+    val q = broadcast(withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_n")
+      .where(col("q_n") > 0))
     val c = withNorm(graft.Partitioning.balanced(corpus), idCol, vecCol,
       "neighbor_id", "c_vec", "c_n")
       .where(col("c_n") > 0) // NaN cosine would out-rank every real neighbor
@@ -86,35 +90,46 @@ object Similarity {
                       signature: Option[Column => Column] = None): DataFrame = {
     require(bits <= 16, "multi-probe signature is meant to be short")
     val sigOf: Column => Column = signature.getOrElse(hyperplaneSignature(_, dim, bits))
-    val b0 = withNorm(df, idCol, vecCol, "id_b", "v_b", "n_b")
-      .where(col("n_b") > 0) // zero-norm: cosine NaN passes >= threshold in Spark
-      .withColumn("bucket", sigOf(col("v_b")))
+    // ONE signed frame feeds both join sides, so the bits×-dot signature
+    // pipeline isn't evaluated twice per row, and — crucially — the skew
+    // cap below applies to BOTH sides. A b-side-only cap made pair survival
+    // depend on id ORDER (a capped-bucket member could still probe from the
+    // a side, so the pair {x, y} existed iff the capped one happened to be
+    // id_a) — "dropped wholesale" must mean the member leaves the relation
+    // entirely, as in Dedup.lshCandidatePairs's symmetric pre-filter.
+    val signed = withNorm(graft.Partitioning.balanced(df), idCol, vecCol,
+      "id", "v", "n")
+      .where(col("n") > 0) // zero-norm: cosine NaN passes >= threshold in Spark
+      .withColumn("bucket", sigOf(col("v")))
     // 100 TB skew guard (same rationale as Dedup.lshCandidatePairs): a
     // degenerate bucket — duplicated embeddings, all-zero vectors — would
     // make the bucket join quadratic in its size; capped buckets are
     // dropped wholesale (their members are exact-dup territory)
-    val b = maxBucketSize match {
+    val kept = maxBucketSize match {
       case Some(cap) =>
         // window count reuses the bucket exchange — no second evaluation
         // of the bits× hyperplane-signature dot products
         val w = Window.partitionBy("bucket")
-        b0.withColumn("__bsz", count(lit(1)).over(w))
+        signed.withColumn("__bsz", count(lit(1)).over(w))
           .where(col("__bsz") <= cap).drop("__bsz")
-      case None => b0
+      case None => signed
     }
-    val a = withNorm(graft.Partitioning.balanced(df), idCol, vecCol, "id_a", "v_a", "n_a")
-      .where(col("n_a") > 0)
-      .withColumn("sig", sigOf(col("v_a")))
-      .select(col("id_a"), col("v_a"), col("n_a"),
-        explode(concat(array(col("sig")),
-          transform(sequence(lit(0), lit(bits - 1)),
-            i => col("sig").bitwiseXOR(pow(lit(2.0), i).cast("long"))))).as("bucket"))
+    val b = kept.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("n").as("n_b"), col("bucket"))
+    val a = kept.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"),
+      explode(concat(array(col("bucket")),
+        transform(sequence(lit(0), lit(bits - 1)),
+          i => col("bucket").bitwiseXOR(pow(lit(2.0), i).cast("long"))))).as("bucket"))
+    // no trailing distinct: each row has ONE exact bucket and the bits+1
+    // probe buckets of a signature are pairwise distinct, so a (id_a, id_b)
+    // pair can only arise once (assumes idCol is unique, as for every
+    // operator here) — a dedup here would only add a full extra shuffle
     a.join(b, "bucket")
       .where(col("id_a") < col("id_b"))
       .withColumn("cosine",
         VectorExprs.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .where(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine").distinct()
+      .select("id_a", "id_b", "cosine")
   }
 
   // --- IVF (inverted-file) — the other classic ANN scale path --------------
@@ -221,6 +236,11 @@ object Similarity {
                            idCol: String, vecCol: String,
                            centroids: Array[(Int, Seq[Double])],
                            nprobe: Int, k: Int): DataFrame = {
+    // corpus assignment joins on nearestCell's POSITIONAL index while query
+    // probes join on the supplied label — a label ≠ position mismatch would
+    // silently rank queries against the wrong cells
+    require(centroids.zipWithIndex.forall { case ((id, _), i) => id == i },
+      "centroid labels must equal their array positions (0..n-1)")
     val spark = corpus.sparkSession
     import spark.implicits._
     val cdf = broadcast(centroids.toSeq.toDF("cell", "c_vec"))
@@ -239,6 +259,7 @@ object Similarity {
 
     val wProbe = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell").asc)
     val probes = withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_n")
+      .where(col("q_n") > 0) // a zero-norm query's probe sims are all NaN
       .crossJoin(cdf)
       .withColumn("sim", VectorExprs.dot(col("q_vec"), col("c_vec")) / col("q_n"))
       .withColumn("rk", row_number().over(wProbe)).where(col("rk") <= nprobe)
@@ -246,10 +267,12 @@ object Similarity {
 
     val wTop = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    // no distinct: cells are single-valued per corpus row and a query's
+    // probe cells are pairwise distinct, so a candidate appears once
     broadcast(probes).join(assigned, "cell")
       .withColumn("cosine",
         VectorExprs.dot(col("q_vec"), col("c_vec")) / (col("q_n") * col("c_n")))
-      .select("query_id", "neighbor_id", "cosine").distinct()
+      .select("query_id", "neighbor_id", "cosine")
       .withColumn("rank", row_number().over(wTop))
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
@@ -263,7 +286,13 @@ object Similarity {
     */
   def axisSignSignature(vec: Column, bits: Int): Column = {
     require(bits <= 62, "packed signature must fit a long without overflow")
-    (0 until bits).map(j => when(element_at(vec, j + 1) > 0, lit(1L << j)).otherwise(0L))
+    // try_element_at: a vector shorter than `bits` contributes 0-bits for
+    // the missing coordinates instead of throwing INVALID_ARRAY_INDEX under
+    // ANSI mode — total like the hyperplane family (whose dot product
+    // truncates to the shorter length), and exactly what SQL list indexing
+    // does (out-of-range → NULL → the CASE's else-0 arm)
+    (0 until bits).map(j =>
+      when(try_element_at(vec, lit(j + 1)) > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
   }
 
@@ -282,8 +311,10 @@ object Similarity {
     val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "c_vec", "c_n")
       .where(col("c_n") > 0) // NaN cosine would out-rank every real neighbor
       .withColumn("bucket", sigOf(col("c_vec")))
-    // queries fan out to their own bucket + every 1-bit flip (multi-probe)
+    // queries fan out to their own bucket + every 1-bit flip (multi-probe);
+    // zero-norm queries are excluded (all-NaN cosines would rank 1..k)
     val q = withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_n")
+      .where(col("q_n") > 0)
       .withColumn("sig", sigOf(col("q_vec")))
       .select(col("query_id"), col("q_vec"), col("q_n"),
         explode(concat(array(col("sig")),
@@ -291,10 +322,12 @@ object Similarity {
             i => col("sig").bitwiseXOR(pow(lit(2.0), i).cast("long"))))).as("bucket"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    // no distinct: a corpus row has ONE bucket and the bits+1 probe buckets
+    // are pairwise distinct, so a candidate pair appears exactly once
     broadcast(q).join(c, "bucket")
       .withColumn("cosine",
         VectorExprs.dot(col("q_vec"), col("c_vec")) / (col("q_n") * col("c_n")))
-      .select("query_id", "neighbor_id", "cosine").distinct()
+      .select("query_id", "neighbor_id", "cosine")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")

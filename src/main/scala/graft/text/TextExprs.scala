@@ -73,20 +73,24 @@ object TextExprs {
     round(lengthScore * punctScore * (lit(0.5) + swScore * 0.5), 6)
   }
 
-  /** Character-n-gram language scores: fraction of a language's marker
-    * n-grams present in the text. Deterministic heuristic; the winning
-    * language is the guess. Markers are per-language frequent tokens.
+  /** Character-n-gram language scores: FRACTION of a language's marker
+    * n-grams present in the text (hit count / marker-list size, so lists of
+    * different lengths compete fairly — a raw count would bias the argmax
+    * toward whichever language someone gave the longest list). Deterministic
+    * heuristic; the winning language is the guess; null text → null guess.
     */
   def langIdGuess(text: Column, markers: Map[String, Seq[String]]): Column = {
+    require(markers.nonEmpty, "langIdGuess needs at least one language")
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
-      val score = ms.map(m => when(text.contains(m), 1).otherwise(0))
+      val hits = ms.map(m => when(text.contains(m), 1).otherwise(0))
         .reduce(_ + _)
-      struct(score.as("score"), lit(lang).as("lang"))
+      struct((hits.cast("double") / ms.size).as("score"), lit(lang).as("lang"))
     }
     // max_by over the per-language scores; ties break to lexicographically
     // LAST language via the struct ordering (score first), made deterministic
     // by sorting the array.
-    element_at(reverse(array_sort(array(scored: _*))), 1).getField("lang")
+    when(text.isNull, lit(null).cast("string"))
+      .otherwise(element_at(reverse(array_sort(array(scored: _*))), 1).getField("lang"))
   }
 
   /** 64-bit rolling document fingerprint: order-sensitive hash chaining
@@ -98,12 +102,17 @@ object TextExprs {
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
   /** Shingle fingerprints for near-dup overlap detection: distinct w-token
-    * shingle hashes.
+    * shingle hashes. NULL text → NULL (consistent with [[fingerprint]] and
+    * simhash: an absent document is unhashable, not an alias of the empty
+    * document — the un-guarded form collapsed null and "" to the same
+    * single-shingle set, making every null doc a jaccard-1.0 "near-dup" of
+    * every empty doc and flooding LSH buckets with phantom pairs).
     */
   def shingleHashes(text: Column, w: Int): Column = {
     val toks = tokens(text)
     val n = size(toks)
-    array_distinct(transform(sequence(lit(1), greatest(n - (w - 1), lit(1))),
-      i => xxhash64(concat_ws(" ", slice(toks, i, lit(w))))))
+    when(text.isNull, lit(null).cast("array<bigint>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), greatest(n - (w - 1), lit(1))),
+        i => xxhash64(concat_ws(" ", slice(toks, i, lit(w)))))))
   }
 }

@@ -109,6 +109,65 @@ class SimilaritySpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L)) // antipodal vectors do not
   }
 
+  test("bucket cap drops members WHOLESALE: no id-order-dependent pairs") {
+    // 300 byte-identical vectors share one bucket (size > cap); two genuine
+    // near-dups live in small buckets. Capped-bucket members must appear in
+    // NO pair — from either join side, whatever their ids — while the
+    // outside pair survives.
+    val hot = spark.range(300).select(
+      (col("id") * 2 + 1).as("vec_id"), // odd ids: interleaved with others
+      typedLit(Seq.fill(8)(1.0)).as("embedding"))
+    val pairA = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0)),
+      (1000L, Seq(1.0, 0.01, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val corpus = hot.unionByName(pairA)
+    // axis-sign signature makes buckets exactly predictable (hyperplane
+    // buckets depend on the seeded planes, and the hot/planted vectors could
+    // collide): hot all-ones → sig 0b1111; planted → sigs 1 and 3, which are
+    // hamming-1 apart, so the pair is found via the 1-bit multi-probe
+    val axisSig: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      Similarity.axisSignSignature(_, 4)
+    val pairs = Similarity.nearDupPairsLsh(corpus, "vec_id", "embedding",
+      dim = 8, bits = 4, threshold = 0.95, maxBucketSize = Some(100),
+      signature = Some(axisSig))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1000L)), s"got $pairs")
+    // without a cap the hot bucket floods: 300·299/2 pairs plus the planted
+    val uncapped = Similarity.nearDupPairsLsh(corpus, "vec_id", "embedding",
+      dim = 8, bits = 4, threshold = 0.95, signature = Some(axisSig)).count()
+    assert(uncapped == 300L * 299 / 2 + 1)
+  }
+
+  test("zero-norm queries emit no rows; short vectors don't crash axis signatures") {
+    val corpus = Seq((10L, vec(1, 0, 0, 0)), (11L, vec(0, 1, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, vec(1, 0, 0, 0)), (2L, vec(0, 0, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 2)
+      .select("query_id").as[Long].collect().toSet
+    assert(brute == Set(1L), "zero-norm query must be excluded, not rank NaN garbage")
+    val lsh = Similarity.lshTopK(queries, corpus, "vec_id", "embedding",
+      dim = 4, bits = 3, k = 2).select("query_id").as[Long].collect().toSet
+    assert(!lsh.contains(2L))
+    val ivf = Similarity.ivfTopKWithCentroids(queries, corpus, "vec_id", "embedding",
+      Array(0 -> Seq(1.0, 0.0, 0.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0, 0.0)),
+      nprobe = 1, k = 2).select("query_id").as[Long].collect().toSet
+    assert(!ivf.contains(2L))
+    // axis-sign signature over a vector SHORTER than bits: missing
+    // coordinates are 0-bits, no ANSI INVALID_ARRAY_INDEX
+    val short = Seq((1L, Seq(1.0, -1.0))).toDF("vec_id", "v")
+    val sig = short.select(
+      Similarity.axisSignSignature(col("v"), 6).as("s")).head().getLong(0)
+    assert(sig == 1L, s"bit 0 set only, got $sig")
+    // mislabeled centroids are rejected loudly, not silently mis-ranked
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKWithCentroids(queries, corpus, "vec_id", "embedding",
+        Array(1 -> Seq(1.0, 0.0, 0.0, 0.0), 0 -> Seq(0.0, 1.0, 0.0, 0.0)),
+        nprobe = 1, k = 2)
+    }
+  }
+
   test("nearDupPairsLsh: precision 1.0 and recall floor on planted near-dups") {
     val dir = "/root/testdata/sf0.01"
     val e = graft.Tables.embeddings(spark, dir).select(col("vec_id"),
