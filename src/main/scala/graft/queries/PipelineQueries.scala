@@ -43,10 +43,17 @@ object PipelineQueries {
     * BY DOC — embarrassingly parallel at any corpus size — and keeps every
     * projection's codegen small. Docs with <3 tokens yield no rows.
     */
-  private def docTrigrams(s: SparkSession, dir: String): DataFrame = {
+  private def docTrigrams(s: SparkSession, dir: String): DataFrame =
+    trigramsOf(Tables.documents(s, dir))
+
+  /** Trigram assembly over an arbitrary (doc_id, text) frame, so callers
+    * splitting the corpus (d15's eval/train sides) can filter BEFORE the
+    * explode+window instead of trigramming the full corpus per branch.
+    */
+  private def trigramsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), posexplode(TextExprs.tokens(col("text"))).as(Seq("pos", "tok")))
       .withColumn("t1", lead("tok", 1).over(w))
       .withColumn("t2", lead("tok", 2).over(w))
@@ -528,14 +535,20 @@ object PipelineQueries {
     // is broadcast; the training side is one map-side explode + broadcast
     // semi-shape join + partial-agg count. No shuffle of the corpus.
     "d15_decontaminate" -> ((s, dir) => {
-      val gramRows = docTrigrams(s, dir)
-        .distinct() // per-doc DISTINCT grams, like an array_distinct form
-      val evalGrams = gramRows.where(col("doc_id") % 23 === 0)
+      // the doc-id split lands BEFORE trigram assembly: each side explodes
+      // and windows only its own documents (eval is 1/23 of the corpus),
+      // instead of both branches independently trigramming ALL documents
+      // and filtering after — which doubled the expensive subtree and made
+      // this the slowest pipeline entry (5.7 s isolated at sf0.1)
+      val docs = Tables.documents(s, dir)
+      val evalGrams = trigramsOf(docs.where(col("doc_id") % 23 === 0))
         .select("gram").distinct()
       // one pass over the corpus grams: a LEFT broadcast join tags eval
       // hits, a single agg counts both totals — no second aggregation, no
-      // doc_id re-join
-      gramRows.where(col("doc_id") % 23 =!= 0)
+      // doc_id re-join; the per-doc distinct reuses the window's doc_id
+      // partitioning (no extra exchange)
+      trigramsOf(docs.where(col("doc_id") % 23 =!= 0))
+        .distinct() // per-doc DISTINCT grams, like an array_distinct form
         .join(broadcast(evalGrams.withColumn("__hit", lit(1))), Seq("gram"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_distinct_grams"),
