@@ -195,10 +195,14 @@ object MediaCodecs {
     def tag(off: Int): String =
       new String(payload, off, 4, "US-ASCII")
 
+    // u32 fields that land in Int columns: a crafted value above
+    // Int.MaxValue must become null, not a negative via .toInt truncation
+    def i32(v: Long): Option[Int] = if (v <= Int.MaxValue) Some(v.toInt) else None
+
     if (payload.length >= 24 && payload.take(8).sameElements(PngMagic) &&
         tag(12) == "IHDR") {
       val w = u32be(b, 16); val h = u32be(b, 20)
-      (Some("png"), Some(w.toInt), Some(h.toInt), None, None, None)
+      (Some("png"), i32(w), i32(h), None, None, None)
     } else if (tag(0) == "RIFF" && tag(8) == "WAVE") {
       // chunk walk: fmt then data (canonical files have both in order)
       var off = 12
@@ -226,8 +230,12 @@ object MediaCodecs {
     } else if (tag(0) == "RIFF" && tag(8) == "AVI " && payload.length >= 72 &&
         tag(24) == "avih") {
       val uspf = u32le(b, 32); val frames = u32le(b, 48)
-      (Some("avi"), Some(u32le(b, 64).toInt), Some(u32le(b, 68).toInt),
-        None, None, Some(uspf * frames / 1000L))
+      // both u32: the product can exceed Long.MaxValue ((2^32-1)^2 ≈ 1.8e19)
+      // on a crafted header — null duration, not a wrapped negative
+      val dur = if (frames == 0) Some(0L)
+        else if (uspf <= Long.MaxValue / frames) Some(uspf * frames / 1000L)
+        else None
+      (Some("avi"), i32(u32le(b, 64)), i32(u32le(b, 68)), None, None, dur)
     } else (None, None, None, None, None, None)
   }
 
@@ -271,7 +279,10 @@ object MediaCodecs {
       var off = 12
       var pcm16 = false
       var out = Option.empty[(String, Array[Int])]
-      while (off + 8 <= payload.length && out.isEmpty) {
+      // off >= 0: same hostile-size int-overflow guard as parseHeader's walk
+      // (a ~2 GB chunk size makes off + 8 + size wrap negative, and tag(off)
+      // would throw instead of returning None)
+      while (off >= 0 && off + 8 <= payload.length && out.isEmpty) {
         val id = tag(off); val size = u32le(b, off + 4)
         if (id == "fmt " && off + 24 <= payload.length) {
           // fmt data: audioFormat @+8, bitsPerSample @+22 (both LE)

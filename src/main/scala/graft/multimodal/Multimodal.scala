@@ -126,8 +126,10 @@ object Multimodal {
     val w = col("meta.width").cast("double")
     val h = col("meta.height").cast("double")
     val scale = least(lit(maxEdge) / greatest(w, h), lit(1.0))
+    // floor at 1 px: an extreme aspect ratio (1×1000 at maxEdge 100) would
+    // otherwise round the short edge to a 0-dimension no real resize emits
     media.select(col("media_id"),
-      round(w * scale).cast("int").as("new_width"),
-      round(h * scale).cast("int").as("new_height"))
+      greatest(round(w * scale), lit(1.0)).cast("int").as("new_width"),
+      greatest(round(h * scale), lit(1.0)).cast("int").as("new_height"))
   }
 }

@@ -917,8 +917,8 @@ object PipelineQueries {
         |         greatest(octet_length(payload), 1) AS plen
         |  FROM m)
         |SELECT media_id, kind, payload_bytes, width, height,
-        |       CAST(round(CAST(width AS DOUBLE) * scale) AS INT) AS new_width,
-        |       CAST(round(CAST(height AS DOUBLE) * scale) AS INT) AS new_height,
+        |       CAST(greatest(round(CAST(width AS DOUBLE) * scale), 1.0) AS INT) AS new_width,
+        |       CAST(greatest(round(CAST(height AS DOUBLE) * scale), 1.0) AS INT) AS new_height,
         |       substring(hex(payload), 2 * CAST(floor(0 * plen / 4 + 1) AS INT) - 1, 2) AS frame0_hex,
         |       substring(hex(payload), 2 * CAST(floor(2 * plen / 4 + 1) AS INT) - 1, 2) AS frame2_hex
         |FROM s

@@ -257,8 +257,10 @@ object Sql {
       zterm("p_mu", "p_sd", "cur_p", pen("precipitation")),
       zterm("t_mu", "t_sd", "cur_t", pen("temperature")),
       zterm("10000.0", "0.0", "cur_v", pen("visibility")))
+    // per-factor gate, like bucketFactorStats: each factor's own non-null
+    // count (n_$f) decides its std validity, not the bucket row count
     def meanStd(f: String, mu: String, sd: String): String =
-      s"s_$f / sw AS $mu, CASE WHEN n_samples >= ${WeatherStats.MinSamples} " +
+      s"s_$f / sw AS $mu, CASE WHEN n_$f >= ${WeatherStats.MinSamples} " +
         s"THEN sqrt(greatest(s2_$f / sw - (s_$f / sw) * (s_$f / sw), 0.0)) END AS $sd"
     s"""$Archive4Cte,
        |aw AS (
@@ -266,7 +268,9 @@ object Sql {
        |              / ${WeatherStats.MonthDecayScale}) AS w
        |  FROM arch),
        |stat AS (
-       |  SELECT bucket, count(*) AS n_samples, sum(w) AS sw,
+       |  SELECT bucket, sum(w) AS sw,
+       |         count(temperature) AS n_t, count(precipitation) AS n_p,
+       |         count(wind_speed) AS n_w,
        |         sum(w * temperature) AS s_t, sum(w * temperature * temperature) AS s2_t,
        |         sum(w * precipitation) AS s_p, sum(w * precipitation * precipitation) AS s2_p,
        |         sum(w * wind_speed) AS s_w, sum(w * wind_speed * wind_speed) AS s2_w

@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object Forecast {
 
-  val VisibilityDefaultM = 10000.0
+  /** Single source of truth is the assembly side — a desynchronized copy
+    * here would feed the similarity kernel mismatched visibility series.
+    */
+  val VisibilityDefaultM: Double = WeatherAssembly.VisibilityDefaultM
 
   /** 0.01°-rounded bucket key (`weather_service.py` cache-key rounding /
     * FIXTURES.md §5 keying). `bround` = HALF_EVEN, matching Python's
@@ -39,7 +42,8 @@ object Forecast {
     currentWeather
       .where(col("lat_bucket") === bucketOf(lit(lat)) &&
         col("lon_bucket") === bucketOf(lit(lon)) &&
-        col("date") >= date_sub(targetDate, 6) && col("date") <= targetDate)
+        col("date") >= date_sub(targetDate, WeatherAssembly.WindowDays) &&
+        col("date") <= targetDate)
       .agg(sort_array(collect_list(struct(
         col("date"), col("temperature_mean"), col("temperature_min"),
         col("temperature_max"), col("precipitation_sum"),

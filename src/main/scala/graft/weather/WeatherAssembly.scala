@@ -102,11 +102,19 @@ object WeatherAssembly {
     // native single-node similarity kernel (bit-identical to the staged
     // Column form — WeatherSimExprSpec): keeps the downstream kernel plans
     // free of the ~10k-node staged expression tree
+    // outer coalesce: a NULL CURRENT pattern (e.g. a left-joined forecast
+    // frame with a missing bucket) makes the similarity NULL, and a NULL
+    // wsim would null the influence and silently drop the accident from
+    // the risk sum — the reference treats a missing forecast as the same
+    // neutral 0.5 as a missing accident pattern
+    // (safety_computation_optimized.py:552-554)
     withPat
       .withColumn("wsim",
-        when(col("pattern").isNull,
-          lit(graft.kernel.SafetyKernel.NeutralWeatherSimilarity))
-          .otherwise(graft.expr.WeatherPatternSimilarity.similarity(current, col("pattern"))))
+        coalesce(
+          when(col("pattern").isNull,
+            lit(graft.kernel.SafetyKernel.NeutralWeatherSimilarity))
+            .otherwise(graft.expr.WeatherPatternSimilarity.similarity(current, col("pattern"))),
+          lit(graft.kernel.SafetyKernel.NeutralWeatherSimilarity)))
       .drop("pattern", "n_days")
   }
 }

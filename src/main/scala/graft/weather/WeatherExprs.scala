@@ -132,75 +132,96 @@ object WeatherExprs {
     import org.apache.spark.sql.DataFrame
     val factors = Seq("temperature", "precipitation", "wind_speed", "visibility", "cloud_cover")
 
+    // the ~50 staging columns live under a reserved prefix; silently
+    // clobbering (then dropping) a caller's same-named column was the
+    // failure mode with the old bare "_cur"/"_n" names
+    require(!df.columns.exists(_.startsWith("__wsim")),
+      "column prefix __wsim is reserved by withWeatherSimilarity*")
+
     var d: DataFrame = df
-      .withColumn("_cur", current)
-      .withColumn("_acc", accident)
-    d = d.withColumn("_n",
-      least(size(col("_cur.temperature")), size(col("_acc.temperature"))))
+      .withColumn("__wsim_cur", current)
+      .withColumn("__wsim_acc", accident)
+    d = d.withColumn("__wsim_n",
+      least(size(col("__wsim_cur.temperature")), size(col("__wsim_acc.temperature"))))
     // withinWindowWeights(n): raw = pow(decay, n-1-k); normalized by its
     // sum. greatest(…, 0): an EMPTY pattern (_n = 0, e.g. a no-rows
     // Forecast bucket) must flow through to the final <5-day guard as 0.0,
     // not crash on sequence(-1, 0, -1) — the Column-form twin survives the
     // same input only because its CaseWhen evaluates weights lazily.
-    d = d.withColumn("_wraw",
-      transform(sequence(greatest(col("_n") - 1, lit(0)), lit(0), lit(-1)),
+    d = d.withColumn("__wsim_wraw",
+      transform(sequence(greatest(col("__wsim_n") - 1, lit(0)), lit(0), lit(-1)),
         k => pow(lit(StatsExprs.WithinWindowDecay), k.cast("double"))))
-    d = d.withColumn("_wsum1", StatsExprs.arraySum(col("_wraw")))
-    d = d.withColumn("_w1", transform(col("_wraw"), w => w / col("_wsum1")))
+    d = d.withColumn("__wsim_wsum1", StatsExprs.arraySum(col("__wsim_wraw")))
+    d = d.withColumn("__wsim_w1", transform(col("__wsim_wraw"), w => w / col("__wsim_wsum1")))
     // weightedPearson internally renormalizes its weights — mirror that
-    d = d.withColumn("_wsum2", StatsExprs.arraySum(col("_w1")))
-    d = d.withColumn("_wn", transform(col("_w1"), w => w / col("_wsum2")))
+    d = d.withColumn("__wsim_wsum2", StatsExprs.arraySum(col("__wsim_w1")))
+    d = d.withColumn("__wsim_wn", transform(col("__wsim_w1"), w => w / col("__wsim_wsum2")))
 
     for (f <- factors) {
-      d = d.withColumn(s"_x_$f", slice(col(s"_cur.$f"), lit(1), col("_n")))
-        .withColumn(s"_y_$f", slice(col(s"_acc.$f"), lit(1), col("_n")))
-      d = d.withColumn(s"_mx_$f", StatsExprs.arrayDot(col(s"_x_$f"), col("_wn")))
-        .withColumn(s"_my_$f", StatsExprs.arrayDot(col(s"_y_$f"), col("_wn")))
-      d = d.withColumn(s"_vx_$f",
-        StatsExprs.arraySum(zip_with(col(s"_x_$f"), col("_wn"),
-          (xi, wi) => wi * (xi - col(s"_mx_$f")) * (xi - col(s"_mx_$f")))))
-        .withColumn(s"_vy_$f",
-          StatsExprs.arraySum(zip_with(col(s"_y_$f"), col("_wn"),
-            (yi, wi) => wi * (yi - col(s"_my_$f")) * (yi - col(s"_my_$f")))))
-        .withColumn(s"_cov_$f",
+      d = d.withColumn(s"__wsim_x_$f", slice(col(s"__wsim_cur.$f"), lit(1), col("__wsim_n")))
+        .withColumn(s"__wsim_y_$f", slice(col(s"__wsim_acc.$f"), lit(1), col("__wsim_n")))
+      d = d.withColumn(s"__wsim_mx_$f", StatsExprs.arrayDot(col(s"__wsim_x_$f"), col("__wsim_wn")))
+        .withColumn(s"__wsim_my_$f", StatsExprs.arrayDot(col(s"__wsim_y_$f"), col("__wsim_wn")))
+      d = d.withColumn(s"__wsim_vx_$f",
+        StatsExprs.arraySum(zip_with(col(s"__wsim_x_$f"), col("__wsim_wn"),
+          (xi, wi) => wi * (xi - col(s"__wsim_mx_$f")) * (xi - col(s"__wsim_mx_$f")))))
+        .withColumn(s"__wsim_vy_$f",
+          StatsExprs.arraySum(zip_with(col(s"__wsim_y_$f"), col("__wsim_wn"),
+            (yi, wi) => wi * (yi - col(s"__wsim_my_$f")) * (yi - col(s"__wsim_my_$f")))))
+        .withColumn(s"__wsim_cov_$f",
           StatsExprs.arraySum(zip_with(
-            zip_with(col(s"_x_$f"), col(s"_y_$f"),
-              (a, b) => (a - col(s"_mx_$f")) * (b - col(s"_my_$f"))),
-            col("_wn"), (p, wi) => p * wi)))
-      val stdX = sqrt(col(s"_vx_$f"))
-      val stdY = sqrt(col(s"_vy_$f"))
-      val corr = col(s"_cov_$f") / (stdX * stdY)
+            zip_with(col(s"__wsim_x_$f"), col(s"__wsim_y_$f"),
+              (a, b) => (a - col(s"__wsim_mx_$f")) * (b - col(s"__wsim_my_$f"))),
+            col("__wsim_wn"), (p, wi) => p * wi)))
+      val stdX = sqrt(col(s"__wsim_vx_$f"))
+      val stdY = sqrt(col(s"__wsim_vy_$f"))
+      val corr = col(s"__wsim_cov_$f") / (stdX * stdY)
       val pearson = when(stdX === 0.0 && stdY === 0.0, lit(1.0))
         .when(stdX === 0.0 || stdY === 0.0, lit(0.0))
         .otherwise(least(lit(1.0), greatest(lit(-1.0), corr)))
-      d = d.withColumn(s"_score_$f", factorScore(pearson))
+      d = d.withColumn(s"__wsim_score_$f", factorScore(pearson))
     }
 
-    d = d.withColumn("_ft_a", StatsExprs.freezeThawCount(col("_cur.daily_temps")))
-      .withColumn("_ft_b", StatsExprs.freezeThawCount(col("_acc.daily_temps")))
-    val ftScore = freezeThawSimilarity(col("_ft_a"), col("_ft_b"))
-    val scores = factors.map(f => col(s"_score_$f")) :+ ftScore
+    d = d.withColumn("__wsim_ft_a", StatsExprs.freezeThawCount(col("__wsim_cur.daily_temps")))
+      .withColumn("__wsim_ft_b", StatsExprs.freezeThawCount(col("__wsim_acc.daily_temps")))
+    val ftScore = freezeThawSimilarity(col("__wsim_ft_a"), col("__wsim_ft_b"))
+    val scores = factors.map(f => col(s"__wsim_score_$f")) :+ ftScore
     val base = scores.map(_ * lit(FactorWeight)).reduce(_ + _)
-    val invalid = size(col("_cur.temperature")) < MinWeatherDaysRequired ||
-      size(col("_acc.temperature")) < MinWeatherDaysRequired
-    d = d.withColumn(out, when(invalid, lit(0.0)).otherwise(base))
+    // a NULL pattern struct / temperature series is NULL overall, exactly
+    // like the native expression (WeatherPatternSimilarity returns null
+    // before the validity gate). Without this branch `invalid` is NULL
+    // under three-valued logic, when() falls through to otherwise(base),
+    // and a REAL number leaks out (the null temperature factor degenerates
+    // to score 0 while the other factors still contribute) — silently
+    // diverging from the native twin on malformed data.
+    val tempNull = col("__wsim_cur.temperature").isNull || col("__wsim_acc.temperature").isNull
+    val invalid = size(col("__wsim_cur.temperature")) < MinWeatherDaysRequired ||
+      size(col("__wsim_acc.temperature")) < MinWeatherDaysRequired
+    d = d.withColumn(out,
+      when(tempNull, lit(null).cast("double"))
+        .when(invalid, lit(0.0)).otherwise(base))
     detailPrefix.foreach { p =>
       for (f <- factors)
         d = d.withColumn(s"${p}score_$f",
-          when(invalid, 0.0).otherwise(col(s"_score_$f")))
-      d = d.withColumn(s"${p}score_freeze_thaw", when(invalid, 0.0).otherwise(ftScore))
+          when(tempNull, lit(null).cast("double"))
+            .when(invalid, 0.0).otherwise(col(s"__wsim_score_$f")))
+      d = d.withColumn(s"${p}score_freeze_thaw",
+        when(tempNull, lit(null).cast("double")).when(invalid, 0.0).otherwise(ftScore))
         .withColumn(s"${p}ft_current",
-          when(invalid, 0L).otherwise(col("_ft_a").cast("long")))
+          when(tempNull, lit(null).cast("long"))
+            .when(invalid, 0L).otherwise(col("__wsim_ft_a").cast("long")))
         .withColumn(s"${p}ft_accident",
-          when(invalid, 0L).otherwise(col("_ft_b").cast("long")))
+          when(tempNull, lit(null).cast("long"))
+            .when(invalid, 0L).otherwise(col("__wsim_ft_b").cast("long")))
         .withColumn(s"${p}days_compared",
-          when(invalid, 0L).otherwise(col("_n").cast("long")))
+          when(tempNull, lit(null).cast("long"))
+            .when(invalid, 0L).otherwise(col("__wsim_n").cast("long")))
     }
 
-    val tmpCols = Seq("_cur", "_acc", "_n", "_wraw", "_wsum1", "_w1", "_wsum2", "_wn",
-      "_ft_a", "_ft_b") ++
-      factors.flatMap(f => Seq(s"_x_$f", s"_y_$f", s"_mx_$f", s"_my_$f",
-        s"_vx_$f", s"_vy_$f", s"_cov_$f", s"_score_$f"))
+    val tmpCols = Seq("__wsim_cur", "__wsim_acc", "__wsim_n", "__wsim_wraw", "__wsim_wsum1", "__wsim_w1", "__wsim_wsum2", "__wsim_wn",
+      "__wsim_ft_a", "__wsim_ft_b") ++
+      factors.flatMap(f => Seq(s"__wsim_x_$f", s"__wsim_y_$f", s"__wsim_mx_$f", s"__wsim_my_$f",
+        s"__wsim_vx_$f", s"__wsim_vy_$f", s"__wsim_cov_$f", s"__wsim_score_$f"))
     d.drop(tmpCols: _*)
   }
 }

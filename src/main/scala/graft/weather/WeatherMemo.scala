@@ -45,10 +45,16 @@ object WeatherMemo {
     buckets.select(col(bucketCol)).distinct()
       .crossJoin(broadcast(accPat))
       .withColumn("wsim",
-        when(col("pattern").isNull,
-          lit(graft.kernel.SafetyKernel.NeutralWeatherSimilarity))
-          .otherwise(WeatherPatternSimilarity.similarity(
-            currentFor(col(bucketCol)), col("pattern"))))
+        // coalesce: a bucket whose currentFor(bucket) is NULL must carry
+        // the same neutral 0.5 as a missing accident pattern, not a NULL
+        // that drops its accidents from downstream risk sums (reference
+        // treats a missing forecast as neutral, optimized.py:552-554)
+        coalesce(
+          when(col("pattern").isNull,
+            lit(graft.kernel.SafetyKernel.NeutralWeatherSimilarity))
+            .otherwise(WeatherPatternSimilarity.similarity(
+              currentFor(col(bucketCol)), col("pattern"))),
+          lit(graft.kernel.SafetyKernel.NeutralWeatherSimilarity)))
       .drop("pattern")
   }
 

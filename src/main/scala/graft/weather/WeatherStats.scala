@@ -67,9 +67,14 @@ object WeatherStats {
       Seq(sum(w * col(f)).as(s"__s_$f"), sum(w * col(f) * col(f)).as(s"__s2_$f"),
         sum(when(col(f).isNotNull, w)).as(s"__sw_$f"), count(col(f)).as(s"__n_$f"))
     }
+    // `n_rows`, NOT `n_samples`: this frame's row count is a bucket-level
+    // diagnostic; validity is PER FACTOR (each factor's own non-null count
+    // gates its std below). bucketStats's `n_samples` counts non-null
+    // values of its single factor — reusing that name here for count(*)
+    // invited applying the ≥MinSamples rule to the wrong quantity.
     factorCols.foldLeft(
       archive.groupBy("bucket")
-        .agg(count(lit(1)).as("n_samples"), aggs: _*)
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
     ) { (df, f) =>
       val mean = col(s"__s_$f") / col(s"__sw_$f")
       val std = sqrt(greatest(col(s"__s2_$f") / col(s"__sw_$f") - mean * mean, lit(0.0)))

@@ -53,6 +53,34 @@ class WeatherSimExprSpec extends SparkSpec {
     assert(out.isNullAt(0))
   }
 
+  test("null TEMPERATURE series → NULL from native AND staged alike") {
+    // a non-null struct with a null temperature array used to diverge: the
+    // native expression returns NULL, while the staged form's 3VL-null
+    // validity gate fell through to otherwise(base) and leaked a REAL
+    // number (temperature degenerating to score 0, other factors live)
+    val nullTempPat = WeatherExprs.pattern(
+      lit(null).cast("array<double>"),
+      array(lit(0.0), lit(0.0), lit(0.0), lit(0.0), lit(0.0)),
+      array(lit(5.0), lit(5.0), lit(5.0), lit(5.0), lit(5.0)),
+      array(lit(1.0), lit(1.0), lit(1.0), lit(1.0), lit(1.0)),
+      array(lit(50.0), lit(50.0), lit(50.0), lit(50.0), lit(50.0)),
+      array(struct(lit(0.0).as("min"), lit(1.0).as("avg"), lit(2.0).as("max"))))
+    val df = spark.range(1)
+      .withColumn("cur", Derived.weatherPattern(lit(Derived.CurrentKey)))
+      .withColumn("acc", nullTempPat)
+    val native = df.select(
+      WeatherPatternSimilarity.similarity(col("cur"), col("acc")).as("v")).head()
+    assert(native.isNullAt(0), "native must null on a null temperature array")
+    val staged = WeatherExprs.withWeatherSimilarity(df, col("cur"), col("acc"), "s")
+      .select("s").head()
+    assert(staged.isNullAt(0), "staged must match the native NULL, not leak a number")
+    // and the reserved staging prefix is guarded loudly
+    intercept[IllegalArgumentException] {
+      WeatherExprs.withWeatherSimilarity(
+        df.withColumn("__wsim_n", lit(1)), col("cur"), col("acc"), "s")
+    }
+  }
+
   test("<5-day side → 0.0, exactly like the staged validity gate") {
     def shortPat = WeatherExprs.pattern(
       array(lit(1.0), lit(2.0), lit(3.0)), array(lit(0.0), lit(0.0), lit(0.0)),

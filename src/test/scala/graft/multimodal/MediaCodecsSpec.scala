@@ -168,4 +168,30 @@ class MediaCodecsSpec extends SparkSpec {
       assert(MediaCodecs.decodeUnits(p).isEmpty)
     }
   }
+
+  test("u32 fields above Int.MaxValue become nulls, not negative truncations") {
+    // PNG declaring width 0x80000000: a crafted dimension must not surface
+    // as -2147483648 in an Int column
+    val png = ByteBuffer.allocate(33).order(ByteOrder.BIG_ENDIAN)
+    png.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+      .putInt(13).put("IHDR".getBytes("US-ASCII"))
+      .putInt(0x80000000).putInt(10).put(Array[Byte](8, 6, 0, 0, 0))
+    val (fmt, w, h, _, _, _) = MediaCodecs.parseHeader(png.array())
+    assert(fmt.contains("png") && w.isEmpty && h.contains(10))
+
+    // AVI with uspf = frames = 0xFFFFFFFF: the u32×u32 product exceeds
+    // Long.MaxValue — duration must be null, not a wrapped negative
+    val avi = ByteBuffer.allocate(72).order(ByteOrder.LITTLE_ENDIAN)
+    avi.put("RIFF".getBytes("US-ASCII")).putInt(64)
+      .put("AVI ".getBytes("US-ASCII"))
+      .put("LIST".getBytes("US-ASCII")).putInt(68)
+      .put("hdrl".getBytes("US-ASCII"))
+      .put("avih".getBytes("US-ASCII")).putInt(56)
+    avi.putInt(32, 0xFFFFFFFF) // µs/frame
+    avi.putInt(48, 0xFFFFFFFF) // total frames
+    avi.putInt(64, 640).putInt(68, 480)
+    val (fmt2, w2, h2, _, _, dur) = MediaCodecs.parseHeader(avi.array())
+    assert(fmt2.contains("avi") && w2.contains(640) && h2.contains(480))
+    assert(dur.isEmpty, s"overflowing duration must be null, got $dur")
+  }
 }

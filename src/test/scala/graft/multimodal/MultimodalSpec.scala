@@ -50,4 +50,15 @@ class MultimodalSpec extends SparkSpec {
       assert(math.max(r.getAs[Int]("new_width"), r.getAs[Int]("new_height")) <= 1920)
     }
   }
+
+  test("resizeMeta: extreme aspect ratio floors the short edge at 1 px") {
+    // 1×1000 at maxEdge 100: scale 0.1 would round the short edge to 0
+    val skinny = Seq((1L, 1, 1000)).toDF("media_id", "w", "h")
+      .select(col("media_id"),
+        struct(lit(null).cast("string").as("mime"), col("w").as("width"),
+          col("h").as("height"), lit(null).cast("long").as("duration_ms")).as("meta"))
+    val r = Multimodal.resizeMeta(skinny, maxEdge = 100).head()
+    assert(r.getAs[Int]("new_width") == 1, "short edge must clamp to 1, not 0")
+    assert(r.getAs[Int]("new_height") == 100)
+  }
 }

@@ -107,6 +107,21 @@ class WeatherAssemblySpec extends SparkSpec {
     assert(out(3) >= 0.0 && out(3) <= 1.0)
   }
 
+  test("NULL current pattern → neutral 0.5 for every accident, never NULL wsim") {
+    // a missing forecast (e.g. left-join miss on the bucket) must take the
+    // reference's neutral path (optimized.py:552-554), not produce a NULL
+    // wsim that silently drops the accident from downstream risk sums
+    val cur = graft.queries.Derived.weatherPattern(lit(graft.queries.Derived.CurrentKey))
+    val nullCur = when(lit(false), cur)
+    val out = WeatherAssembly.accidentsWithSimilarity(accidents, weather, nullCur)
+      .select("accident_id", "wsim").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(!r.isNullAt(1), s"accident ${r.get(0)}: wsim must not be NULL")
+      assert(r.getDouble(1) === 0.5)
+    }
+  }
+
   test("derived weather rows: planted hazard classes all occur at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val acc = graft.queries.Derived.accidents(spark, dir)
