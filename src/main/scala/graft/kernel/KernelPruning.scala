@@ -35,14 +35,26 @@ object KernelPruning {
   val NonSpatialBound: Double =
     1.05 * 1.15 * 1.0 * WeightExprs.SeverityWeights("fatal") * 1.0 * 1.0
 
+  /** The ONE hMax both the public radius and the tier grid derive from —
+    * two independent maxes here could silently diverge (the map's max and
+    * the default bandwidth only happen to order the same way today).
+    */
+  private val HMaxKm: Double =
+    (WeightExprs.SpatialBandwidth.values.toSet + WeightExprs.SpatialBandwidthDefault).max
+
   /** Conservative prune radius (km) for a floor, using the LARGEST spatial
     * bandwidth (alpine 75 km) — per-type refinement would prune more but
-    * the global bound keeps the cell grid uniform.
+    * the global bound keeps the cell grid uniform. `weatherBound` is the
+    * caller's upper bound on the A7 multiplier when the route side carries
+    * `wmult` (amplified weather factor = (wsim·wmult)³ can exceed the
+    * unamplified ≤ 1 assumption); 1.0 = unamplified.
     */
-  def pruneRadiusKm(floor: Double): Double = {
-    val hMax = WeightExprs.SpatialBandwidth.values.max
-    hMax * math.sqrt(2.0 * math.log(NonSpatialBound / floor))
-  }
+  def pruneRadiusKm(floor: Double, weatherBound: Double = 1.0): Double =
+    HMaxKm * radiusFactorFor(floor, weatherBound)
+
+  private def radiusFactorFor(floor: Double, weatherBound: Double): Double =
+    math.sqrt(2.0 * math.log(
+      NonSpatialBound * math.pow(weatherBound, WeightExprs.WeatherPower) / floor))
 
   private val KmPerDegLat = 111.0
 
@@ -79,11 +91,8 @@ object KernelPruning {
     * reduction against plan/broadcast duplication (one 9× accident fan-out
     * per tier).
     */
-  private[kernel] val RadiusTierKm: Seq[Double] = {
-    val hMax = (WeightExprs.SpatialBandwidth.values.toSet +
-      WeightExprs.SpatialBandwidthDefault).max
-    Seq(30.0, 60.0, hMax).filter(_ <= hMax).distinct.sorted
-  }
+  private[kernel] val RadiusTierKm: Seq[Double] =
+    Seq(30.0, 60.0, HMaxKm).filter(_ <= HMaxKm).distinct.sorted
 
   private def tierOf(h: Column): Column =
     RadiusTierKm.zipWithIndex.dropRight(1)
@@ -118,8 +127,16 @@ object KernelPruning {
     */
   def pairInfluencePruned(routes: DataFrame, accidents: DataFrame, planDate: Column,
                           floor: Double = SafetyKernel.SignificanceFloor,
-                          maxAbsLat: Double = 72.0): DataFrame = {
-    val radiusFactor = math.sqrt(2.0 * math.log(NonSpatialBound / floor))
+                          maxAbsLat: Double = 72.0,
+                          weatherBound: Double = 1.0): DataFrame = {
+    // an amplified-weather frame (route-side wmult, A7) breaks the
+    // B-product the radius derives from: (wsim·wmult)³ can exceed 1, so an
+    // above-floor pair could sit beyond the unamplified gate and be lost
+    // SILENTLY. Make the caller state their multiplier cap.
+    require(!routes.columns.contains("wmult") || weatherBound > 1.0,
+      "routes carry wmult (amplified weather): pass weatherBound ≥ the max " +
+        "multiplier so the prune radius still bounds influence above the floor")
+    val radiusFactor = radiusFactorFor(floor, weatherBound)
     val tierRadii = RadiusTierKm.map(_ * radiusFactor)
     val latDegs = tierRadii.map(_ / KmPerDegLat)
     val nLons = tierRadii.map(r => lonCells(r, maxAbsLat))
@@ -144,7 +161,15 @@ object KernelPruning {
       .withColumn("__a_cell_lat", latCellFor(col("a_lat"), col("__tier")))
       .withColumn("__a_cell_lon", lonCellFor(col("a_lon"), col("__tier")))
       .withColumn("__dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("__dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
+      // per-tier offset list, DISTINCT after the modulo: a polar-friendly
+      // maxAbsLat can shrink a tier's lon ring to n ≤ 2 cells, where the
+      // constant ±1 fan-out collapses to duplicate (tier, cell) keys and
+      // every pair in that tier gets double/triple influence. n = 2 needs
+      // only {0, 1}, n = 1 only {0} — still full ring coverage.
+      .withColumn("__dlon", explode(byTier(col("__tier"), nLons.map { n =>
+        val offs = if (n >= 3) Seq(-1L, 0L, 1L) else 0L until n
+        array(offs.map(lit): _*)
+      })))
       .withColumn("__cell_lat", col("__a_cell_lat") + col("__dlat"))
       // wrap-around: each tier's lon ring is uniform, so modulo adjacency
       // is exact across the ±180° seam
@@ -175,17 +200,21 @@ object KernelPruning {
     * layer treats missing as 0 — documented divergence below the floor).
     *
     * DOMAIN: losslessness above the floor holds for |lat| ≤ `maxAbsLat`
-    * (default 72° — raise it for polar data at the cost of more lon
-    * cells). Longitude wraps correctly across ±180° (uniform cell ring,
-    * modulo fan-out). Rows beyond `maxAbsLat` can silently miss in-radius
-    * pairs — route polar workloads through the exact kernel or a higher
-    * `maxAbsLat`.
+    * (default 72° — raise it for polar data; that WIDENS the longitude
+    * cells, i.e. fewer of them and coarser pruning at low latitudes, not
+    * more). Longitude wraps correctly across ±180° (uniform cell ring,
+    * modulo fan-out; rings of 1-2 cells fan out with distinct offsets
+    * only). Rows beyond `maxAbsLat` can silently miss in-radius pairs —
+    * route polar workloads through the exact kernel or a higher
+    * `maxAbsLat`. `weatherBound`: required > 1 when `routes` carries the
+    * A7 `wmult` column (see pairInfluencePruned).
     */
   def scoreRoutesPruned(routes: DataFrame, accidents: DataFrame, planDate: Column,
                         floor: Double = SafetyKernel.SignificanceFloor,
-                        maxAbsLat: Double = 72.0): DataFrame = {
+                        maxAbsLat: Double = 72.0,
+                        weatherBound: Double = 1.0): DataFrame = {
     val scored = SafetyKernel.scoreRoutes(
-      pairInfluencePruned(routes, accidents, planDate, floor, maxAbsLat))
+      pairInfluencePruned(routes, accidents, planDate, floor, maxAbsLat, weatherBound))
     routes.select("route_id").join(scored, Seq("route_id"), "left")
       .na.fill(Map("total_influence" -> 0.0, "n_contributing" -> 0L, "risk_score" -> 0.0))
       .na.fill(Map("color_code" -> "green"))

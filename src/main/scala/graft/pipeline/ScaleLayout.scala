@@ -50,17 +50,23 @@ object ScaleLayout {
     * per key. The hot key's rows now spread across `factor` reducers in
     * phase 1, and phase 2 only ever sees `factor` rows per key.
     *
-    * The salt is positional (`monotonically_increasing_id % factor`), NOT
-    * a content hash: the worst skew is millions of byte-identical rows on
-    * the hot key (default-filled upstream records), and a content hash
-    * would assign them all the SAME salt, re-serializing the stage. Salt
-    * placement never affects the merged totals, so the positional salt's
-    * dependence on partitioning is invisible in the results.
+    * The salt is a DETERMINISTIC content hash, never a positional id: a
+    * positional salt (`monotonically_increasing_id`) is recomputed on task
+    * retry, and after a fetch failure the re-run can assign a row a
+    * different salt than the copy some reducers already fetched — rows
+    * double-count or vanish (the SPARK-23207 failure class, which Spark
+    * only guards for its own round-robin repartition). Byte-identical hot
+    * rows hashing to ONE salt is fine here: phase 1's map-side partial
+    * aggregation collapses each (key, salt) group to a single row per map
+    * task before the shuffle, so identical rows never re-serialize a
+    * reducer — they arrive pre-merged.
     */
+  private def contentSalt(df: DataFrame, factor: Int) =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(factor))
+
   def saltedSumAggregate(df: DataFrame, key: String, valueCol: String,
                          factor: Int): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(factor)))
+    val salted = df.withColumn("__salt", contentSalt(df, factor))
     salted
       .groupBy(col(key), col("__salt"))
       .agg(sum(valueCol).as("__partial_sum"), count(lit(1)).as("__partial_n"))
@@ -78,13 +84,17 @@ object ScaleLayout {
     * top-K row's rank within its salt slice is ≤ its global rank ≤ K, so it
     * always survives phase 1. Output matches the window form: input columns
     * plus `rank` (1-based, in `order`).
+    *
+    * Same deterministic content-hash salt as saltedSumAggregate (retry
+    * safety). Spread relies on row content varying — and it does whenever
+    * the REQUIRED total order holds, since a total order implies a
+    * distinguishing column set (d21: doc_id tiebreaker).
     */
   def saltedTopK(df: org.apache.spark.sql.DataFrame, key: String,
                  order: Seq[org.apache.spark.sql.Column], k: Int,
                  factor: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val salted = df.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(factor)))
+    val salted = df.withColumn("__salt", contentSalt(df, factor))
     val w1 = Window.partitionBy(col(key), col("__salt")).orderBy(order: _*)
     val survivors = salted
       .withColumn("__r1", row_number().over(w1))

@@ -128,6 +128,59 @@ class KernelPruningSpec extends SparkSpec {
     assert(maxErr <= bound, s"max error $maxErr vs bound $bound")
   }
 
+  test("polar maxAbsLat: degenerate 1-2 cell lon rings emit no duplicate pairs") {
+    // at maxAbsLat = 89 the widest tier's lon ring collapses to ONE cell
+    // (minDeg ≈ 207°) — the old constant ±1 fan-out then emitted every
+    // accident 3× per (tier, dlat) as duplicate keys, tripling influence
+    val polarRoutes = spark.range(40).select(
+      col("id").as("route_id"),
+      (lit(88.0) + (col("id") % 100) / 100.0).as("lat"),
+      (lit(-180.0) + (col("id") % 360) * 9.0).as("lon"),
+      lit(500.0).as("elev"), lit("alpine").as("route_type"),
+      (lit(5.0) + (col("id") % 11)).as("difficulty"))
+    val polarAcc = spark.range(25).select(
+      col("id").as("accident_id"),
+      (lit(88.0) + ((col("id") * 37) % 100) / 100.0).as("a_lat"),
+      (lit(-180.0) + ((col("id") * 53) % 360).cast("double")).as("a_lon"),
+      lit(600.0).as("a_elev"), lit("alpine").as("acc_type"),
+      lit("fatal").as("severity_raw"),
+      date_add(to_date(lit("2024-01-01")), (col("id") % 730).cast("int")).as("a_date"),
+      (lit(4.0) + ((col("id") * 7) % 13)).as("a_difficulty"))
+    val pairs = KernelPruning.pairInfluencePruned(
+      polarRoutes, polarAcc, planDate, maxAbsLat = 89.0)
+      .select("route_id", "accident_id", "influence")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.length == pairs.map(p => (p._1, p._2)).distinct.length,
+      "duplicate (route, accident) pairs from a collapsed lon ring")
+    // and every significant exact pair still survives with equal influence
+    val exact = SafetyKernel.pairInfluence(polarRoutes, polarAcc, planDate)
+      .select("route_id", "accident_id", "influence")
+      .where(col("influence") >= SafetyKernel.SignificanceFloor)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.subsetOf(pairs.toSet))
+  }
+
+  test("amplified weather (wmult) requires an explicit weatherBound") {
+    val amplified = routes.withColumn("wmult", lit(1.5))
+    intercept[IllegalArgumentException] {
+      KernelPruning.pairInfluencePruned(amplified, accidents, planDate)
+    }
+    // with the bound declared, the radius grows to cover (wsim·wmult)³ and
+    // the pruned result matches the exact amplified kernel above the floor
+    val exact = SafetyKernel.pairInfluence(amplified, accidents, planDate)
+      .select("route_id", "accident_id", "influence")
+      .where(col("influence") >= SafetyKernel.SignificanceFloor)
+      .as[(Long, Long, Double)].collect().toSet
+    val pruned = KernelPruning.pairInfluencePruned(
+      amplified, accidents, planDate, weatherBound = 1.5)
+      .select("route_id", "accident_id", "influence")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.subsetOf(pruned))
+    // the declared bound widens the gate monotonically
+    assert(KernelPruning.pruneRadiusKm(1e-6, 1.5) > KernelPruning.pruneRadiusKm(1e-6))
+  }
+
   test("SQL function registration: dot_f64 + parse_grade + simhash64 + weather_similarity") {
     graft.sql.GraftFunctions.register(spark)
     assert(spark.sql("SELECT dot_f64(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")

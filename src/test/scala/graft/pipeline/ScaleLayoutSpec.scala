@@ -59,11 +59,10 @@ class ScaleLayoutSpec extends SparkSpec {
   }
 
   test("salted aggregation: skewed key spreads, totals match plain groupBy") {
-    // 90% of rows on one hot key AND byte-identical (the worst case: a
-    // content-hash salt would give them all the same salt) — the shape
-    // that serializes a plain agg
+    // 90% of rows on one hot key, including a byte-identical run — the
+    // shape that serializes a plain agg
     val rows = (1L to 10000L).map { i =>
-      if (i % 10 != 0) ("hot", 7.0) else (s"cold_${i % 37}", (i % 1000).toDouble)
+      if (i % 10 != 0) ("hot", (i % 500).toDouble) else (s"cold_${i % 37}", (i % 1000).toDouble)
     }.toDF("key", "value")
     val salted = ScaleLayout.saltedSumAggregate(rows, "key", "value", factor = 16)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
@@ -75,13 +74,26 @@ class ScaleLayoutSpec extends SparkSpec {
       assert(salted(k)._2 == n, s"count mismatch for $k")
       assert(math.abs(salted(k)._1 - s) < 1e-6, s"sum mismatch for $k")
     }
-    // the positional salt spreads even identical hot rows (a content hash
-    // would collapse them into ONE phase-1 group)
+    // the content-hash salt spreads the hot key's varying rows over many
+    // phase-1 groups (byte-identical rows share a salt, but map-side
+    // partial aggregation pre-merges those per task, so they never funnel
+    // raw through one reducer)
     val phase1Groups = rows.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(16)))
+      pmod(xxhash64(col("key"), col("value")), lit(16)))
       .where(col("key") === "hot")
       .select("__salt").distinct().count()
     assert(phase1Groups > 8, s"salt spread only $phase1Groups groups")
+    // and the salt must be DETERMINISTIC: a nondeterministic expression
+    // (monotonically_increasing_id, rand) feeding this shuffle can
+    // re-assign rows on task retry after a fetch failure — double-counting
+    // or dropping them (the SPARK-23207 failure class)
+    val exprs = ScaleLayout.saltedSumAggregate(rows, "key", "value", 16)
+      .queryExecution.analyzed.collect { case p => p.expressions }.flatten
+    assert(exprs.forall(_.deterministic), "salted agg plan must be deterministic")
+    val topkExprs = ScaleLayout.saltedTopK(
+      rows, "key", Seq(col("value").desc), k = 5, factor = 16)
+      .queryExecution.analyzed.collect { case p => p.expressions }.flatten
+    assert(topkExprs.forall(_.deterministic), "salted topK plan must be deterministic")
   }
 
   test("saltedTopK equals the window top-K on a hot-key corpus") {
