@@ -242,17 +242,22 @@ object CoreQueries {
     // window, no rank, work independent of how deep the page is.
     "q21_keyset_page" -> ((s, dir) => {
       // cursor = last row of q14's page 2 boundary (deterministic values
-      // derived from the same ordering, shared with the oracle)
+      // derived from the same ordering, shared with the oracle). The
+      // cursor stays IN-PLAN as a broadcast 1-row cross join — building
+      // the entry must not run driver-side jobs (every other map entry is
+      // lazy; EXPLAIN-only tooling would otherwise pay two sort+limit jobs
+      // per construction). The serving path, where the client supplies the
+      // cursor as literals, is keysetPageAfter below — that's the form
+      // with the scan-pushdown predicate.
       val cursor = Tables.customer(s, dir)
         .select("c_custkey", "c_acctbal")
         .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
         .limit(100).orderBy(col("c_acctbal").asc, col("c_custkey").desc).limit(1)
-        .head()
-      val (cBal, cKey) = (cursor.getAs[Double]("c_acctbal"),
-        cursor.getAs[Long]("c_custkey"))
+        .select(col("c_acctbal").as("__cur_bal"), col("c_custkey").as("__cur_key"))
       Tables.customer(s, dir)
-        .where(col("c_acctbal") < cBal ||
-          (col("c_acctbal") === cBal && col("c_custkey") > cKey))
+        .crossJoin(broadcast(cursor))
+        .where(col("c_acctbal") < col("__cur_bal") ||
+          (col("c_acctbal") === col("__cur_bal") && col("c_custkey") > col("__cur_key")))
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
         .limit(50)
@@ -506,6 +511,22 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_events"), moneySum(col("value"), 100L).as("total_value"))
         .orderBy("hour_us", "event_type")
     }))
+
+  /** The keyset-pagination SERVING form: cursor values arrive from the
+    * client as literals, so the page-after predicate reaches the parquet
+    * scan (`PushedFilters`) and the plan is filter + TakeOrderedAndProject
+    * — O(page) at any table size, no global window, no rank. The q21 map
+    * entry is the in-plan twin (cursor derived via a broadcast 1-row
+    * cross join) so query CONSTRUCTION stays lazy for tooling.
+    */
+  def keysetPageAfter(customer: DataFrame, cursorBal: Double, cursorKey: Long,
+                      pageSize: Int = 50): DataFrame =
+    customer
+      .where(col("c_acctbal") < cursorBal ||
+        (col("c_acctbal") === cursorBal && col("c_custkey") > cursorKey))
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      .limit(pageSize)
 
   val oracles: Map[String, String] = Map(
     // native ASOF JOIN — per-key binary search vs the Spark side's

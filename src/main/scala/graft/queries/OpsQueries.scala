@@ -14,21 +14,18 @@ import graft.weather.WeatherStats
   */
 object OpsQueries {
 
-  /** Deterministic 60-day archive series per supplier key (A6 input). */
+  /** Deterministic 60-day archive series per supplier key (A6 input) —
+    * the temperature column of the SHARED archive4 generator, not a
+    * second copy of its formulas: an edit to the generator reaches w05/w06
+    * and the k16 kernel path together or not at all.
+    */
   private def archive(s: SparkSession, dir: String): DataFrame =
-    Tables.supplier(s, dir)
-      .select(col("s_suppkey"), explode(sequence(lit(0), lit(59))).as("i"))
-      .select(
-        (col("s_suppkey") % 10).as("bucket"),
-        (((col("i") * 7) % 12) + 1).cast("long").as("month"),
-        (((col("s_suppkey") * 13 + col("i") * 5) % 60) * 0.5 - 5.0).as("v"))
+    Derived.archive4(s, dir)
+      .select(col("bucket"), col("month"), col("temperature").as("v"))
 
   private val archiveSql =
-    """archive AS (
-      |  SELECT s_suppkey % 10 AS bucket,
-      |         ((i * 7) % 12) + 1 AS month,
-      |         ((s_suppkey * 13 + i * 5) % 60) * 0.5 - 5.0 AS v
-      |  FROM supplier, range(60) t(i))""".stripMargin
+    s"""${Sql.Archive4Cte},
+       |archive AS (SELECT bucket, month, temperature AS v FROM arch)""".stripMargin
 
   /** Derived accident free-text fields exercising every branch of the F13
     * inference cascade (Spark side; SQL twin in the oracle).
@@ -260,7 +257,7 @@ object OpsQueries {
     },
 
     "k12_bucket_join" ->
-      s"""WITH ${Sql.AccidentsCte.replace("accidents AS", "accidents AS")}
+      s"""WITH ${Sql.AccidentsCte}
          |SELECT round(a_lat, 2) AS b_lat, round(a_lon, 2) AS b_lon,
          |       count(*) AS n_accidents, min(accident_id) AS first_id
          |FROM accidents
@@ -283,9 +280,9 @@ object OpsQueries {
       val w = s"exp(-CAST(least(abs(month - 7), 12 - abs(month - 7)) AS DOUBLE) / ${WeatherStats.MonthDecayScale})"
       s"""WITH $archiveSql,
          |agged AS (
-         |  SELECT bucket, count(*) AS n_samples,
-         |         sum(($w) * v) / sum($w) AS w_mean,
-         |         sum($w) AS w_sum,
+         |  SELECT bucket, count(v) AS n_samples,
+         |         sum(($w) * v) / (sum($w) FILTER (WHERE v IS NOT NULL)) AS w_mean,
+         |         sum($w) FILTER (WHERE v IS NOT NULL) AS w_sum,
          |         sum(($w) * v * v) AS w_sq
          |  FROM archive GROUP BY bucket)
          |SELECT bucket, n_samples,

@@ -145,4 +145,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"),
       "packing window collapsed to one partition — shard key lost")
   }
+
+  test("q21 keyset page: lazy construction; serving form pushes the cursor to the scan") {
+    // building the map entry must run no driver-side ACTION (the old form
+    // ran two sort+limit .head() jobs before the query even executed).
+    // Parquet schema-inference jobs ("parquet at …") are scan setup, not
+    // eagerness — filter by call site, not job count.
+    val callSites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val probe = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        callSites.add(Option(j.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse(""))
+    }
+    spark.sparkContext.addSparkListener(probe)
+    val inPlan =
+      try {
+        val df = SparkEntry.queries("q21_keyset_page")(spark, dir)
+        Thread.sleep(1000) // the listener bus delivers asynchronously
+        df
+      } finally spark.sparkContext.removeSparkListener(probe)
+    import scala.jdk.CollectionConverters._
+    val actions = callSites.asScala.filter(cs =>
+      Seq("head at", "collect at", "count at", "take at").exists(cs.contains))
+    assert(actions.isEmpty, s"eager actions during q21 construction: $actions")
+    // the client-literal serving form: cursor predicate reaches the scan,
+    // page is a TakeOrderedAndProject (no global sort, no window)
+    val serving = graft.queries.CoreQueries.keysetPageAfter(
+      graft.Tables.customer(spark, dir), cursorBal = 5000.0, cursorKey = 42L)
+    val plan = serving.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "serving page must be top-N, not global sort")
+    assert(plan.contains("PushedFilters: [Or(LessThan(c_acctbal"),
+      "cursor predicate did not reach the parquet scan")
+    // and the in-plan twin returns the same page as the literal form fed
+    // with the cursor it derives
+    val cur = graft.Tables.customer(spark, dir)
+      .select("c_custkey", "c_acctbal")
+      .orderBy(org.apache.spark.sql.functions.col("c_acctbal").desc,
+        org.apache.spark.sql.functions.col("c_custkey").asc)
+      .limit(100)
+      .orderBy(org.apache.spark.sql.functions.col("c_acctbal").asc,
+        org.apache.spark.sql.functions.col("c_custkey").desc).limit(1).head()
+    val viaLiterals = graft.queries.CoreQueries.keysetPageAfter(
+      graft.Tables.customer(spark, dir),
+      cur.getAs[Double]("c_acctbal"), cur.getAs[Long]("c_custkey"))
+      .collect().map(_.toSeq).toSeq
+    assert(inPlan.collect().map(_.toSeq).toSeq == viaLiterals)
+  }
 }
