@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -33,6 +33,21 @@ object PipelineQueries {
     */
   private val SampleGates: Seq[(String, String)] = Seq(
     "de" -> "e000", "en" -> "4000", "es" -> "e000", "fr" -> "e000", "zh" -> "c000")
+
+  /** The d13 md5 sample gate, built ONCE for both its consumers (d13 and
+    * d23's `5_sample` stage) and both engines — the funnel's "same d13
+    * gates" contract must not be maintainable by hand in four places.
+    */
+  private def sampleGateCol: Column =
+    SampleGates.map { case (lang, hexGate) =>
+      (col("lang") === lang) &&
+        (substring(md5(col("doc_id").cast("string")), 1, 4) < hexGate)
+    }.reduce(_ || _)
+
+  private def sampleGateSql(joiner: String): String =
+    SampleGates.map { case (lang, hexGate) =>
+      s"(lang = '$lang' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '$hexGate')"
+    }.mkString(joiner)
 
   /** Word trigrams as (doc_id, gram) rows — shared by d14 (repetition) and
     * d15 (decontamination). posexplode + lead over a doc-keyed window
@@ -470,11 +485,8 @@ object PipelineQueries {
     // hex-string compare is monotone in the hash value, so the admitted
     // fraction is threshold/16^4 exactly in expectation.
     "d13_stratified_sample" -> ((s, dir) => {
-      val gates = SampleGates.map { case (lang, hexGate) =>
-        (col("lang") === lang) && (substring(md5(col("doc_id").cast("string")), 1, 4) < hexGate)
-      }.reduce(_ || _)
       Tables.documents(s, dir)
-        .where(gates)
+        .where(sampleGateCol)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_sampled"),
           sum("n_chars").as("sampled_chars"),
@@ -717,10 +729,7 @@ object PipelineQueries {
         .agg((sum(when(col("d") >= 2, 1).otherwise(0)).cast("double") /
           count(lit(1))).as("r"))
         .where(col("r") > 0.6).select(col("doc_id"), lit(1).as("__boiler"))
-      val gate = SampleGates.map { case (lang, hexGate) =>
-        (col("lang") === lang) &&
-          (substring(md5(col("doc_id").cast("string")), 1, 4) < hexGate)
-      }.reduce(_ || _)
+      val gate = sampleGateCol
       val tagged = docs
         .join(keepers, Seq("doc_id"), "left")
         .join(contaminated.select("doc_id", "__contam"), Seq("doc_id"), "left")
@@ -814,9 +823,7 @@ object PipelineQueries {
 
     // same md5-hex gate per language (md5 hex is engine-identical)
     "d13_stratified_sample" -> {
-      val gates = SampleGates.map { case (lang, hexGate) =>
-        s"(lang = '$lang' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '$hexGate')"
-      }.mkString("\n   OR ")
+      val gates = sampleGateSql("\n   OR ")
       s"""SELECT lang, count(*) AS n_sampled,
          |       CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
          |       min(doc_id) AS first_doc
@@ -833,7 +840,10 @@ object PipelineQueries {
         |  FROM documents),
         |tri AS (
         |  SELECT doc_id, n,
-        |         list_transform(generate_series(1, greatest(n - 2, 1)),
+        |         -- n - 2 >= 1 is guaranteed by the WHERE n >= 3 below; a
+        |         -- greatest(…, 1) clamp here would mask that short docs
+        |         -- never reach this branch
+        |         list_transform(generate_series(1, n - 2),
         |                        i -> array_to_string(toks[i:i+2], ' ')) AS tris
         |  FROM t WHERE n >= 3)
         |SELECT doc_id,
@@ -889,8 +899,8 @@ object PipelineQueries {
          |       CASE greatest(${packed.mkString(", ")}) ${arms.mkString(" ")} END AS lang_guess,
          |       round(least(ntok / 20.0, 1.0) * (CASE WHEN ntok > 1000 THEN 0.5 ELSE 1.0 END)
          |             * (1.0 - least(punct * 5.0, 1.0))
-         |             * (0.5 + least(n_sw / ntok * 4.0, 1.0) * 0.5), 6) AS quality
-         |FROM scored s JOIN sw USING (doc_id)
+         |             * (0.5 + least(coalesce(n_sw, 0) / ntok * 4.0, 1.0) * 0.5), 6) AS quality
+         |FROM scored s LEFT JOIN sw USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
 
@@ -1196,9 +1206,7 @@ object PipelineQueries {
     // the composed funnel: every stage re-derived relationally, same
     // thresholds, same d13 gates
     "d23_corpus_funnel" -> {
-      val gates = SampleGates.map { case (lang, hexGate) =>
-        s"(lang = '$lang' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '$hexGate')"
-      }.mkString(" OR ")
+      val gates = sampleGateSql(" OR ")
       s"""WITH tri AS (
          |  SELECT doc_id,
          |         unnest(list_distinct(list_transform(generate_series(1, n - 2),
@@ -1344,7 +1352,11 @@ object PipelineQueries {
         |                        ELSE 0 END)) AS BIGINT) AS sig
         |          FROM corpus),
         |sigs AS (SELECT * FROM (
-        |           SELECT *, count(*) OVER (PARTITION BY sig) AS m FROM sigs0)
+        |           SELECT *, count(*) OVER (PARTITION BY sig) AS m
+        |           -- zero-norm rows leave BEFORE the cap count, exactly like
+        |           -- the library (where n > 0 precedes the bucket window):
+        |           -- counting them would tip a 400-valid bucket over the cap
+        |           FROM sigs0 WHERE list_dot_product(v, v) > 0)
         |         WHERE m <= 400),
         |pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
