@@ -708,32 +708,38 @@ object PipelineQueries {
     // counts come from one tiny stage-dim fan-out over the tagged docs.
     "d23_corpus_funnel" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val grams = docTrigrams(s, dir).distinct()
+      // ONE trigram assembly: the explode+window pass is the funnel's
+      // dominant cost, and three consumers need the relation (eval-gram
+      // set, per-gram df, per-doc stats) — persisted, it computes once;
+      // unpersisted it would re-assemble per subtree (no exchange to reuse)
+      val grams = docTrigrams(s, dir).distinct().persist()
       val keepers = docs.groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"), lit(1).as("__keep"))
-      // training docs sharing > 20% of their distinct grams with the eval
-      // slice (doc_id % 23 == 0)
-      val contaminated = grams.where(col("doc_id") % 23 =!= 0)
-        .join(broadcast(grams.where(col("doc_id") % 23 === 0)
-          .select("gram").distinct().withColumn("__hit", lit(1))),
-          Seq("gram"), "left")
+      val evalGrams = broadcast(grams.where(col("doc_id") % 23 === 0)
+        .select("gram").distinct().withColumn("__hit", lit(1)))
+      val gramDf = grams.groupBy("gram").agg(count(lit(1)).as("d"))
+      // contamination (share of grams hitting the doc_id % 23 == 0 eval
+      // slice) and cross-corpus boilerplate (dup-span ratio on the ORIGINAL
+      // corpus — df stats don't shift as the funnel narrows) in ONE pass
+      // over the gram relation: both are per-(doc, gram) attributes, so a
+      // single gram-keyed join + doc-keyed aggregation replaces two
+      // full-relation subtrees. c is computed for eval docs too — harmless,
+      // the stage tagging below checks doc_id % 23 first.
+      val gramStats = grams
+        .join(evalGrams, Seq("gram"), "left")
+        .join(gramDf, "gram")
         .groupBy("doc_id")
-        .agg((count(col("__hit")).cast("double") / count(lit(1))).as("c"))
-        .where(col("c") > 0.2).select(col("doc_id"), lit(1).as("__contam"))
-      // cross-corpus boilerplate: dup-span ratio > 0.6 on the ORIGINAL
-      // corpus (df stats don't shift as the funnel narrows)
-      val boilerplate = grams
-        .join(grams.groupBy("gram").agg(count(lit(1)).as("d")), "gram")
-        .groupBy("doc_id")
-        .agg((sum(when(col("d") >= 2, 1).otherwise(0)).cast("double") /
-          count(lit(1))).as("r"))
-        .where(col("r") > 0.6).select(col("doc_id"), lit(1).as("__boiler"))
+        .agg((count(col("__hit")).cast("double") / count(lit(1))).as("c"),
+          (sum(when(col("d") >= 2, 1).otherwise(0)).cast("double") /
+            count(lit(1))).as("r"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 23 =!= 0 && col("c") > 0.2, 1).as("__contam"),
+          when(col("r") > 0.6, 1).as("__boiler"))
       val gate = sampleGateCol
       val tagged = docs
         .join(keepers, Seq("doc_id"), "left")
-        .join(contaminated.select("doc_id", "__contam"), Seq("doc_id"), "left")
-        .join(boilerplate.select("doc_id", "__boiler"), Seq("doc_id"), "left")
+        .join(gramStats, Seq("doc_id"), "left")
       // quota rank among stage-3 survivors: running count of survivors in
       // quota order — for surviving rows this IS their row_number over the
       // filtered set, computed without materializing the filter
