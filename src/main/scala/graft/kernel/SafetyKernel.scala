@@ -40,7 +40,14 @@ object SafetyKernel {
   val NeutralWeatherSimilarity = 0.5
   val SignificanceFloor = 1e-6 // O8, location_safety_computation.py:406-411
 
-  private val CanonicalTypes = Seq("alpine", "ice", "mixed", "trad", "sport", "aid", "boulder")
+  /** THE canonical route-type list (`route_type_weights.py` key order) —
+    * the kernel's matrix/index building and every oracle-side type
+    * enumeration (KernelQueries.typesDf/typesValues, Sql.TypeByIdx) derive
+    * from this one value, so a type added or renamed here propagates
+    * everywhere or nowhere.
+    */
+  private[graft] val CanonicalTypes =
+    Seq("alpine", "ice", "mixed", "trad", "sport", "aid", "boulder")
 
   /** Canonical type index (0-6) or -1; lets the per-pair path use integer
     * arithmetic instead of string comparisons.

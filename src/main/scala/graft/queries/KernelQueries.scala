@@ -13,7 +13,8 @@ import graft.kernel.SafetyKernel
   */
 object KernelQueries {
 
-  private val CanonicalTypes = Seq("alpine", "ice", "mixed", "trad", "sport", "aid", "boulder")
+  // single-sourced from the kernel — see SafetyKernel.CanonicalTypes
+  private val CanonicalTypes = SafetyKernel.CanonicalTypes
 
   private def typesDf(s: SparkSession): DataFrame = {
     import s.implicits._

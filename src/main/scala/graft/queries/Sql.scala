@@ -18,9 +18,10 @@ object Sql {
   /** Canonical route-type names indexed by the derivation key `k % 8`
     * (7 = default-ish second trad, mirroring the reference's
     * normalize-to-trad default, `backend/app/api/v1/mp_routes.py:109-150`).
+    * Single-sourced from the kernel's canonical list.
     */
   val TypeByIdx: Seq[String] =
-    Seq("alpine", "ice", "mixed", "trad", "sport", "aid", "boulder", "trad")
+    graft.kernel.SafetyKernel.CanonicalTypes :+ "trad"
 
   def typeCase(keyExpr: String): String =
     s"CASE ($keyExpr) " +
@@ -257,23 +258,29 @@ object Sql {
       zterm("p_mu", "p_sd", "cur_p", pen("precipitation")),
       zterm("t_mu", "t_sd", "cur_t", pen("temperature")),
       zterm("10000.0", "0.0", "cur_v", pen("visibility")))
-    // per-factor gate, like bucketFactorStats: each factor's own non-null
-    // count (n_$f) decides its std validity, not the bucket row count
+    // per-factor gate AND per-factor weight denominator, like
+    // bucketFactorStats: each factor's own non-null count (n_$f) decides
+    // its std validity, and its own null-aware weight sum (sw_$f =
+    // Σw over rows where the factor is present) is the divisor — a shared
+    // all-rows sum(w) would diverge from Spark's __sw_$f the moment any
+    // factor column gains a NULL
     def meanStd(f: String, mu: String, sd: String): String =
-      s"s_$f / sw AS $mu, CASE WHEN n_$f >= ${WeatherStats.MinSamples} " +
-        s"THEN sqrt(greatest(s2_$f / sw - (s_$f / sw) * (s_$f / sw), 0.0)) END AS $sd"
+      s"s_$f / sw_$f AS $mu, CASE WHEN n_$f >= ${WeatherStats.MinSamples} " +
+        s"THEN sqrt(greatest(s2_$f / sw_$f - (s_$f / sw_$f) * (s_$f / sw_$f), 0.0)) END AS $sd"
+    def factorSums(f: String, colName: String): String =
+      s"count($colName) AS n_$f, " +
+        s"sum(CASE WHEN $colName IS NOT NULL THEN w END) AS sw_$f, " +
+        s"sum(w * $colName) AS s_$f, sum(w * $colName * $colName) AS s2_$f"
     s"""$Archive4Cte,
        |aw AS (
        |  SELECT *, exp(-CAST(least(abs(month - $refMonth), 12 - abs(month - $refMonth)) AS DOUBLE)
        |              / ${WeatherStats.MonthDecayScale}) AS w
        |  FROM arch),
        |stat AS (
-       |  SELECT bucket, sum(w) AS sw,
-       |         count(temperature) AS n_t, count(precipitation) AS n_p,
-       |         count(wind_speed) AS n_w,
-       |         sum(w * temperature) AS s_t, sum(w * temperature * temperature) AS s2_t,
-       |         sum(w * precipitation) AS s_p, sum(w * precipitation * precipitation) AS s2_p,
-       |         sum(w * wind_speed) AS s_w, sum(w * wind_speed * wind_speed) AS s2_w
+       |  SELECT bucket,
+       |         ${factorSums("t", "temperature")},
+       |         ${factorSums("p", "precipitation")},
+       |         ${factorSums("w", "wind_speed")}
        |  FROM aw GROUP BY bucket),
        |fstat AS (
        |  SELECT bucket, ${meanStd("t", "t_mu", "t_sd")},

@@ -183,7 +183,13 @@ object WeatherQueries {
   private val A = "accident_id"
   private val C = Derived.CurrentKey.toString
 
-  /** Per-(accident, day) series columns + normalized weights. */
+  /** Per-(accident, day) series columns + normalized weights. The weights
+    * are normalized TWICE (wn0 = w/Σw, then wn = wn0/Σwn0), mirroring the
+    * Spark pipeline exactly: withinWindowWeights normalizes, then
+    * weightedPearson renormalizes internally — the second pass shifts each
+    * weight by ~1 ulp, and a single-pass oracle would carry that systematic
+    * divergence into every moment sum under an exact-equality gate.
+    */
   private val seriesCte =
     s"""acc AS (SELECT s_suppkey AS accident_id FROM supplier),
        |d AS (
@@ -197,14 +203,18 @@ object WeatherQueries {
        |         ${Sql.tempMin(C, "k")} AS tmin_y, ${Sql.tempMax(C, "k")} AS tmax_y,
        |         pow(0.85, 6 - k) AS w
        |  FROM acc, range(7) t(k)),
-       |n AS (SELECT *, w / sum(w) OVER (PARTITION BY accident_id) AS wn FROM d)""".stripMargin
+       |n0 AS (SELECT *, w / sum(w) OVER (PARTITION BY accident_id) AS wn0 FROM d),
+       |n AS (SELECT *, wn0 / sum(wn0) OVER (PARTITION BY accident_id) AS wn FROM n0)""".stripMargin
 
-  /** Weighted-Pearson score `(corr+1)/2` fragment for factor prefix `f`
-    * (columns `{f}_x` accident, `{f}_y` current), with the zero-variance edge
-    * rules of StatsExprs.weightedPearson. Expects CTEs m/s to expose
-    * `v{f}x, v{f}y, c{f}` (note: correlation of current-vs-accident, so x is
-    * the CURRENT series to mirror weightedPearson(cur, acc, w) — symmetric
-    * anyway).
+  /** Weighted-Pearson score `(corr+1)/2` fragment for factor prefix `f`,
+    * with the zero-variance edge rules of StatsExprs.weightedPearson.
+    * Expects CTEs m/s to expose `v{f}x, v{f}y, c{f}`. The x/y binding is
+    * per CTE chain — [[seriesCte]] binds x to the ACCIDENT series and y to
+    * the current one; [[assembledSimilarityCtes]]/[[memoSimilarityCtes]]
+    * bind x to the current/bucket series and y to the assembled accident
+    * pattern. Pearson is symmetric so the score is binding-agnostic, but
+    * LABELED outputs (w10's ft_current/ft_accident) must follow the
+    * enclosing chain's actual binding, not an assumed convention.
     */
   private def corrCase(f: String): String = {
     val (vx, vy, cv) = (s"v${f}x", s"v${f}y", s"c$f")
@@ -220,6 +230,21 @@ object WeatherQueries {
 
   private val factors = Seq("t", "p", "w", "v", "c")
 
+  /** Freeze-thaw proximity and composite-similarity fragments, defined ONCE
+    * for every consumer (the assembled and memo CTE chains, the w04 and w10
+    * oracles) — a formula change edited in one oracle but not another would
+    * surface as an inscrutable VALUES-DIFF, so there is exactly one copy.
+    * Expect the enclosing scope to expose `v{f}x/v{f}y/c{f}` and
+    * `ft_x`/`ft_y`.
+    */
+  private val FtSimSql =
+    "greatest(0.0, 1.0 - abs(ft_x - ft_y) / (greatest(ft_x, ft_y, 1) + 7))"
+  private val WsimSql = {
+    val fw = WeatherExprs.FactorWeight
+    factors.map(f => s"(${corrCase(f)}) * $fw").mkString(" + ") +
+      s" + ($FtSimSql) * $fw"
+  }
+
   private val meansCte =
     "m AS (SELECT accident_id, " +
       factors.map(f => s"sum(wn * ${f}_x) AS m${f}x, sum(wn * ${f}_y) AS m${f}y").mkString(", ") +
@@ -231,20 +256,6 @@ object WeatherQueries {
       ", CAST(count(*) FILTER (WHERE tmin_x < 0 AND tmax_x > 0) AS BIGINT) AS ft_x" +
       ", CAST(count(*) FILTER (WHERE tmin_y < 0 AND tmax_y > 0) AS BIGINT) AS ft_y" +
       " FROM n JOIN m USING (accident_id) GROUP BY n.accident_id)"
-
-  /** All similarity CTEs + the final per-accident similarity select —
-    * exposed for composition into the full-kernel-with-weather oracle
-    * (KernelQueries k14).
-    */
-  private[queries] def similarityCtes: String =
-    s"$seriesCte,\n$meansCte,\n$statsCte"
-
-  private[queries] def similaritySelect: String = {
-    val fw = WeatherExprs.FactorWeight
-    val scoreSum = factors.map(f => s"(${corrCase(f)}) * $fw").mkString(" + ")
-    val ftSim = s"greatest(0.0, 1.0 - abs(ft_x - ft_y) / (greatest(ft_x, ft_y, 1) + 7))"
-    s"SELECT accident_id, $scoreSum + ($ftSim) * $fw AS wsim FROM s"
-  }
 
   // --- assembled-pattern CTEs (weather ROWS table → defaults → order) ------
 
@@ -285,11 +296,7 @@ object WeatherQueries {
     * accidents only; callers LEFT JOIN + coalesce(wsim, 0.5) for the
     * missing-pattern neutral path.
     */
-  private[queries] val assembledSimilarityCtes: String = {
-    val C = Derived.CurrentKey.toString
-    val fw = WeatherExprs.FactorWeight
-    val scoreSum = factors.map(f => s"(${corrCase(f)}) * $fw").mkString(" + ")
-    val ftSim = s"greatest(0.0, 1.0 - abs(ft_x - ft_y) / (greatest(ft_x, ft_y, 1) + 7))"
+  private[queries] val assembledSimilarityCtes: String =
     s"""$assemblyCtes,
        |wd AS (
        |  SELECT accident_id, day_idx, n,
@@ -302,7 +309,8 @@ object WeatherQueries {
        |         pow(${StatsExprs.WithinWindowDecay}, CAST(n - 1 - day_idx AS DOUBLE)) AS wr
        |  FROM wnum
        |  WHERE n >= ${WeatherExprs.MinWeatherDaysRequired}),
-       |wn2 AS (SELECT *, wr / sum(wr) OVER (PARTITION BY accident_id) AS wn FROM wd),
+       |wn2a AS (SELECT *, wr / sum(wr) OVER (PARTITION BY accident_id) AS wn0 FROM wd),
+       |wn2 AS (SELECT *, wn0 / sum(wn0) OVER (PARTITION BY accident_id) AS wn FROM wn2a),
        |wm AS (SELECT accident_id, ${factors.map(f =>
             s"sum(wn * ${f}_x) AS m${f}x, sum(wn * ${f}_y) AS m${f}y").mkString(", ")}
        |       FROM wn2 GROUP BY accident_id),
@@ -312,9 +320,8 @@ object WeatherQueries {
        |ftx AS (SELECT CAST(count(*) FILTER (WHERE (${Sql.tempMin(C, "k")}) < 0
        |                                       AND (${Sql.tempMax(C, "k")}) > 0) AS BIGINT) AS ft_x
        |        FROM range(7) t(k)),
-       |sims AS (SELECT accident_id, $scoreSum + ($ftSim) * $fw AS wsim
+       |sims AS (SELECT accident_id, $WsimSql AS wsim
        |         FROM ws CROSS JOIN ftx)""".stripMargin
-  }
 
   /** Memo-grain (bucket × accident) variant of [[assembledSimilarityCtes]]:
     * x = the BUCKET's current pattern (key CurrentKey+bucket), y = the
@@ -323,9 +330,6 @@ object WeatherQueries {
     */
   private[queries] val memoSimilarityCtes: String = {
     val B = s"(${Derived.CurrentKey} + bucket)"
-    val fw = WeatherExprs.FactorWeight
-    val scoreSum = factors.map(f => s"(${corrCase(f)}) * $fw").mkString(" + ")
-    val ftSim = s"greatest(0.0, 1.0 - abs(ft_x - ft_y) / (greatest(ft_x, ft_y, 1) + 7))"
     s"""$assemblyCtes,
        |bkt AS (SELECT DISTINCT c_custkey % 10 AS bucket FROM customer
        |        WHERE c_custkey <= 150),
@@ -340,8 +344,10 @@ object WeatherQueries {
        |         pow(${StatsExprs.WithinWindowDecay}, CAST(n - 1 - day_idx AS DOUBLE)) AS wr
        |  FROM wnum CROSS JOIN bkt
        |  WHERE n >= ${WeatherExprs.MinWeatherDaysRequired}),
-       |bwn AS (SELECT *, wr / sum(wr) OVER (PARTITION BY bucket, accident_id) AS wn
-       |        FROM bwd),
+       |bwn0 AS (SELECT *, wr / sum(wr) OVER (PARTITION BY bucket, accident_id) AS wn0
+       |         FROM bwd),
+       |bwn AS (SELECT *, wn0 / sum(wn0) OVER (PARTITION BY bucket, accident_id) AS wn
+       |        FROM bwn0),
        |bwm AS (SELECT bucket, accident_id, ${factors.map(f =>
               s"sum(wn * ${f}_x) AS m${f}x, sum(wn * ${f}_y) AS m${f}y").mkString(", ")}
        |        FROM bwn GROUP BY bucket, accident_id),
@@ -353,7 +359,7 @@ object WeatherQueries {
        |                CAST(count(*) FILTER (WHERE (${Sql.tempMin(B, "k")}) < 0
        |                                        AND (${Sql.tempMax(B, "k")}) > 0) AS BIGINT) AS ft_x
        |         FROM bkt, range(7) t(k) GROUP BY bucket),
-       |bsims AS (SELECT bucket, bws.accident_id, $scoreSum + ($ftSim) * $fw AS wsim
+       |bsims AS (SELECT bucket, bws.accident_id, $WsimSql AS wsim
        |          FROM bws JOIN bftx USING (bucket))""".stripMargin
   }
 
@@ -386,38 +392,33 @@ object WeatherQueries {
          |FROM s
          |ORDER BY accident_id""".stripMargin,
 
-    "w04_weather_similarity" -> {
-      val fw = WeatherExprs.FactorWeight
-      val scoreSum = factors.map(f => s"(${corrCase(f)}) * $fw").mkString(" + ")
-      val ftSim = s"greatest(0.0, 1.0 - abs(ft_x - ft_y) / (greatest(ft_x, ft_y, 1) + 7))"
+    "w04_weather_similarity" ->
       s"""WITH $seriesCte,
          |$meansCte,
          |$statsCte
          |SELECT accident_id,
-         |       round($scoreSum + ($ftSim) * $fw, 6) AS weather_similarity
+         |       round($WsimSql, 6) AS weather_similarity
          |FROM s
-         |ORDER BY accident_id""".stripMargin
-    },
+         |ORDER BY accident_id""".stripMargin,
 
     "w10_similarity_detailed" -> {
-      val fw = WeatherExprs.FactorWeight
       val named = Seq("t" -> "temperature", "p" -> "precipitation",
         "w" -> "wind_speed", "v" -> "visibility", "c" -> "cloud_cover")
       val scoreCols = named.map { case (f, n) =>
         s"round(${corrCase(f)}, 6) AS score_$n"
       }.mkString(",\n|       ")
-      val scoreSum = factors.map(f => s"(${corrCase(f)}) * $fw").mkString(" + ")
-      val ftSim = s"greatest(0.0, 1.0 - abs(ft_x - ft_y) / (greatest(ft_x, ft_y, 1) + 7))"
+      // seriesCte binds x = accident, y = current (see corrCase doc) —
+      // the labels below follow that binding
       s"""WITH $seriesCte,
          |$meansCte,
          |$statsCte
          |SELECT accident_id,
          |       $scoreCols,
-         |       round($ftSim, 6) AS score_freeze_thaw,
+         |       round($FtSimSql, 6) AS score_freeze_thaw,
          |       ft_y AS ft_current,
          |       ft_x AS ft_accident,
          |       CAST(7 AS BIGINT) AS days_compared,
-         |       round($scoreSum + ($ftSim) * $fw, 6) AS base_similarity
+         |       round($WsimSql, 6) AS base_similarity
          |FROM s
          |ORDER BY accident_id""".stripMargin
     },
