@@ -163,19 +163,26 @@ object ScoringPipeline {
   }
 
   /** Fold (d_total, d_n) deltas onto stored scores and re-derive risk/color
-    * from the new totals. `keys` defaults to route-grain; pass
-    * (route_id, prediction_date) when both sides carry dates so a delta
-    * lands ONLY on its own date's row, never on every date of the route.
+    * from the new totals. FULL outer on the keys: a delta whose key has no
+    * stored row (a date the nightly hasn't scored yet, a route added after
+    * the last batch) materializes as a NEW score row seeded from zero
+    * totals — the previous left-join shape silently dropped it, and a
+    * compaction then deleted the only copy of that accident's influence.
+    * Non-score base columns (calculated_at, …) stay NULL on such rows
+    * until the next nightly rewrite of the partition replaces them.
+    * `keys` defaults to route-grain; pass (route_id, prediction_date) when
+    * both sides carry dates so a delta lands ONLY on its own date's row,
+    * never on every date of the route.
     */
   def applyDeltaTotals(oldScores: DataFrame, delta: DataFrame,
                        keys: Seq[String] = Seq("route_id")): DataFrame = {
     import graft.expr.WeightExprs
     oldScores
-      .join(delta, keys, "left")
+      .join(delta, keys, "full")
       .withColumn("total_influence",
-        col("total_influence") + coalesce(col("d_total"), lit(0.0)))
+        coalesce(col("total_influence"), lit(0.0)) + coalesce(col("d_total"), lit(0.0)))
       .withColumn("n_contributing",
-        col("n_contributing") + coalesce(col("d_n"), lit(0L)))
+        coalesce(col("n_contributing"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
       .withColumn("risk_score", WeightExprs.normalizeRiskScore(col("total_influence")))
       .withColumn("color_code", WeightExprs.colorCode(col("risk_score")))
       .drop("d_total", "d_n")

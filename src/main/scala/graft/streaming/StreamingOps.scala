@@ -41,7 +41,9 @@ object StreamingOps {
       .select(
         unix_micros(col("w.start")).as("hour_us"),
         col("event_type"), col("n_events"),
-        (col("value_cents").cast("double") / 100.0).as("total_value"))
+        // coalesce like the batch twin's moneySum: a group whose every
+        // value is NULL totals 0.0, not NULL
+        (coalesce(col("value_cents"), lit(0L)).cast("double") / 100.0).as("total_value"))
 
   /** Streaming sessionization: a 30-minute inactivity gap (observed via a
     * later event for the same user) closes a session and emits it. Sessions
@@ -62,7 +64,11 @@ object StreamingOps {
           // process this micro-batch's events in event-time order
           rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             val tsUs = e.ts.getTime * 1000
-            val cents = math.round(e.value * 100)
+            // HALF_UP like Spark's round() (q10 batch parity): math.round
+            // rounds half toward +∞, which differs on negative half-cents
+            // (refunds) — math.round(-12.5) = -12 vs round() = -13
+            val cents = java.math.BigDecimal.valueOf(e.value * 100)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
             cur match {
               // Within gap of the open session's span (events between start
               // and last always chain; a cross-batch LATE event within gap
@@ -112,6 +118,8 @@ object StreamingOps {
       .withColumn("text_hash", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash")
+      .drop("text_hash") // internal helper — output schema == input schema,
+                         // like Dedup.dropExactDuplicates drops __rn
 
   /** Stream-STATIC dedup — the other half of ingestion dedup: drop streamed
     * documents whose content digest already exists in the HISTORICAL corpus
@@ -129,6 +137,7 @@ object StreamingOps {
     docs
       .withColumn("text_hash", md5(col(textCol)))
       .join(corpusDigests.select("text_hash"), Seq("text_hash"), "left_anti")
+      .drop("text_hash") // internal helper — output schema == input schema
 
   // --- streaming 7-day pattern assembly (S4/A2 streamed) -------------------
 
@@ -187,7 +196,16 @@ object StreamingOps {
         (accId: Long, batch: Iterator[WeatherRowIn], state: GroupState[Map[Int, DayRec]]) =>
           var days = state.getOption.getOrElse(Map.empty[Int, DayRec])
           var changed = false
-          batch.foreach { r =>
+          // deterministic order: iterator order off a shuffle is arbitrary,
+          // so same-day duplicate rows (two stations reporting one date)
+          // would otherwise resolve last-write-wins nondeterministically.
+          // Sorting by (date, readings) makes the greatest reading tuple
+          // win, every run. (The batch assembly instead collect_lists BOTH
+          // rows — feed unique (accident_id, date) input when exact batch
+          // convergence matters.)
+          batch.toSeq.sortBy(r => (r.date.getTime, r.temperature_avg,
+            r.temperature_min, r.temperature_max, r.precipitation_total,
+            r.wind_speed_avg, r.visibility_avg, r.cloud_cover_avg)).foreach { r =>
             val off = java.time.temporal.ChronoUnit.DAYS.between(
               r.a_date.toLocalDate.minusDays(WA.WindowDays), r.date.toLocalDate).toInt
             if (off >= 0 && off <= WA.WindowDays) { // J3 window gate
@@ -324,22 +342,44 @@ object StreamingOps {
       .map(s => readIdsFile(fs, s.getPath)).foldLeft(Set.empty[Long])(_ ++ _)
 
   def foldedBatchIds(fs: org.apache.hadoop.fs.FileSystem, deltaPath: String): Set[Long] = {
-    val p = markerPath(deltaPath)
-    val stage = migrateStagePath(p)
-    val main =
-      if (!fs.exists(p)) Set.empty[Long]
-      else if (fs.getFileStatus(p).isFile) readIdsFile(fs, p) // legacy single-file marker
-      else readIdsDir(fs, p)
-    val staged = if (fs.exists(stage)) readIdsDir(fs, stage) else Set.empty[Long]
-    main ++ staged
+    // whole-read retry on FileNotFound: a concurrent recordFolded can prune
+    // a superseded id file (or rename the migration stage away) between
+    // this reader's list/exists and its open. Re-reading sees a complete
+    // set again — per-file skipping would instead UNDER-read and disarm
+    // the replay guard. Persistent failure after retries rethrows: a
+    // partial answer here means double-counting, not degraded service.
+    def attempt(): Set[Long] = {
+      val p = markerPath(deltaPath)
+      val stage = migrateStagePath(p)
+      val main =
+        if (!fs.exists(p)) Set.empty[Long]
+        else if (fs.getFileStatus(p).isFile) readIdsFile(fs, p) // legacy single-file marker
+        else readIdsDir(fs, p)
+      val staged = if (fs.exists(stage)) readIdsDir(fs, stage) else Set.empty[Long]
+      main ++ staged
+    }
+    def loop(retries: Int): Set[Long] =
+      try attempt()
+      catch { case _: java.io.FileNotFoundException if retries > 0 => loop(retries - 1) }
+    loop(3)
   }
 
   /** Forget the folded-batch ids — REQUIRED when re-creating the ingest
     * query with a fresh checkpoint directory (batch ids restart at 0).
+    * REFUSES while the log still holds partitions: the new lineage's ids
+    * also restart at 0, and its dynamic partition overwrite would replace
+    * the old lineage's same-numbered, never-folded partitions — silently
+    * losing their accidents. Run [[compactDeltas]] (or discard the log)
+    * first, then clear.
     */
   def clearFoldedMarker(spark: org.apache.spark.sql.SparkSession, deltaPath: String): Unit = {
     val p = markerPath(deltaPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftover = batchPartitions(fs, new org.apache.hadoop.fs.Path(deltaPath))
+    require(leftover.isEmpty,
+      s"clearFoldedMarker: delta log $deltaPath still holds batch partitions " +
+        s"${leftover.sorted.mkString(", ")} from the previous lineage — " +
+        "compactDeltas (or discard the log) before clearing the marker")
     if (fs.exists(p)) fs.delete(p, true)
     val stage = migrateStagePath(p)
     if (fs.exists(stage)) fs.delete(stage, true)
@@ -417,7 +457,10 @@ object StreamingOps {
     * (route_id, prediction_date) grain when the base carries dates — a
     * delta computed for one date never touches another date's row of the
     * same route; a date-less base gets route-grain folding and must
-    * therefore hold a single date.
+    * therefore hold a single date. A delta with NO base row (a date the
+    * nightly hasn't scored, a freshly added route) serves as a new
+    * delta-only row (applyDeltaTotals is a full join), so the view and the
+    * post-compaction base agree on it.
     */
   def scoresWithDeltas(spark: org.apache.spark.sql.SparkSession,
                        baseScores: DataFrame, deltaPath: String): DataFrame = {
@@ -448,7 +491,9 @@ object StreamingOps {
     *  - a SNAPSHOT of the log's batch partitions is taken first — a
     *    micro-batch landing mid-compaction stays in the log untouched;
     *  - only the (route_id, prediction_date) rows with deltas are merged,
-    *    so the rewrite is bounded by the touched date partitions;
+    *    so the rewrite is bounded by the touched date partitions; a delta
+    *    with no base row becomes a NEW base row (zero-seeded totals) —
+    *    folding must never discard influence the nightly hasn't seen;
     *  - folded batch ids go to a marker file BEFORE the partitions are
     *    deleted; a crashed compaction re-run deletes already-folded
     *    partitions without folding twice, and a post-compaction
@@ -492,8 +537,13 @@ object StreamingOps {
     // if anything raced in; only write-marker files are removed first.
     if (batchPartitions(fs, deltaP).isEmpty) {
       fs.listStatus(deltaP).map(_.getPath)
-        .filter(p => p.getName.startsWith("_")) // _SUCCESS etc., never data
-        .foreach(p => fs.delete(p, false))
+        // _SUCCESS etc., never data — and never _temporary: that is a LIVE
+        // writer's staging dir (deleting it would break its task commit)
+        .filter(p => p.getName.startsWith("_") && p.getName != "_temporary")
+        .foreach { p =>
+          try fs.delete(p, false)
+          catch { case _: java.io.IOException => () } // racing writer — leave it
+        }
       try fs.delete(deltaP, false)
       catch { case _: java.io.IOException => () } // concurrent writer won
     }
@@ -512,7 +562,10 @@ object StreamingOps {
     dates.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // a NULL date row would NPE in sorted and wedge the stream (every
+        // replay hits the same row) — there is no date to score; drop it
         val ds = batch.select(col("prediction_date").cast("string"))
+          .where(col("prediction_date").isNotNull)
           .distinct().collect().map(_.getString(0)).sorted.toSeq
         if (ds.nonEmpty) {
           graft.pipeline.ScoringPipeline.writeScores(

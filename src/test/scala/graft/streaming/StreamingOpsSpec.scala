@@ -583,4 +583,91 @@ class StreamingOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(streamed == batch)
   }
+
+  test("a delta for a date the nightly never scored survives compaction") {
+    import org.apache.spark.sql.functions._
+    val routes = Seq((1L, 40.0, -105.0, Some(2000.0), "alpine", Some(7.0)))
+      .toDF("route_id", "lat", "lon", "elev", "route_type", "difficulty")
+    val a0 = IngestAcc(1, 40.1, -105.1, Some(2100.0), "alpine", "serious",
+      java.sql.Date.valueOf("2024-06-01"), Some(7.5))
+    val a1 = IngestAcc(2, 40.2, -105.05, Some(2100.0), "alpine", "fatal",
+      java.sql.Date.valueOf("2024-06-10"), Some(7.5))
+    val (scored, unscored) = ("2024-07-15", "2024-07-20")
+    val base = java.nio.file.Files.createTempDirectory("ud-base").toString
+    val deltas = java.nio.file.Files.createTempDirectory("ud-deltas").toString + "/log"
+    graft.pipeline.ScoringPipeline.writeScores(
+      graft.pipeline.ScoringPipeline.computeDailyScores(
+        routes, Seq(a0).toDF(), Seq(scored)), base)
+    // the new accident's delta targets a date with NO base partition
+    StreamingOps.ingestAccidentBatch(Seq(a1).toDF(), routes, unscored, deltas, batchId = 0L)
+    // serving view surfaces the delta-only row pre-compaction…
+    val served = StreamingOps.scoresWithDeltas(spark, spark.read.parquet(base), deltas)
+      .where(col("prediction_date").cast("string") === unscored)
+      .select("route_id", "risk_score").collect()
+    assert(served.length == 1 && served.head.getDouble(1) > 0.0,
+      "unmatched delta must serve as a delta-only row")
+    // …and compaction folds it into the base instead of discarding it
+    StreamingOps.compactDeltas(spark, base, deltas)
+    val baked = spark.read.parquet(base)
+      .where(col("prediction_date").cast("string") === unscored)
+      .select("route_id", "risk_score").collect()
+    assert(baked.length == 1,
+      "compaction silently discarded the unscored date's delta")
+    assert(math.abs(baked.head.getDouble(1) - served.head.getDouble(1)) < 1e-12,
+      "post-compaction base must equal the pre-compaction serving view")
+    // the scored date's row is untouched
+    assert(spark.read.parquet(base)
+      .where(col("prediction_date").cast("string") === scored).count() == 1)
+  }
+
+  test("sessionize rounds negative half-cents like the q10 batch twin (HALF_UP)") {
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("neg_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // -0.125 * 100 = -12.5 cents exactly: Spark round() → -13;
+      // math.round would have given -12
+      mem.addData(Event(1, ts(0), 9, "refund", -0.125))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(40), 9, "view", 0.0)) // gap evidence closes s1
+      q.processAllAvailable()
+      val v = spark.table("neg_sessions").select("session_value")
+        .collect().map(_.getDouble(0))
+      assert(v.contains(-0.13), s"expected HALF_UP -0.13, got ${v.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("hourlyTypeCounts totals an all-NULL-value group as 0.0, not NULL") {
+    // unified API: the operator runs on a batch frame unchanged
+    val events = Seq(
+      (1L, ts(0), 1L, "ping", null.asInstanceOf[java.lang.Double]),
+      (2L, ts(5), 2L, "ping", null.asInstanceOf[java.lang.Double]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val row = hourlyTypeCounts(events).collect().head
+    assert(!row.isNullAt(row.fieldIndex("total_value")))
+    assert(row.getAs[Double]("total_value") == 0.0)
+  }
+
+  test("clearFoldedMarker refuses while the old lineage's partitions remain") {
+    val routes = Seq((1L, 40.0, -105.0, Some(2000.0), "alpine", Some(7.0)))
+      .toDF("route_id", "lat", "lon", "elev", "route_type", "difficulty")
+    val a1 = IngestAcc(2, 40.2, -105.05, Some(2100.0), "alpine", "fatal",
+      java.sql.Date.valueOf("2024-06-10"), Some(7.5))
+    val deltas = java.nio.file.Files.createTempDirectory("cm-deltas").toString + "/log"
+    StreamingOps.ingestAccidentBatch(Seq(a1).toDF(), routes, "2024-07-15", deltas, 0L)
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.clearFoldedMarker(spark, deltas)
+    }
+    assert(e.getMessage.contains("compactDeltas"))
+  }
+
+  test("streaming dedup operators do not leak the text_hash helper column") {
+    import org.apache.spark.sql.functions.md5
+    val docs = Seq((ts(0), 1L, "alpha")).toDF("ts", "doc_id", "text")
+    assert(streamingExactDedup(docs, "ts", "text").columns.toSeq == docs.columns.toSeq)
+    val corpus = Seq("alpha").toDF("text").select(md5($"text").as("text_hash"))
+    assert(streamingDedupAgainstCorpus(docs, corpus, "text").columns.toSeq
+      == docs.columns.toSeq)
+  }
 }
