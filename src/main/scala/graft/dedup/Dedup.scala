@@ -21,17 +21,27 @@ import graft.text.TextExprs
 object Dedup {
 
   /** Exact dedup inventory: one row per distinct digest with multiplicity
-    * and the keeper (minimum) id.
+    * and the keeper (minimum) id. Null-text rows are excluded — an absent
+    * document has no digest (the pinned null-is-unhashable convention), so
+    * grouping them would report a phantom "duplicate group" of rows whose
+    * contents are unknown, not known-equal.
     */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(md5(col(textCol)).as("text_hash"))
+    df.where(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(idCol).as("keeper_id"))
 
   /** Drop duplicate rows, keeping the min-id row per digest — the
-    * shuffle-once (digest-keyed) form of `dropDuplicates`.
+    * shuffle-once (digest-keyed) form of `dropDuplicates`. Null-text rows
+    * ALL survive: md5(null) is NULL and a shared-NULL partition key would
+    * silently delete every null-text row but one, treating two absent
+    * documents as proven copies. Each gets a per-row key instead ("n:" +
+    * id cannot collide with the hex digest alphabet).
     */
   def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol).asc)
+    val w = Window.partitionBy(
+      coalesce(md5(col(textCol)), concat(lit("n:"), col(idCol).cast("string"))))
+      .orderBy(col(idCol).asc)
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
@@ -43,8 +53,16 @@ object Dedup {
     */
   def minhashSignature(text: Column, numHashes: Int, shingleWidth: Int): Column = {
     val shingles = TextExprs.shingleHashes(text, shingleWidth)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, sh => xxhash64(i, sh))))
+    // null text → NULL signature, not [NULL × numHashes]: the outer
+    // transform runs over a non-null index sequence, so without the guard a
+    // null doc got a NON-null array of null minima — it survived into LSH
+    // where concat_ws skips NULLs, every band hashed to the same "" bucket,
+    // and all null docs emitted O(m²) phantom candidate pairs. The bulk
+    // form ([[minhashSignatures]]) drops null docs via explode; this guard
+    // keeps the column form consistent with it.
+    when(text.isNull, lit(null).cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(shingles, sh => xxhash64(i, sh)))))
   }
 
   /** Bulk MinHash signatures as explode → hash-aggregate: one row per
@@ -168,9 +186,15 @@ object Dedup {
         (acc, t) => acc + when(
           xxhash64(t).bitwiseAND(pow(lit(2.0), j).cast("long")) =!= 0L, 1L)
           .otherwise(-1L)))
-    // MSB = bit 62; acc stays < 2^63 throughout.
-    aggregate(reverse(bitVotes), lit(0L),
-      (acc, v) => acc * 2L + when(v > 0, 1L).otherwise(0L))
+    // null text → NULL, bit-for-bit with the native [[graft.expr.SimHash63]]
+    // (null array → NULL): without the guard the inner aggregates were NULL
+    // votes but the OUTER aggregate ran over a non-null 63-element array and
+    // packed every NULL vote to a 0-bit — all null docs got simhash 0L,
+    // hamming-0 phantom near-dups of each other and of any real simhash-0
+    // doc. MSB = bit 62; acc stays < 2^63 throughout.
+    when(text.isNull, lit(null).cast("bigint"))
+      .otherwise(aggregate(reverse(bitVotes), lit(0L),
+        (acc, v) => acc * 2L + when(v > 0, 1L).otherwise(0L)))
   }
 
   /** Bulk SimHash signatures via the native codegen'd expression

@@ -913,6 +913,7 @@ object PipelineQueries {
     "d01_exact_dedup" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper_id
         |FROM documents
+        |WHERE text IS NOT NULL
         |GROUP BY 1
         |ORDER BY text_hash""".stripMargin,
 

@@ -171,7 +171,7 @@ object Similarity {
   def ivfTrainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                         nlist: Int, iters: Int = 3,
                         samplePerCell: Int = 100): Array[(Int, Seq[Double])] = {
-    val unitAll = withNorm(corpus, idCol, vecCol, "id", "v", "n")
+    val unitAll = withNorm(graft.Partitioning.balanced(corpus), idCol, vecCol, "id", "v", "n")
       .where(col("n") > 0)
       .select(col("id"), transform(col("v"), x => x / col("n")).as("v"))
     val target = samplePerCell.toLong * nlist
@@ -195,7 +195,14 @@ object Similarity {
       val means = train
         .withColumn("cell", nearestCell(col("v"), centroids))
         .select(col("cell"), posexplode(col("v")))
-        .groupBy("cell", "pos").agg(avg("col").as("m"))
+        // decimal mean, not double: double partial sums depend on partition
+        // boundaries (cluster resize / AQE coalesce shifts the last ulp, a
+        // boundary vector flips cells next iteration, and the "reproducible
+        // run-to-run" contract breaks). Decimal addition is exact, hence
+        // order-independent; components are unit-normalized (|x| ≤ 1) and
+        // the sample is bounded, so DECIMAL(38,18) cannot overflow.
+        .groupBy("cell", "pos")
+        .agg(avg(col("col").cast("decimal(38,18)")).cast("double").as("m"))
         .groupBy("cell")
         .agg(map_from_arrays(collect_list("pos"), collect_list("m")).as("byPos"))
         .collect()
@@ -308,7 +315,10 @@ object Similarity {
               signature: Option[Column => Column] = None): DataFrame = {
     require(bits <= 16, "multi-probe signature is meant to be short")
     val sigOf: Column => Column = signature.getOrElse(hyperplaneSignature(_, dim, bits))
-    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "c_vec", "c_n")
+    // balanced like every sibling: bits× dot products per corpus row on a
+    // small-split scan would otherwise serialize onto a few cores
+    val c = withNorm(graft.Partitioning.balanced(corpus), idCol, vecCol,
+      "neighbor_id", "c_vec", "c_n")
       .where(col("c_n") > 0) // NaN cosine would out-rank every real neighbor
       .withColumn("bucket", sigOf(col("c_vec")))
     // queries fan out to their own bucket + every 1-bit flip (multi-probe);

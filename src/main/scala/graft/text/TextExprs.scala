@@ -81,16 +81,22 @@ object TextExprs {
     */
   def langIdGuess(text: Column, markers: Map[String, Seq[String]]): Column = {
     require(markers.nonEmpty, "langIdGuess needs at least one language")
+    // an empty marker list would crash plan construction (empty.reduce) and
+    // its fraction would divide by zero — refuse with a clear message
+    markers.foreach { case (lang, ms) =>
+      require(ms.nonEmpty, s"langIdGuess: language '$lang' has no marker n-grams")
+    }
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
       val hits = ms.map(m => when(text.contains(m), 1).otherwise(0))
         .reduce(_ + _)
       struct((hits.cast("double") / ms.size).as("score"), lit(lang).as("lang"))
     }
-    // max_by over the per-language scores; ties break to lexicographically
-    // LAST language via the struct ordering (score first), made deterministic
-    // by sorting the array.
+    // argmax over the per-language scores via array_max's struct ordering
+    // (score first); ties break to the lexicographically LAST language —
+    // the same order a sort-descending-take-first would give, without the
+    // per-row sort + reverse passes.
     when(text.isNull, lit(null).cast("string"))
-      .otherwise(element_at(reverse(array_sort(array(scored: _*))), 1).getField("lang"))
+      .otherwise(array_max(array(scored: _*)).getField("lang"))
   }
 
   /** 64-bit rolling document fingerprint: order-sensitive hash chaining
@@ -109,6 +115,10 @@ object TextExprs {
     * every empty doc and flooding LSH buckets with phantom pairs).
     */
   def shingleHashes(text: Column, w: Int): Column = {
+    // w = 0 would silently give EVERY document the single shingle
+    // xxhash64("") (slice of width 0 → empty → constant hash → all docs
+    // jaccard-1.0 "near-dups"); negative w throws an opaque slice error
+    require(w >= 1, s"shingleHashes: shingle width must be >= 1, got $w")
     val toks = tokens(text)
     val n = size(toks)
     when(text.isNull, lit(null).cast("array<bigint>"))

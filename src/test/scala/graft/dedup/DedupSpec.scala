@@ -177,4 +177,31 @@ class DedupSpec extends SparkSpec {
       assert(cands.size < n * 20, s"$dir: candidate set ${cands.size} too large for $n docs")
     }
   }
+
+  test("null text is unhashable in every dedup operator, not an alias") {
+    val withNulls = Seq(
+      (1L, base), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String]), (4L, base))
+      .toDF("doc_id", "text")
+    // exact dedup: two absent documents are not proven copies — both null
+    // rows survive, and the inventory reports no phantom NULL-digest group
+    val kept = Dedup.dropExactDuplicates(withNulls, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L), s"got ${kept.toSeq}")
+    assert(Dedup.exactGroups(withNulls, "text", "doc_id").count() == 1)
+    // simhash: column form yields NULL, bit-for-bit with the native bulk form
+    val colForm = withNulls.select(col("doc_id"), Dedup.simhash63(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val bulkForm = Dedup.simhashSignatures(withNulls, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(colForm(2L).isEmpty, "column simhash must be NULL for null text, not 0L")
+    assert(colForm == bulkForm)
+    // minhash column form: NULL signature (not an array of NULL minima), so
+    // null docs never reach LSH banding
+    val sigs = withNulls.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), 8, 3).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(sigs(2L) && sigs(3L), "null text must yield a NULL signature")
+    assert(!sigs(1L) && !sigs(4L))
+  }
 }

@@ -196,4 +196,16 @@ class SimilaritySpec extends SparkSpec {
     val recall = lsh.size.toDouble / exact.size
     assert(recall >= 0.8, s"recall $recall below floor")
   }
+
+  test("IVF centroids are invariant to the corpus partition layout") {
+    // double partial sums depend on partition boundaries; the decimal mean
+    // makes training reproducible across cluster resizes / AQE coalesce —
+    // train on two very different layouts and demand bit-equal centroids
+    val c = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .where(col("vec_id") >= 5)
+    val one = Similarity.ivfTrainCentroids(c.repartition(1), "vec_id", "embedding", 8)
+    val many = Similarity.ivfTrainCentroids(c.repartition(13), "vec_id", "embedding", 8)
+    assert(one.toSeq == many.toSeq,
+      "centroid training must not depend on partitioning")
+  }
 }

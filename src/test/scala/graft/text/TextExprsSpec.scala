@@ -43,4 +43,19 @@ class TextExprsSpec extends SparkSpec {
       .head()
     assert(nullGuess.isNullAt(0), "null text must not be classified")
   }
+
+  test("degenerate parameters are refused at plan construction, not runtime") {
+    // an empty marker list used to crash with an opaque empty.reduce (and
+    // would divide by zero); now a clear require message names the language
+    val e1 = intercept[IllegalArgumentException] {
+      TextExprs.langIdGuess(lit("x"), Map("en" -> Seq("the"), "xx" -> Seq.empty))
+    }
+    assert(e1.getMessage.contains("xx"))
+    // w = 0 used to give EVERY doc the single shingle xxhash64("") — all
+    // documents became jaccard-1.0 "near-dups" with no error
+    val e2 = intercept[IllegalArgumentException] {
+      TextExprs.shingleHashes(lit("a b c"), 0)
+    }
+    assert(e2.getMessage.contains("width"))
+  }
 }
