@@ -30,11 +30,26 @@ object MediaCodecs {
 
   // --- column-space serializers --------------------------------------------
 
+  /** Refuse out-of-range field values LOUDLY: `lpad` TRUNCATES to the first
+    * `hexDigits` chars when the hex is longer, so a negative value (16 hex
+    * digits) or one ≥ 2^(4·hexDigits) would serialize a structurally valid
+    * but numerically wrong header with no error — a ~7.5 h WAV's RIFF size,
+    * for instance, would silently wrap. A serializer must fail on garbage
+    * in, not emit corrupt bytes.
+    */
+  private def checkedHex(x: Column, hexDigits: Int): Column = {
+    val v = x.cast("long")
+    val ok = v >= 0L && v < (1L << (4 * hexDigits))
+    when(ok, lpad(hex(v), hexDigits, "0"))
+      .otherwise(raise_error(format_string(
+        s"media header field out of range [0, 2^${4 * hexDigits}): %s", v.cast("string"))))
+  }
+
   /** 4-byte big-endian from a non-negative int column (< 2^32). */
-  private def be4(x: Column): Column = unhex(lpad(hex(x.cast("long")), 8, "0"))
+  private def be4(x: Column): Column = unhex(checkedHex(x, 8))
 
   private def leHex(x: Column, hexDigits: Int): Column = {
-    val h = lpad(hex(x.cast("long")), hexDigits, "0")
+    val h = checkedHex(x, hexDigits)
     // byte-reverse via hex-pair shuffle
     val pairs = (hexDigits - 1 to 1 by -2).map(i => substring(h, i, 2))
     unhex(concat(pairs: _*))
@@ -182,6 +197,27 @@ object MediaCodecs {
     val v = b.getInt(off) & 0xffffffffL; b.order(o); v
   }
 
+  /** The one RIFF sub-chunk walk (tag, chunk offset, declared size),
+    * starting after the 12-byte RIFF/form header, single-sourcing the
+    * safety rules both consumers need: stop when fewer than 8 header bytes
+    * remain; a declared size past the payload end yields its chunk but
+    * terminates the walk (we parse headers, not whole files — and a hostile
+    * ~2 GB size would wrap `off + 8 + size` negative and make the tag read
+    * throw); chunks are WORD-aligned, so odd sizes skip a pad byte or every
+    * later tag read is off by one.
+    */
+  private def riffChunks(payload: Array[Byte], b: ByteBuffer): Iterator[(String, Int, Long)] =
+    Iterator.unfold(12) { off =>
+      if (off + 8 > payload.length) None
+      else {
+        val id = new String(payload, off, 4, "US-ASCII")
+        val size = u32le(b, off + 4)
+        val next = if (size > payload.length.toLong) payload.length
+          else off + 8 + size.toInt + (size.toInt & 1)
+        Some(((id, off, size), next))
+      }
+    }
+
   /** Parse one payload's header. Null-safe: unknown magic, truncated input,
     * or a missing expected chunk yields format=null / all-null fields —
     * never an exception (a decoder in a 100 TB pipeline cannot throw on
@@ -204,29 +240,29 @@ object MediaCodecs {
       val w = u32be(b, 16); val h = u32be(b, 20)
       (Some("png"), i32(w), i32(h), None, None, None)
     } else if (tag(0) == "RIFF" && tag(8) == "WAVE") {
-      // chunk walk: fmt then data (canonical files have both in order)
-      var off = 12
+      // chunk walk ([[riffChunks]] owns the safety rules). Duration is
+      // computed AFTER the walk from the recorded data-chunk size, so a
+      // spec-legal file with data before fmt still gets one — the in-loop
+      // form silently lost it (byteRate was still 0 at the data chunk).
       var rate = Option.empty[Long]; var ch = Option.empty[Int]
-      var dur = Option.empty[Long]; var byteRate = 0L
-      while (off >= 0 && off + 8 <= payload.length && (rate.isEmpty || dur.isEmpty)) {
-        val id = tag(off); val size = u32le(b, off + 4)
-        if (id == "fmt " && off + 24 <= payload.length) {
+      var dataSize = Option.empty[Long]; var byteRate = 0L
+      val it = riffChunks(payload, b)
+      while (it.hasNext && (rate.isEmpty || dataSize.isEmpty)) {
+        val (id, off, size) = it.next()
+        // a declared fmt size < 16 means the PCM fields are NOT in this
+        // chunk — reading them anyway would parse the NEXT chunk's bytes
+        // (e.g. 24948 channels from the letters "ta" of "data") as data
+        if (id == "fmt " && size >= 16 && off + 24 <= payload.length && rate.isEmpty) {
           ch = Some(u16le(b, off + 10))
           rate = Some(u32le(b, off + 12))
           byteRate = u32le(b, off + 16)
-        } else if (id == "data" && byteRate > 0) {
-          dur = Some(size * 1000L / byteRate)
+        } else if (id == "data" && dataSize.isEmpty) {
+          dataSize = Some(size)
         }
-        // declared size may exceed the bytes present (we parse headers, not
-        // whole files) — any further chunk is then out of range; guard the
-        // int overflow a hostile 4-byte size could cause. RIFF chunks are
-        // WORD-aligned: an odd-sized chunk is followed by a pad byte, which
-        // must be skipped or every later tag read is off by one.
-        off = if (size > payload.length.toLong) payload.length
-          else off + 8 + size.toInt + (size.toInt & 1)
       }
       if (rate.isEmpty) (None, None, None, None, None, None)
-      else (Some("wav"), None, None, rate, ch, dur)
+      else (Some("wav"), None, None, rate, ch,
+        if (byteRate > 0) dataSize.map(_ * 1000L / byteRate) else None)
     } else if (tag(0) == "RIFF" && tag(8) == "AVI " && payload.length >= 72 &&
         tag(24) == "avih") {
       val uspf = u32le(b, 32); val frames = u32le(b, 48)
@@ -276,29 +312,31 @@ object MediaCodecs {
         Some(("bmp", units))
       }
     } else if (tag(0) == "RIFF" && tag(8) == "WAVE") {
-      var off = 12
+      // chunk walk ([[riffChunks]] owns the safety rules); like
+      // parseHeader, decode is DEFERRED so data-before-fmt files work
       var pcm16 = false
-      var out = Option.empty[(String, Array[Int])]
-      // off >= 0: same hostile-size int-overflow guard as parseHeader's walk
-      // (a ~2 GB chunk size makes off + 8 + size wrap negative, and tag(off)
-      // would throw instead of returning None)
-      while (off >= 0 && off + 8 <= payload.length && out.isEmpty) {
-        val id = tag(off); val size = u32le(b, off + 4)
-        if (id == "fmt " && off + 24 <= payload.length) {
+      var data = Option.empty[(Int, Long)] // (chunk offset, declared size)
+      val it = riffChunks(payload, b)
+      while (it.hasNext && (!pcm16 || data.isEmpty)) {
+        val (id, off, size) = it.next()
+        // declared fmt size < 16 ⇒ the PCM fields would be read from the
+        // NEXT chunk's bytes — treat as malformed, same as parseHeader
+        if (id == "fmt " && size >= 16 && off + 24 <= payload.length) {
           // fmt data: audioFormat @+8, bitsPerSample @+22 (both LE)
           pcm16 = u16le(b, off + 8) == 1 && u16le(b, off + 22) == 16
-        } else if (id == "data" && pcm16) {
-          val dataOff = off + 8
-          val n = (math.min(size, (payload.length - dataOff).toLong) / 2).toInt
-          val units = new Array[Int](n)
-          var t = 0
-          while (t < n) { units(t) = b.getShort(dataOff + 2 * t).toInt; t += 1 }
-          out = Some(("wav", units))
+        } else if (id == "data" && data.isEmpty) {
+          data = Some((off, size))
         }
-        off = if (size > payload.length.toLong) payload.length
-          else off + 8 + size.toInt + (size.toInt & 1)
       }
-      out
+      if (!pcm16) None
+      else data.map { case (off, size) =>
+        val dataOff = off + 8
+        val n = (math.min(size, (payload.length - dataOff).toLong) / 2).toInt
+        val units = new Array[Int](n)
+        var t = 0
+        while (t < n) { units(t) = b.getShort(dataOff + 2 * t).toInt; t += 1 }
+        ("wav", units)
+      }
     } else None
   }
 
@@ -324,18 +362,29 @@ object MediaCodecs {
         rows.map { r =>
           val decoded = decodeUnits(r.getAs[Array[Byte]]("payload"))
           val agg = decoded.map { case (fmt, units) =>
-            var sum = 0L; var geom = 0L
+            // the weighted sum grows ~|unit|max·n²/2 — a ~50 MB clipped
+            // 16-bit WAV (n ≈ 2.4e7) exceeds Long range. Exact arithmetic
+            // nulls the overflow instead of wrapping silently negative,
+            // matching the i32/avih guards. The plain sum is safe: bounded
+            // by 32768·n < 2^63 for any addressable payload.
+            var sum = 0L; var geom = 0L; var geomOk = true
             var k = 0
             while (k < units.length) {
-              sum += units(k); geom += units(k).toLong * (k + 1); k += 1
+              sum += units(k)
+              if (geomOk) {
+                try geom = Math.addExact(geom,
+                  Math.multiplyExact(units(k).toLong, (k + 1).toLong))
+                catch { case _: ArithmeticException => geomOk = false }
+              }
+              k += 1
             }
-            (fmt, units.length.toLong, sum, geom)
+            (fmt, units.length.toLong, sum, if (geomOk) Some(geom) else None)
           }
           Row(r.getAs[Long]("media_id"),
             agg.map(_._1).orNull,
             agg.map(a => Long.box(a._2)).orNull,
             agg.map(a => Long.box(a._3)).orNull,
-            agg.map(a => Long.box(a._4)).orNull)
+            agg.flatMap(_._4).map(Long.box).orNull)
         }
       }(encoder)
   }

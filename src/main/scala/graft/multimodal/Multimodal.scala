@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -46,9 +46,12 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       struct(
         lit("application/octet-stream").as("mime"),
-        ((col("doc_id") * 37) % 1920 + 1).cast("int").as("width"),
-        ((col("doc_id") * 53) % 1080 + 1).cast("int").as("height"),
-        ((col("doc_id") * 97) % 600000 + 1).as("duration_ms")).as("meta"))
+        // pmod like the kind expression above: signed % on a negative id
+        // would emit zero/negative dimensions and durations that feed the
+        // resize division and the header serializers garbage
+        (pmod(col("doc_id") * 37, lit(1920)) + 1).cast("int").as("width"),
+        (pmod(col("doc_id") * 53, lit(1080)) + 1).cast("int").as("height"),
+        (pmod(col("doc_id") * 97, lit(600000)) + 1).as("duration_ms")).as("meta"))
 
   val FeatureDim = 16
 
@@ -90,7 +93,7 @@ object Multimodal {
     * row inside a partition iterator (no per-row task overhead, no
     * driver-side collect), producing (media_id, kind, features).
     */
-  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+  def extractFeatures(media: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("kind", StringType, nullable = false),
@@ -110,13 +113,17 @@ object Multimodal {
     * the payload (the shape of video frame sampling; a real decoder would
     * seek keyframes).
     */
-  def frameSample(media: DataFrame, n: Int): DataFrame =
+  def frameSample(media: DataFrame, n: Int): DataFrame = {
+    // n = 0 would build sequence(0, -1) = [0, -1] (Spark sequences DESCEND
+    // when start > stop) and divide by zero under the ANSI gate
+    require(n >= 1, s"frameSample: frame count must be >= 1, got $n")
     media.select(
       col("media_id"),
       transform(sequence(lit(0), lit(n - 1)), i =>
         col("payload").substr(
           (i * greatest(length(col("payload")), lit(1)) / n + 1).cast("int"), lit(1))
       ).as("sampled_frames"))
+  }
 
   /** Resize metadata transform (decode-free): new dimensions preserving
     * aspect ratio against a max edge — metadata math is real even though
@@ -125,11 +132,17 @@ object Multimodal {
   def resizeMeta(media: DataFrame, maxEdge: Int): DataFrame = {
     val w = col("meta.width").cast("double")
     val h = col("meta.height").cast("double")
+    // missing or non-positive dimensions propagate as NULL output, never a
+    // fabricated size: greatest() SKIPS nulls, so the unguarded form turned
+    // (null, 500) metadata into a confident 1-px edge, and a 0×0 row threw
+    // DIVIDE_BY_ZERO under the ANSI gate. The predicate is null when either
+    // dim is null (→ otherwise arm), false when non-positive.
+    val valid = w > 0 && h > 0
     val scale = least(lit(maxEdge) / greatest(w, h), lit(1.0))
     // floor at 1 px: an extreme aspect ratio (1×1000 at maxEdge 100) would
     // otherwise round the short edge to a 0-dimension no real resize emits
     media.select(col("media_id"),
-      greatest(round(w * scale), lit(1.0)).cast("int").as("new_width"),
-      greatest(round(h * scale), lit(1.0)).cast("int").as("new_height"))
+      when(valid, greatest(round(w * scale), lit(1.0)).cast("int")).as("new_width"),
+      when(valid, greatest(round(h * scale), lit(1.0)).cast("int")).as("new_height"))
   }
 }

@@ -194,4 +194,58 @@ class MediaCodecsSpec extends SparkSpec {
     assert(fmt2.contains("avi") && w2.contains(640) && h2.contains(480))
     assert(dur.isEmpty, s"overflowing duration must be null, got $dur")
   }
+
+  // raw RIFF/WAVE builders for the robustness cases below
+  private def leBytes(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+  private def riffChunkBytes(tag: String, body: Array[Byte]): Array[Byte] =
+    tag.getBytes("US-ASCII") ++ leBytes(body.length.toLong, 4) ++ body ++
+      (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+  private def fmtBody(rate: Long, ch: Int): Array[Byte] =
+    leBytes(1, 2) ++ leBytes(ch.toLong, 2) ++ leBytes(rate, 4) ++
+      leBytes(rate * ch * 2, 4) ++ leBytes(ch.toLong * 2, 2) ++ leBytes(16, 2)
+  private def wave(chunks: Array[Byte]*): Array[Byte] = {
+    val body = chunks.flatten.toArray
+    "RIFF".getBytes("US-ASCII") ++ leBytes(body.length + 4L, 4) ++
+      "WAVE".getBytes("US-ASCII") ++ body
+  }
+
+  test("truncated fmt chunk is malformed, not parsed from the next chunk's bytes") {
+    // declared fmt size 0: the PCM fields are NOT present — the unguarded
+    // walk read channels from the letters "ta" of the following "data" tag
+    val payload = wave(
+      riffChunkBytes("fmt ", Array.emptyByteArray),
+      riffChunkBytes("data", leBytes(0x0201, 2) ++ leBytes(0x0403, 2)))
+    val (fmt, _, _, rate, ch, _) = MediaCodecs.parseHeader(payload)
+    assert(fmt.isEmpty && rate.isEmpty && ch.isEmpty,
+      s"truncated fmt must be malformed, got $fmt $rate $ch")
+    assert(MediaCodecs.decodeUnits(payload).isEmpty)
+  }
+
+  test("data chunk before fmt: spec-legal file keeps duration and decodes") {
+    // 4 samples = 8 data bytes at 8000 Hz mono 16-bit (byteRate 16000)
+    val samples = Array.tabulate(4)(t => leBytes((t * 3).toLong & 0xffffL, 2)).flatten
+    val payload = wave(
+      riffChunkBytes("data", samples),
+      riffChunkBytes("fmt ", fmtBody(8000, 1)))
+    val (fmt, _, _, rate, ch, dur) = MediaCodecs.parseHeader(payload)
+    assert(fmt.contains("wav") && rate.contains(8000L) && ch.contains(1))
+    assert(dur.contains(samples.length * 1000L / 16000L),
+      s"data-before-fmt must still yield a duration, got $dur")
+    val decoded = MediaCodecs.decodeUnits(payload)
+    assert(decoded.exists(_._1 == "wav"), "data-before-fmt must still decode")
+    assert(decoded.get._2.toSeq == Seq(0, 3, 6, 9))
+  }
+
+  test("serializers refuse out-of-range field values instead of truncating") {
+    // lpad TRUNCATES over-long hex: a negative or >= 2^32 value would emit a
+    // structurally valid but numerically wrong header with no error
+    val bad = Seq(1L).toDF("x")
+      .select(MediaCodecs.wavHeader(lit(8000L), lit(1L), lit(-5L)).as("h"))
+    val e = intercept[Exception] { bad.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("out of range")),
+      s"expected a range error, got $e")
+  }
 }

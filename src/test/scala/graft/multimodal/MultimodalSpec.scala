@@ -26,7 +26,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("extractFeatures: deterministic, L1-normalized, equal payloads → equal features") {
-    val feats = Multimodal.extractFeatures(spark, Multimodal.deriveMedia(docs))
+    val feats = Multimodal.extractFeatures(Multimodal.deriveMedia(docs))
       .collect().map(r => r.getAs[Long]("media_id") -> r.getSeq[Float](2)).toMap
     assert(feats(1L).length == Multimodal.FeatureDim)
     assert(approx(feats(1L).map(_.toDouble).sum, 1.0, 1e-5))
@@ -60,5 +60,31 @@ class MultimodalSpec extends SparkSpec {
     val r = Multimodal.resizeMeta(skinny, maxEdge = 100).head()
     assert(r.getAs[Int]("new_width") == 1, "short edge must clamp to 1, not 0")
     assert(r.getAs[Int]("new_height") == 100)
+  }
+
+  test("resizeMeta: missing or non-positive dims → NULL, never a fabricated edge") {
+    // greatest() SKIPS nulls, so the unguarded form turned (null, 500) into
+    // a confident 1-px width and 0×0 into 1×1
+    val rows = Seq(
+      (1L, Option(800), Option(500)),
+      (2L, Option.empty[Int], Option(500)),
+      (3L, Option(0), Option(0)))
+      .toDF("media_id", "w", "h")
+      .select(col("media_id"),
+        struct(lit(null).cast("string").as("mime"), col("w").as("width"),
+          col("h").as("height"), lit(null).cast("long").as("duration_ms")).as("meta"))
+    val out = Multimodal.resizeMeta(rows, maxEdge = 100).orderBy("media_id").collect()
+    assert(out(0).getAs[Int]("new_width") == 100 && out(0).getAs[Int]("new_height") == 63)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2),
+      "a missing dimension must propagate as NULL")
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2),
+      "zero dimensions are corrupt metadata, not a 1×1 image")
+  }
+
+  test("frameSample refuses n = 0 at plan construction") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.frameSample(Multimodal.deriveMedia(docs), 0)
+    }
+    assert(e.getMessage.contains("frame count"))
   }
 }
