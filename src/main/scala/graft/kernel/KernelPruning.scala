@@ -132,7 +132,10 @@ object KernelPruning {
     // an amplified-weather frame (route-side wmult, A7) breaks the
     // B-product the radius derives from: (wsim·wmult)³ can exceed 1, so an
     // above-floor pair could sit beyond the unamplified gate and be lost
-    // SILENTLY. Make the caller state their multiplier cap.
+    // SILENTLY. Make the caller state their multiplier cap; the declared
+    // cap is then VERIFIED against the data at execution (below) — a
+    // weatherBound smaller than an actual wmult fails the job instead of
+    // silently losing above-floor pairs.
     require(!routes.columns.contains("wmult") || weatherBound > 1.0,
       "routes carry wmult (amplified weather): pass weatherBound ≥ the max " +
         "multiplier so the prune radius still bounds influence above the floor")
@@ -151,7 +154,19 @@ object KernelPruning {
 
     // balanced like the exact path: a single-split routes scan would run
     // the whole pruned kernel on one core (graft.Partitioning.balanced)
-    val routesCelled = SafetyKernel.enrichRoutes(graft.Partitioning.balanced(routes))
+    // runtime twin of the weatherBound require: one compare per ROUTE (not
+    // per pair) that raise_error's on the first wmult above the declared
+    // cap. The otherwise-branch keeps the predicate non-foldable, so the
+    // optimizer cannot prove it away; cost is negligible pre-fan-out.
+    val routesChecked =
+      if (routes.columns.contains("wmult"))
+        routes.where(when(col("wmult").isNull || col("wmult") <= weatherBound, lit(true))
+          .otherwise(raise_error(concat(
+            lit("pruned kernel: wmult="), col("wmult"),
+            lit(s" exceeds declared weatherBound=$weatherBound — " +
+              "above-floor pairs would be silently lost")))))
+      else routes
+    val routesCelled = SafetyKernel.enrichRoutes(graft.Partitioning.balanced(routesChecked))
       .withColumn("__tier", tierOf(col("__h")))
       .withColumn("__cell_lat", latCellFor(col("lat"), col("__tier")))
       .withColumn("__cell_lon", lonCellFor(col("lon"), col("__tier")))

@@ -315,14 +315,16 @@ object MediaCodecs {
       // chunk walk ([[riffChunks]] owns the safety rules); like
       // parseHeader, decode is DEFERRED so data-before-fmt files work
       var pcm16 = false
+      var seenFmt = false // latch: only the FIRST valid fmt decides, like parseHeader
       var data = Option.empty[(Int, Long)] // (chunk offset, declared size)
       val it = riffChunks(payload, b)
-      while (it.hasNext && (!pcm16 || data.isEmpty)) {
+      while (it.hasNext && (!seenFmt || data.isEmpty)) {
         val (id, off, size) = it.next()
         // declared fmt size < 16 ⇒ the PCM fields would be read from the
         // NEXT chunk's bytes — treat as malformed, same as parseHeader
-        if (id == "fmt " && size >= 16 && off + 24 <= payload.length) {
+        if (id == "fmt " && size >= 16 && off + 24 <= payload.length && !seenFmt) {
           // fmt data: audioFormat @+8, bitsPerSample @+22 (both LE)
+          seenFmt = true
           pcm16 = u16le(b, off + 8) == 1 && u16le(b, off + 22) == 16
         } else if (id == "data" && data.isEmpty) {
           data = Some((off, size))

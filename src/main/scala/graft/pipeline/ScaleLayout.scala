@@ -59,10 +59,29 @@ object ScaleLayout {
     * rows hashing to ONE salt is fine here: phase 1's map-side partial
     * aggregation collapses each (key, salt) group to a single row per map
     * task before the shuffle, so identical rows never re-serialize a
-    * reducer — they arrive pre-merged.
+    * reducer — they arrive pre-merged. (saltedTopK has no map-side partial,
+    * so the same collapse is a real caveat there — see its doc.)
+    *
+    * Hashes only the columns xxhash64 ACCEPTS: MapType (at any nesting
+    * depth) is rejected by Spark's hash expressions, so a frame carrying a
+    * map column must not fail analysis here — maps are simply left out of
+    * the salt. Determinism is unaffected; spread still comes from the
+    * remaining columns (for saltedTopK the required total order already
+    * implies a distinguishing non-map column set in practice).
     */
-  private def contentSalt(df: DataFrame, factor: Int) =
-    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(factor))
+  private def contentSalt(df: DataFrame, factor: Int) = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case ArrayType(et, _) => hashable(et)
+      case st: StructType => st.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val cols = df.schema.fields.collect { case f if hashable(f.dataType) => col(f.name) }
+    // all-map frame: no hashable content — degrade to one salt (correct,
+    // just unspread) rather than failing analysis
+    if (cols.isEmpty) lit(0L) else pmod(xxhash64(cols.toIndexedSeq: _*), lit(factor))
+  }
 
   def saltedSumAggregate(df: DataFrame, key: String, valueCol: String,
                          factor: Int): DataFrame = {
@@ -88,7 +107,11 @@ object ScaleLayout {
     * Same deterministic content-hash salt as saltedSumAggregate (retry
     * safety). Spread relies on row content varying — and it does whenever
     * the REQUIRED total order holds, since a total order implies a
-    * distinguishing column set (d21: doc_id tiebreaker).
+    * distinguishing column set (d21: doc_id tiebreaker). Caveat: rows that
+    * are BYTE-IDENTICAL across all hashable columns share one salt, and
+    * unlike saltedSumAggregate there is no map-side partial to pre-merge
+    * them — such rows violate the total-order requirement anyway (ties are
+    * unordered), so the contract, not the salt, is what excludes them.
     */
   def saltedTopK(df: org.apache.spark.sql.DataFrame, key: String,
                  order: Seq[org.apache.spark.sql.Column], k: Int,

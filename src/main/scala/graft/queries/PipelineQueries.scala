@@ -760,7 +760,7 @@ object PipelineQueries {
       val stageName = Seq("0_all", "1_dedup", "2_decontam", "3_boilerplate",
         "4_quota", "5_sample")
       val stagesDim = s.range(6).select(col("id").cast("int").as("k"))
-      stagesDim
+      val funnel = stagesDim
         .join(reached.select("doc_id", "n_chars", "reached"),
           col("reached") >= col("k"), "left")
         .groupBy("k")
@@ -772,6 +772,13 @@ object PipelineQueries {
           }.otherwise("?").as("stage"),
           col("n_docs"), col("n_chars"))
         .orderBy("stage")
+      // the funnel report is 6 rows: materialize it NOW so the persisted
+      // gram relation can be released before this entry returns — without
+      // this the cache outlives the query and squats in the block manager
+      // through every later bench entry (including the scale-stress runs)
+      val rows = funnel.collect().toSeq
+      grams.unpersist(blocking = false)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), funnel.schema)
     }),
 
     // --- df-capped Jaccard (the ngramJaccardPairs skew guard, oracle-d) ---

@@ -161,7 +161,9 @@ class PlanShapeSpec extends SparkSpec {
     val inPlan =
       try {
         val df = SparkEntry.queries("q21_keyset_page")(spark, dir)
-        Thread.sleep(1000) // the listener bus delivers asynchronously
+        // deterministically drain the async listener bus before asserting —
+        // a fixed sleep can race job-start delivery on a loaded host
+        org.apache.spark.GraftTestBus.drain(spark.sparkContext, 30000L)
         df
       } finally spark.sparkContext.removeSparkListener(probe)
     import scala.jdk.CollectionConverters._

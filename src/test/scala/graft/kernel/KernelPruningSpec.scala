@@ -181,6 +181,21 @@ class KernelPruningSpec extends SparkSpec {
     assert(KernelPruning.pruneRadiusKm(1e-6, 1.5) > KernelPruning.pruneRadiusKm(1e-6))
   }
 
+  test("a weatherBound smaller than the data's wmult fails loudly, not silently") {
+    // declared 1.1 but actual multiplier 2.0: before the runtime twin of
+    // the require, this silently lost above-floor pairs — now the first
+    // offending route raise_error's the job
+    val lying = routes.withColumn("wmult", lit(2.0))
+    val ex = intercept[Exception] {
+      KernelPruning.pairInfluencePruned(lying, accidents, planDate,
+        weatherBound = 1.1).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("exceeds declared weatherBound")),
+      s"expected the wmult guard message, got: $ex")
+  }
+
   test("SQL function registration: dot_f64 + parse_grade + simhash64 + weather_similarity") {
     graft.sql.GraftFunctions.register(spark)
     assert(spark.sql("SELECT dot_f64(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")

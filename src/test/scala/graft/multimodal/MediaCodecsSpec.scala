@@ -237,6 +237,24 @@ class MediaCodecsSpec extends SparkSpec {
     assert(decoded.get._2.toSeq == Seq(0, 3, 6, 9))
   }
 
+  test("multi-fmt file: first valid fmt decides for BOTH header and content") {
+    // fmt(non-PCM float32) then fmt(PCM16): without the first-fmt latch,
+    // decodeUnits took the second chunk (decodable) while parseHeader took
+    // the first (not PCM16 — but it still reports wav meta), letting the
+    // two consumers of one payload disagree. Both must latch chunk 1.
+    val floatFmt = leBytes(3, 2) ++ leBytes(1, 2) ++ leBytes(8000, 4) ++
+      leBytes(32000, 4) ++ leBytes(4, 2) ++ leBytes(32, 2) // IEEE float, 32-bit
+    val samples = Array.tabulate(4)(t => leBytes((t * 3).toLong & 0xffffL, 2)).flatten
+    val payload = wave(
+      riffChunkBytes("fmt ", floatFmt),
+      riffChunkBytes("fmt ", fmtBody(8000, 1)),
+      riffChunkBytes("data", samples))
+    val (fmt, _, _, rate, _, _) = MediaCodecs.parseHeader(payload)
+    assert(fmt.contains("wav") && rate.contains(8000L)) // header: first fmt
+    assert(MediaCodecs.decodeUnits(payload).isEmpty,
+      "content decode must honor the FIRST fmt (non-PCM) like the header does")
+  }
+
   test("serializers refuse out-of-range field values instead of truncating") {
     // lpad TRUNCATES over-long hex: a negative or >= 2^32 value would emit a
     // structurally valid but numerically wrong header with no error

@@ -117,4 +117,22 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(viaSalt == viaWindow)
     assert(viaSalt.count(_._1 == "hot") == 10)
   }
+
+  test("salting a frame with a MapType column does not fail analysis") {
+    // xxhash64 rejects MapType at any nesting depth: the salt must hash a
+    // projection of the hashable columns, not every column blindly
+    val df = spark.range(100).select(
+      (col("id") % 3).cast("string").as("k"),
+      col("id").cast("double").as("v"),
+      map(lit("tag"), col("id").cast("string")).as("props"))
+    val salted = ScaleLayout.saltedSumAggregate(df, "k", "v", factor = 4)
+      .orderBy("k").as[(String, Double, Long)].collect()
+    val plain = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .orderBy("k").as[(String, Double, Long)].collect()
+    assert(salted.toSeq == plain.toSeq)
+    // and the top-K path analyzes + runs on the same frame
+    val top = ScaleLayout.saltedTopK(df, "k",
+      Seq(col("v").desc, col("k").asc), k = 5, factor = 4)
+    assert(top.count() == 15)
+  }
 }
