@@ -24,12 +24,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as
-    * Long and truncate to micros with integer division (`div`, not `/` —
-    * double arithmetic would lose precision on epoch-nanos magnitudes).
-    * DuckDB performs the identical ns→us truncation, so oracle SQL sees
-    * the same instants.
+  /** `events.ts` has been written two ways across testdata generations:
+    * parquet TIMESTAMP(MICROS) (reads as a plain TimestampType) and
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]). We adapt to whichever the file declares
+    * instead of hard-coding one generation's physical type: with
+    * `nanosAsLong` set, a NANOS column surfaces as LongType, which we
+    * truncate to micros with integer division (`div`, not `/` — double
+    * arithmetic would lose precision on epoch-nanos magnitudes). DuckDB
+    * performs the identical ns→us truncation, so oracle SQL sees the same
+    * instants either way. A MICROS column surfaces as TimestampType and is
+    * used as written.
     *
     * SIDE EFFECT: `nanosAsLong` is a SESSION conf consulted at scan
     * planning, so it stays set after this call — other TIMESTAMP(NANOS)
@@ -40,9 +45,20 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000L")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000L")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // isAdjustedToUTC=false parquet reads as NTZ; every session in this
+        // engine pins spark.sql.session.timeZone=UTC, so the cast keeps the
+        // same wall-clock instants DuckDB sees reading the file naively.
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
