@@ -15,15 +15,25 @@ object AnsiCheck {
     spark.sparkContext.setLogLevel("ERROR")
     println("[ansi] entry rows = " + SparkEntry.entry(spark).count())
     // every query under ANSI at sf0.001
-    var failed = 0
+    val failedNames = scala.collection.mutable.ArrayBuffer[String]()
+    val n = SparkEntry.queries.size
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => failed += 1; println(s"[ansi] FAIL $name: ${e.getMessage.take(150)}") }
+      catch { case e: Throwable =>
+        failedNames += name
+        println(s"[ansi] FAIL $name: ${e.getMessage.take(150)}")
+      }
     }
-    println(s"[ansi] failures: $failed")
+    println(s"[ansi] failures: ${failedNames.size}")
+    // persist the result as a round artifact — an ad-hoc guard whose output
+    // lives only in a scrollback can't be audited later
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("ANSICHECK.json"),
+      s"""{"queries":$n,"failures":${failedNames.size},"failed":[${
+        failedNames.map("\"" + _ + "\"").mkString(",")}],"conf":"ansi=true,aqe=true"}""" + "\n")
     spark.stop()
     // a guard that always exits 0 can't gate anything (same class of bug
     // as the fixed Scratch exit code)
-    if (failed > 0) sys.exit(1)
+    if (failedNames.nonEmpty) sys.exit(1)
   }
 }

@@ -172,6 +172,44 @@ object Bench {
       Seq(col("n_chars").desc, col("doc_id").asc), k = 10, factor = 32)
   }
 
+  /** Re-run Bench in a fresh JVM restricted to `keys` and harvest their
+    * timings from the child's JSON line. Works because `run / fork := true`
+    * gives this JVM a real `java.class.path` and its input arguments are
+    * the resolved `javaOptions` (add-opens, heap, codegen JIT flags) — the
+    * child replays them verbatim, so it measures under identical JVM
+    * settings, minus the suite's accumulated garbage. Any failure costs
+    * the affected entries their -1 sentinel, never the round's JSON line.
+    */
+  private def runIsolated(keys: Seq[String], sfDir: String, cpus: String): Map[String, Double] =
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      import scala.jdk.CollectionConverters._
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", keys.mkString(","))
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      // drain stdout BEFORE waitFor — the child blocks on a full pipe
+      val out = new String(p.getInputStream.readAllBytes,
+        java.nio.charset.StandardCharsets.UTF_8)
+      val rc = p.waitFor()
+      if (rc != 0) System.err.println(s"[bench] isolated gate JVM exited rc=$rc")
+      keys.map { k =>
+        val re = ("\"" + java.util.regex.Pattern.quote(k) + "\":(-?[0-9.]+)").r
+        k -> re.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
+      }.toMap
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] gate isolation failed: ${e.getMessage}")
+        keys.map(_ -> -1.0).toMap
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -314,13 +352,26 @@ object Bench {
     if (want("map_with_safety_168k"))
       results("map_with_safety_168k") = time2(mapWithSafety168k(spark))
     // scale-stress gate: 10× blow-up + planted skew (see the factory docs);
-    // the 10× batch runs ONCE — it is minutes long and self-amortizing
-    if (want("kernel_batch_10x"))
-      results("kernel_batch_10x") = time(kernelBatch10x(spark))
-    if (want("lsh_skew"))
-      results("lsh_skew") = time2(lshSkew(spark, sfDir))
-    if (want("quota_skew"))
-      results("quota_skew") = time2(quotaSkew(spark, sfDir))
+    // the 10× batch runs ONCE — it is minutes long and self-amortizing.
+    // On a FULL run the gate executes in a freshly forked JVM: the 10×
+    // batch's heap/GC/code-cache pressure measurably contaminated suite
+    // entries sharing its JVM (six queries read 9-23× slower in round 5
+    // purely from contention), and conversely a fresh JVM times the gate
+    // itself without the suite's garbage. Subset runs
+    // (SPARK_GRAFT_BENCH_ONLY) time inline — they ARE the child, and the
+    // recursion guard below is what stops a fork bomb.
+    val scaleKeys = Seq("kernel_batch_10x", "lsh_skew", "quota_skew")
+    if (only.isEmpty) {
+      spark.stop() // free the parent's executor pool + heap for the child
+      results ++= runIsolated(scaleKeys, sfDir, cpus)
+    } else {
+      if (want("kernel_batch_10x"))
+        results("kernel_batch_10x") = time(kernelBatch10x(spark))
+      if (want("lsh_skew"))
+        results("lsh_skew") = time2(lshSkew(spark, sfDir))
+      if (want("quota_skew"))
+        results("quota_skew") = time2(quotaSkew(spark, sfDir))
+    }
 
     // The harness that collects this output keeps only the last ~2000 chars,
     // so order the line for tail visibility: suite queries fastest-first
@@ -345,7 +396,18 @@ object Bench {
     val ordered = suite ++ headlineKeys.flatMap(k => results.get(k).map(k -> _))
     val qs = ordered.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}""")
+    val line =
+      s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
+    println(line)
+    // The collecting harness keeps only a ~2000-char tail, which truncates
+    // the head of this line (every BENCH_r{N}.json so far has parsed:null).
+    // Full runs also persist the complete line to the repo root so the
+    // round's artifact trail has a parseable copy; subset runs (dev
+    // re-timing and the forked gate child) must not clobber it.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL write: ${e.getMessage}") }
     spark.stop()
   }
 }

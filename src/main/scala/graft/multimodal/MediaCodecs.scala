@@ -149,6 +149,40 @@ object MediaCodecs {
       unhex(pixelHex))
   }
 
+  /** Spec-conformant Netpbm PPM serialized in column space — P6 (raw) or
+    * P3 (ASCII decimal) chosen per row. Sample k (row-major, TOP row
+    * first, no padding — PPM's geometry, deliberately opposite BMP's) is
+    * (id·11 + k) % 256. Both variants carry a '#' comment line between
+    * the magic and the dimensions, so a decoder that tokenizes naively
+    * instead of honoring comment-to-EOL mismatches.
+    */
+  def ppmImage(id: Column, w: Column, h: Column, asciiVariant: Column): Column = {
+    val n = (w * h * 3).cast("long")
+    val sample = (k: Column) => pmod(id * 11 + k, lit(256))
+    val header = concat(
+      when(asciiVariant, lit("P3")).otherwise(lit("P6")),
+      lit("\n# planted\n"), w.cast("string"), lit(" "), h.cast("string"),
+      lit("\n255\n"))
+    val asciiBody = encode(concat_ws(" ",
+      transform(sequence(lit(0L), n - 1), k => sample(k).cast("string"))), "US-ASCII")
+    val rawBody = unhex(concat_ws("",
+      transform(sequence(lit(0L), n - 1), k => lpad(hex(sample(k)), 2, "0"))))
+    concat(encode(header, "US-ASCII"),
+      when(asciiVariant, asciiBody).otherwise(rawBody))
+  }
+
+  /** Replace image payloads with real PPMs — raw P6 for even ids, ASCII P3
+    * for odd — at the same planted dimensions as [[plantContent]]'s BMPs.
+    */
+  def plantPpm(media: DataFrame): DataFrame = {
+    val id = col("media_id")
+    media.withColumn("payload",
+      when(col("kind") === "image",
+        ppmImage(id, (lit(1) + pmod(id, lit(5))).cast("int"),
+          (lit(1) + pmod(id, lit(4))).cast("int"), pmod(id, lit(2)) === 1))
+        .otherwise(col("payload")))
+  }
+
   /** Canonical 16-bit mono 8 kHz PCM WAV in column space: sample t is
     * ((id·31 + t·17) % 4096) − 2048, stored little-endian two's complement.
     */
@@ -310,6 +344,63 @@ object MediaCodecs {
           y += 1
         }
         Some(("bmp", units))
+      }
+    } else if (payload(0) == 'P' && (payload(1) == '3' || payload(1) == '6') &&
+               (payload(2) == '\n' || payload(2) == '\r' || payload(2) == ' ' ||
+                payload(2) == '\t')) {
+      // Netpbm PPM — P6 raw or P3 ASCII. Header tokens (width, height,
+      // maxval) are separated by whitespace with '#'-to-EOL comments legal
+      // between any of them; P6 pixel data starts after exactly ONE
+      // whitespace byte following maxval, P3 samples are whitespace-
+      // separated decimals. Rows are top-down with no stride padding —
+      // the opposite geometry of BMP, which is what makes a shared
+      // position-weighted oracle discriminating.
+      val asciiVariant = payload(1) == '3'
+      var pos = 2
+      def skipWs(): Unit = {
+        var done = false
+        while (!done && pos < payload.length) {
+          val c = payload(pos)
+          if (c == ' ' || c == '\t' || c == '\n' || c == '\r') pos += 1
+          else if (c == '#') { while (pos < payload.length && payload(pos) != '\n') pos += 1 }
+          else done = true
+        }
+      }
+      def readInt(): Long = {
+        skipWs()
+        var v = 0L; var any = false
+        while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+          v = v * 10 + (payload(pos) - '0'); any = true; pos += 1
+          if (v > Int.MaxValue) return -1L
+        }
+        if (any) v else -1L
+      }
+      val w = readInt(); val h = readInt(); val maxv = readInt()
+      val nL = if (w > 0 && h > 0) w * h * 3L else -1L
+      // maxval must be 255 for the 1-byte-per-sample raw layout this
+      // decoder (and the serializer) implements; 2-byte-maxval PPMs are
+      // "needs a real codec" territory → None, like compressed BMP
+      if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
+          maxv != 255L || nL > (1L << 26)) None
+      else if (asciiVariant) {
+        val n = nL.toInt
+        val units = new Array[Int](n)
+        var i = 0; var ok = true
+        while (i < n && ok) {
+          val v = readInt()
+          if (v < 0 || v > 255) ok = false else { units(i) = v.toInt; i += 1 }
+        }
+        if (ok && i == n) Some(("ppm", units)) else None
+      } else {
+        pos += 1 // the single post-maxval whitespace byte mandated by P6
+        val n = nL.toInt
+        if (pos.toLong + nL > payload.length) None
+        else {
+          val units = new Array[Int](n)
+          var i = 0
+          while (i < n) { units(i) = payload(pos + i) & 0xff; i += 1 }
+          Some(("ppm", units))
+        }
       }
     } else if (tag(0) == "RIFF" && tag(8) == "WAVE") {
       // chunk walk ([[riffChunks]] owns the safety rules); like

@@ -273,6 +273,29 @@ object CoreQueries {
         .orderBy("n_nationkey")
     }),
 
+    // --- J4 at depth: planted ≥10-level hierarchy through the REAL
+    // distributed walk (breadcrumbDistributed), oracle'd by a DuckDB
+    // recursive CTE re-deriving the semantics from scratch. q15 only
+    // exercises 2 levels; this plants a 20-node parent chain that crosses
+    // a state-stop ('colorado'), the 15-name cap exactly (node 20), a
+    // case/trim stop in ancestor position ('COLORADO'), own-node stops
+    // ('usa', ' Utah '), and shallow fan-in nodes sharing mid-chain
+    // ancestors. Data is arithmetic-planted identically in both engines.
+    "q15b_breadcrumb_deep" -> ((s, dir) => {
+      val locs = s.range(60).select(
+        col("id").as("mp_id"),
+        when(col("id") === 0, "usa")
+          .when(col("id") === 5, "colorado")
+          .when(col("id") === 25, " Utah ")
+          .when(col("id") === 41, "COLORADO")
+          .otherwise(concat(lit("loc_"), col("id").cast("string"))).as("name"),
+        when(col("id") === 0 || col("id") === 41, lit(null).cast("long"))
+          .when(col("id").between(1, 20), col("id") - 1)
+          .when(col("id") === 40, lit(41L))
+          .otherwise(lit(10L) + col("id") % 5).as("parent_id"))
+      graft.analytics.Analytics.breadcrumbDistributed(locs).orderBy("mp_id")
+    }),
+
     // --- J5: fuzzy containment join (token ⋈ documents.text) --------------
     "q16_contains_join" -> ((s, dir) => {
       import s.implicits._
@@ -732,6 +755,43 @@ object CoreQueries {
       """SELECT n_nationkey, r_name || ' > ' || n_name AS breadcrumb
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
+
+    // Independent re-derivation of the ≤15-level parent walk: one row per
+    // (start, level) in the recursive CTE, final state = max-level row.
+    // Stop names are the subset of StateStopNames the planted data can
+    // reach; the CASE arithmetic mirrors the Spark-side plant exactly.
+    "q15b_breadcrumb_deep" ->
+      """WITH RECURSIVE locs AS (
+        |  SELECT id,
+        |    CASE WHEN id = 0 THEN 'usa'
+        |         WHEN id = 5 THEN 'colorado'
+        |         WHEN id = 25 THEN ' Utah '
+        |         WHEN id = 41 THEN 'COLORADO'
+        |         ELSE 'loc_' || CAST(id AS VARCHAR) END AS name,
+        |    CASE WHEN id = 0 OR id = 41 THEN NULL
+        |         WHEN id BETWEEN 1 AND 20 THEN id - 1
+        |         WHEN id = 40 THEN 41
+        |         ELSE 10 + id % 5 END AS parent_id
+        |  FROM range(60) t(id)),
+        |walk(start_id, cursor, path, lvl) AS (
+        |  SELECT id,
+        |    CASE WHEN lower(trim(name)) IN ('usa','colorado','utah') THEN NULL
+        |         ELSE parent_id END,
+        |    CASE WHEN lower(trim(name)) IN ('usa','colorado','utah') THEN ''
+        |         ELSE name END,
+        |    1
+        |  FROM locs
+        |  UNION ALL
+        |  SELECT w.start_id,
+        |    CASE WHEN lower(trim(p.name)) IN ('usa','colorado','utah') THEN NULL
+        |         ELSE p.parent_id END,
+        |    CASE WHEN lower(trim(p.name)) IN ('usa','colorado','utah') THEN w.path
+        |         ELSE p.name || ' > ' || w.path END,
+        |    w.lvl + 1
+        |  FROM walk w JOIN locs p ON w.cursor = p.id
+        |  WHERE w.lvl < 15)
+        |SELECT start_id AS mp_id, arg_max(path, lvl) AS breadcrumb
+        |FROM walk GROUP BY start_id ORDER BY mp_id""".stripMargin,
 
     "q16_contains_join" ->
       """SELECT token, count(*) AS n_docs, min(doc_id) AS first_doc

@@ -380,6 +380,19 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // --- REAL PPM decode (P6 raw + P3 ASCII, id-parity split): a third ---
+    // codec-free format through the same decodeContent surface. PPM rows
+    // are top-down with no stride padding (opposite of BMP), P3 exercises
+    // ASCII tokenization + comment skipping the binary paths never touch;
+    // the oracle predicts the aggregates from the serializer's arithmetic.
+    "m04_ppm_pixels" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.deriveMedia(Tables.documents(s, dir))
+        .where(col("kind") === "image")
+      graft.multimodal.MediaCodecs.decodeContent(
+        graft.multimodal.MediaCodecs.plantPpm(media))
+        .orderBy("media_id")
+    }),
+
     // --- brute-force cosine top-k (exact ANN baseline) --------------------
     "s01_cosine_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1009,6 +1022,23 @@ object PipelineQueries {
         |           t -> ((media_id * 31 + t * 17) % 4096 - 2048) * (t + 1))) AS BIGINT) AS geom_sum
         |  FROM m WHERE kind = 'audio')
         |SELECT * FROM img UNION ALL SELECT * FROM aud
+        |ORDER BY media_id""".stripMargin,
+
+    // m04: PPM-decoded aggregates predicted from the serializer's
+    // (id·11 + k) % 256 arithmetic — identical for the P6/P3 variants, so
+    // one prediction covers both decoder paths
+    "m04_ppm_pixels" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0)
+        |SELECT media_id, 'ppm' AS format,
+        |       CAST((1 + media_id % 5) * (1 + media_id % 4) * 3 AS BIGINT) AS n_units,
+        |       CAST(list_sum(list_transform(
+        |         generate_series(0, (1 + media_id % 5) * (1 + media_id % 4) * 3 - 1),
+        |         k -> (media_id * 11 + k) % 256)) AS BIGINT) AS sum_units,
+        |       CAST(list_sum(list_transform(
+        |         generate_series(0, (1 + media_id % 5) * (1 + media_id % 4) * 3 - 1),
+        |         k -> ((media_id * 11 + k) % 256) * (k + 1))) AS BIGINT) AS geom_sum
+        |FROM m
         |ORDER BY media_id""".stripMargin,
 
     "d02_token_stats" ->

@@ -46,6 +46,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "cell join is not a broadcast hash join")
   }
 
+  test("pruned kernel: broadcast grid join survives AQE re-optimization") {
+    import org.apache.spark.sql.functions._
+    // At 100× scale AQE is ON (runtime skew/shuffle re-planning is how a
+    // real cluster survives); the plan-shape guards above pin shapes only
+    // under AQE-off. Execute under AQE and assert the FINAL adaptive plan
+    // still runs the grid join as a broadcast hash join — not a re-planned
+    // sort-merge or cartesian.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val pruned = graft.kernel.KernelPruning.scoreRoutesPruned(
+        Bench.syntheticRoutes(spark, 2000),
+        Bench.syntheticAccidents(spark, 500),
+        to_date(lit("2024-07-15")))
+      pruned.collect() // AQE finalizes plans only on execution
+      val full = pruned.queryExecution.executedPlan.toString
+      assert(full.contains("AdaptiveSparkPlan"), "AQE was not engaged:\n" + full.take(500))
+      assert(full.contains("isFinalPlan=true"), "adaptive plan never finalized")
+      // toString shows BOTH "== Final Plan ==" and "== Initial Plan =="
+      // sections; only what AQE actually finalized matters (the initial
+      // plan legitimately carries a SortMergeJoin that AQE then demotes
+      // to a broadcast once it sees the build side's true size)
+      val plan = full.split("== Initial Plan ==").head
+      assert(plan.contains("BroadcastHashJoin"),
+        "grid join lost its broadcast under AQE re-optimization")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+        "AQE re-planned the pruned kernel into a shuffle/cross join")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("similarity top-k: custom dot-product expression is in the plan (codegen'd)") {
     val plan = planOf("s01_cosine_topk")
     assert(plan.contains("dotproductd") || plan.contains("DotProductD")

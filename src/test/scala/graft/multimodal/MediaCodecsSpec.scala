@@ -93,6 +93,47 @@ class MediaCodecsSpec extends SparkSpec {
     }
   }
 
+  test("PPM decode: P6 raw and P3 ASCII against hand arithmetic") {
+    // media_id=6 → image, even → P6; w=1+6%5=2, h=1+6%4=3 → 18 units of
+    // (6*11+k)%256. media_id=9 → image, odd → P3; w=1+9%5=5, h=1+9%4=2.
+    for ((id, expFmt) <- Seq((6L, "P6"), (9L, "P3"))) {
+      val docs = Seq((id, "x")).toDF("doc_id", "text")
+      val media = MediaCodecs.plantPpm(Multimodal.deriveMedia(docs))
+      val payload = media.select("payload").head().getAs[Array[Byte]](0)
+      assert(new String(payload, 0, 2, "US-ASCII") == expFmt)
+      assert(new String(payload, "US-ASCII").contains("# planted"),
+        "comment line missing from planted header")
+      val Some(("ppm", units)) = MediaCodecs.decodeUnits(payload)
+      val w = 1 + id % 5; val h = 1 + id % 4
+      assert(units.length == (w * h * 3).toInt)
+      units.zipWithIndex.foreach { case (v, k) =>
+        assert(v == ((id * 11 + k) % 256).toInt, s"id=$id unit $k")
+      }
+    }
+  }
+
+  test("malformed PPM never decodes: truncation, bad maxval, bad ASCII sample") {
+    def ppm(id: Long): Array[Byte] = {
+      val docs = Seq((id, "x")).toDF("doc_id", "text")
+      MediaCodecs.plantPpm(Multimodal.deriveMedia(docs))
+        .select("payload").head().getAs[Array[Byte]](0)
+    }
+    val p6 = ppm(6L)
+    assert(MediaCodecs.decodeUnits(p6.dropRight(1)).isEmpty, "truncated P6 decoded")
+    // maxval 255 → 254: 2-byte/sample territory isn't implemented → None
+    val s6 = new String(p6, "ISO-8859-1").replaceFirst("255", "254")
+    assert(MediaCodecs.decodeUnits(s6.getBytes("ISO-8859-1")).isEmpty, "bad maxval decoded")
+    val p3 = ppm(9L)
+    // an out-of-range ASCII sample (>255) is malformed, not truncated mod 256
+    val s3 = new String(p3, "US-ASCII")
+    val firstBody = s3.indexOf("255\n") + 4
+    val broken = s3.substring(0, firstBody) + "999 " + s3.substring(firstBody)
+    assert(MediaCodecs.decodeUnits(broken.getBytes("US-ASCII")).isEmpty,
+      "out-of-range ASCII sample decoded")
+    // P with a non-digit-separator third byte is NOT ppm (e.g. 'PK..' zip)
+    assert(MediaCodecs.decodeUnits("P6x 2 2 255 xxxxxxxxxxxx".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("WAV PCM decode: signed LE samples against hand arithmetic") {
     // media_id=4 → audio; n = 40 + 4%17 = 44; s_t = (4*31 + 17t) % 4096 - 2048
     val docs = Seq((4L, "x")).toDF("doc_id", "text")
