@@ -210,6 +210,38 @@ object Bench {
         keys.map(_ -> -1.0).toMap
     }
 
+  /** The documents corpus blown up 10× with a planted hot term: replica r
+    * of doc d gets id d + r·10⁷, and every 7th doc gains a shared
+    * " hottoken0 hottoken0" suffix — one term whose df is ~14% of a
+    * corpus 10× the bench scale, a heavy hitter in both the token explode
+    * and the df aggregation. All other columns ride along unchanged so
+    * funnel quota/source/lang logic sees realistic distributions.
+    */
+  def documents10x(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .crossJoin(spark.range(10).select(col("id").as("__rep")))
+      .withColumn("doc_id", col("doc_id") + col("__rep") * 10000000L)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" hottoken0 hottoken0")))
+          .otherwise(col("text")))
+      .drop("__rep")
+
+  /** Connected components over a planted 200K-hop near-dup CHAIN (min id
+    * at the far end — the worst case for label travel; convergence must be
+    * O(log diameter) rounds, which the pointer-jump step provides — plain
+    * min-label propagation would need 200K rounds) plus 50K star
+    * components of 20 nodes each, ~1.2M edges total.
+    */
+  def cluster10x(spark: SparkSession): DataFrame = {
+    val chain = spark.range(200000)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val stars = spark.range(1000000)
+      .select((col("id") + 1000000L).as("id_a"),
+        (pmod(col("id"), lit(50000L)) + 1000000L).as("id_b"))
+    graft.dedup.Dedup.connectedComponents(chain.union(stars), "id_a", "id_b")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -360,7 +392,8 @@ object Bench {
     // itself without the suite's garbage. Subset runs
     // (SPARK_GRAFT_BENCH_ONLY) time inline — they ARE the child, and the
     // recursion guard below is what stops a fork bomb.
-    val scaleKeys = Seq("kernel_batch_10x", "lsh_skew", "quota_skew")
+    val scaleKeys = Seq("kernel_batch_10x", "lsh_skew", "quota_skew",
+      "tfidf_10x", "funnel_10x", "cluster_10x")
     if (only.isEmpty) {
       spark.stop() // free the parent's executor pool + heap for the child
       results ++= runIsolated(scaleKeys, sfDir, cpus)
@@ -371,6 +404,17 @@ object Bench {
         results("lsh_skew") = time2(lshSkew(spark, sfDir))
       if (want("quota_skew"))
         results("quota_skew") = time2(quotaSkew(spark, sfDir))
+      // 10× pipeline surface: TF-IDF, the 5-stage funnel, and clustering
+      // at a blown-up corpus with planted skew — each runs ONCE, like the
+      // 10× batch (minutes-scale, self-amortizing)
+      if (want("tfidf_10x"))
+        results("tfidf_10x") = time(
+          graft.queries.PipelineQueries.tfidfTopTerms(documents10x(spark, sfDir)))
+      if (want("funnel_10x"))
+        results("funnel_10x") = time(
+          graft.queries.PipelineQueries.corpusFunnel(spark, documents10x(spark, sfDir)))
+      if (want("cluster_10x"))
+        results("cluster_10x") = time(cluster10x(spark))
     }
 
     // The harness that collects this output keeps only the last ~2000 chars,
@@ -383,7 +427,8 @@ object Bench {
       "predict_single_route", "predict_10_concurrent", "kernel_batch_168k",
       "kernel_batch_168k_pruned", "kernel_batch_incremental_100new",
       "kernel_batch_168k_factorized", "map_with_safety_168k",
-      "kernel_batch_10x", "lsh_skew", "quota_skew")
+      "kernel_batch_10x", "lsh_skew", "quota_skew",
+      "tfidf_10x", "funnel_10x", "cluster_10x")
     def fmt(v: Double) = // Locale.ROOT: a comma-decimal default locale would break the JSON
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

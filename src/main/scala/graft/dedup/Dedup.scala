@@ -156,15 +156,39 @@ object Dedup {
       .withColumn("label", col("node")).localCheckpoint()
     var converged = edges.isEmpty
     var it = 0
+    def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+        case _ => None
+      }
     while (!converged && it < maxIters) { // at most maxIters rounds, as documented
+      // step 1 — neighbor min: pull each node's smallest neighboring label
       val neigh = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min("label").as("nmin"))
-      val updated = labels.join(neigh, labels("node") === neigh("src"), "left")
+      val mid = labels.join(neigh, labels("node") === neigh("src"), "left")
         .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("mid"))
+        .localCheckpoint()
+      // step 2 — pointer jump: label := min(label, label-of-label). A label
+      // is always a node id inside the same component, so the jump is safe
+      // and monotone; it doubles the distance a minimum travels per round,
+      // turning convergence from O(diameter) into O(log diameter) rounds —
+      // without it a 26-hop near-dup CHAIN (one boilerplate doc mutated
+      // link by link, a real shape in crawled corpora) blows the iteration
+      // cap. Joining against the checkpointed `mid` keeps this a plain
+      // two-scan self-join, not an ambiguous derived-frame join.
+      val jump = mid.select(col("node").as("jn"), col("mid").as("jl"))
+      val updated = mid.join(jump, col("mid") === col("jn"), "left")
+        .select(col("node"), col("label"),
+          least(col("mid"), coalesce(col("jl"), col("mid"))).as("next"))
         .localCheckpoint()
       converged = updated.where(col("next") < col("label")).isEmpty
+      // both frames of the PREVIOUS round are materialized into the block
+      // manager by localCheckpoint — release them once their successor
+      // exists, or O(rounds) full copies of the label table accumulate
+      rddOf(labels).foreach(_.unpersist(blocking = false))
       labels = updated.select(col("node"), col("next").as("label"))
+      rddOf(mid).foreach(_.unpersist(blocking = false))
       it += 1
     }
     // a silently-truncated propagation would report one real cluster as

@@ -154,6 +154,108 @@ object PipelineQueries {
   /** Exact token-set Jaccard for every (id_a < id_b) pair of the doc_id<40
     * subset — shared by d04 (pair dump) and d10 (clustering input).
     */
+  /** d12's TF-IDF top-3 terms per doc over an arbitrary documents frame —
+    * shared by the oracle query and the 10× scale gate (`Bench.tfidf10x`).
+    * One token explode, map-side-combinable (doc, term) counts, broadcast
+    * corpus size, per-doc window for the rank cut.
+    */
+  def tfidfTopTerms(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextExprs.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+  }
+
+
+  /** d23's five-stage corpus funnel over an arbitrary documents frame —
+    * shared by the oracle query and the 10× scale gate (`Bench.funnel10x`).
+    */
+  def corpusFunnel(s: SparkSession, docs: DataFrame): DataFrame = {
+    // ONE trigram assembly: the explode+window pass is the funnel's
+    // dominant cost, and three consumers need the relation (eval-gram
+    // set, per-gram df, per-doc stats) — persisted, it computes once;
+    // unpersisted it would re-assemble per subtree (no exchange to reuse)
+    val grams = trigramsOf(docs).distinct().persist()
+    val keepers = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1).as("__keep"))
+    val evalGrams = broadcast(grams.where(col("doc_id") % 23 === 0)
+      .select("gram").distinct().withColumn("__hit", lit(1)))
+    val gramDf = grams.groupBy("gram").agg(count(lit(1)).as("d"))
+    // contamination (share of grams hitting the doc_id % 23 == 0 eval
+    // slice) and cross-corpus boilerplate (dup-span ratio on the ORIGINAL
+    // corpus — df stats don't shift as the funnel narrows) in ONE pass
+    // over the gram relation: both are per-(doc, gram) attributes, so a
+    // single gram-keyed join + doc-keyed aggregation replaces two
+    // full-relation subtrees. c is computed for eval docs too — harmless,
+    // the stage tagging below checks doc_id % 23 first.
+    val gramStats = grams
+      .join(evalGrams, Seq("gram"), "left")
+      .join(gramDf, "gram")
+      .groupBy("doc_id")
+      .agg((count(col("__hit")).cast("double") / count(lit(1))).as("c"),
+        (sum(when(col("d") >= 2, 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("r"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 23 =!= 0 && col("c") > 0.2, 1).as("__contam"),
+        when(col("r") > 0.6, 1).as("__boiler"))
+    val gate = sampleGateCol
+    val tagged = docs
+      .join(keepers, Seq("doc_id"), "left")
+      .join(gramStats, Seq("doc_id"), "left")
+    // quota rank among stage-3 survivors: running count of survivors in
+    // quota order — for surviving rows this IS their row_number over the
+    // filtered set, computed without materializing the filter
+    val surv3 = col("__keep").isNotNull && col("doc_id") % 23 =!= 0 &&
+      col("__contam").isNull && col("__boiler").isNull
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val reached = tagged
+      .withColumn("rk", sum(when(surv3, 1).otherwise(0)).over(w))
+      .withColumn("reached",
+        when(col("__keep").isNull, 0)
+          .when(col("doc_id") % 23 === 0 || col("__contam").isNotNull, 1)
+          .when(col("__boiler").isNotNull, 2)
+          .when(col("rk") > 10, 3)
+          .when(!gate, 4)
+          .otherwise(5))
+    val stageName = Seq("0_all", "1_dedup", "2_decontam", "3_boilerplate",
+      "4_quota", "5_sample")
+    val stagesDim = s.range(6).select(col("id").cast("int").as("k"))
+    val funnel = stagesDim
+      .join(reached.select("doc_id", "n_chars", "reached"),
+        col("reached") >= col("k"), "left")
+      .groupBy("k")
+      .agg(count(col("doc_id")).as("n_docs"),
+        coalesce(sum("n_chars"), lit(0L)).as("n_chars"))
+      .select(
+        stageName.zipWithIndex.foldLeft(when(lit(false), lit(""))) {
+          case (acc, (n, i)) => acc.when(col("k") === i, n)
+        }.otherwise("?").as("stage"),
+        col("n_docs"), col("n_chars"))
+      .orderBy("stage")
+    // the funnel report is 6 rows: materialize it NOW so the persisted
+    // gram relation can be released before this entry returns — without
+    // this the cache outlives the query and squats in the block manager
+    // through every later bench entry (including the scale-stress runs)
+    val rows = funnel.collect().toSeq
+    grams.unpersist(blocking = false)
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), funnel.schema)
+  }
+
   private def tokenJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).where(col("doc_id") < 40)
     val tok = docs.select(col("doc_id"),
@@ -531,26 +633,8 @@ object PipelineQueries {
     // shuffle join: vocabulary can be huge at 100 TB, so the df side is NOT
     // broadcast), rank-before-collect top-3. Ties rank deterministically on
     // (rounded score desc, term asc) in both engines.
-    "d12_tfidf_terms" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, dir)
-      val nDocs = docs.select(count(lit(1)).as("n_docs"))
-      val tf = docs
-        .select(col("doc_id"), explode(TextExprs.tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("tfidf").desc, col("term").asc)
-      tf.join(df, "term")
-        .crossJoin(broadcast(nDocs))
-        .withColumn("tfidf",
-          round(col("tf").cast("double") *
-            log(col("n_docs").cast("double") / col("df").cast("double")), 6))
-        .withColumn("rank", row_number().over(w).cast("int"))
-        .where(col("rank") <= 3)
-        .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
-        .orderBy("doc_id", "rank")
-    }),
+    "d12_tfidf_terms" -> ((s, dir) =>
+      tfidfTopTerms(Tables.documents(s, dir)).orderBy("doc_id", "rank")),
 
     // --- eval-set decontamination (overlap removal) ------------------------
     // The standard pretraining hygiene step: drop/flag training documents
@@ -719,80 +803,7 @@ object PipelineQueries {
     // among prior-stage survivors is a conditional running count (a
     // row_number over a filtered set, without filtering), and the funnel
     // counts come from one tiny stage-dim fan-out over the tagged docs.
-    "d23_corpus_funnel" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      // ONE trigram assembly: the explode+window pass is the funnel's
-      // dominant cost, and three consumers need the relation (eval-gram
-      // set, per-gram df, per-doc stats) — persisted, it computes once;
-      // unpersisted it would re-assemble per subtree (no exchange to reuse)
-      val grams = docTrigrams(s, dir).distinct().persist()
-      val keepers = docs.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"), lit(1).as("__keep"))
-      val evalGrams = broadcast(grams.where(col("doc_id") % 23 === 0)
-        .select("gram").distinct().withColumn("__hit", lit(1)))
-      val gramDf = grams.groupBy("gram").agg(count(lit(1)).as("d"))
-      // contamination (share of grams hitting the doc_id % 23 == 0 eval
-      // slice) and cross-corpus boilerplate (dup-span ratio on the ORIGINAL
-      // corpus — df stats don't shift as the funnel narrows) in ONE pass
-      // over the gram relation: both are per-(doc, gram) attributes, so a
-      // single gram-keyed join + doc-keyed aggregation replaces two
-      // full-relation subtrees. c is computed for eval docs too — harmless,
-      // the stage tagging below checks doc_id % 23 first.
-      val gramStats = grams
-        .join(evalGrams, Seq("gram"), "left")
-        .join(gramDf, "gram")
-        .groupBy("doc_id")
-        .agg((count(col("__hit")).cast("double") / count(lit(1))).as("c"),
-          (sum(when(col("d") >= 2, 1).otherwise(0)).cast("double") /
-            count(lit(1))).as("r"))
-        .select(col("doc_id"),
-          when(col("doc_id") % 23 =!= 0 && col("c") > 0.2, 1).as("__contam"),
-          when(col("r") > 0.6, 1).as("__boiler"))
-      val gate = sampleGateCol
-      val tagged = docs
-        .join(keepers, Seq("doc_id"), "left")
-        .join(gramStats, Seq("doc_id"), "left")
-      // quota rank among stage-3 survivors: running count of survivors in
-      // quota order — for surviving rows this IS their row_number over the
-      // filtered set, computed without materializing the filter
-      val surv3 = col("__keep").isNotNull && col("doc_id") % 23 =!= 0 &&
-        col("__contam").isNull && col("__boiler").isNull
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
-        .orderBy(col("n_chars").desc, col("doc_id").asc)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val reached = tagged
-        .withColumn("rk", sum(when(surv3, 1).otherwise(0)).over(w))
-        .withColumn("reached",
-          when(col("__keep").isNull, 0)
-            .when(col("doc_id") % 23 === 0 || col("__contam").isNotNull, 1)
-            .when(col("__boiler").isNotNull, 2)
-            .when(col("rk") > 10, 3)
-            .when(!gate, 4)
-            .otherwise(5))
-      val stageName = Seq("0_all", "1_dedup", "2_decontam", "3_boilerplate",
-        "4_quota", "5_sample")
-      val stagesDim = s.range(6).select(col("id").cast("int").as("k"))
-      val funnel = stagesDim
-        .join(reached.select("doc_id", "n_chars", "reached"),
-          col("reached") >= col("k"), "left")
-        .groupBy("k")
-        .agg(count(col("doc_id")).as("n_docs"),
-          coalesce(sum("n_chars"), lit(0L)).as("n_chars"))
-        .select(
-          stageName.zipWithIndex.foldLeft(when(lit(false), lit(""))) {
-            case (acc, (n, i)) => acc.when(col("k") === i, n)
-          }.otherwise("?").as("stage"),
-          col("n_docs"), col("n_chars"))
-        .orderBy("stage")
-      // the funnel report is 6 rows: materialize it NOW so the persisted
-      // gram relation can be released before this entry returns — without
-      // this the cache outlives the query and squats in the block manager
-      // through every later bench entry (including the scale-stress runs)
-      val rows = funnel.collect().toSeq
-      grams.unpersist(blocking = false)
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), funnel.schema)
-    }),
+    "d23_corpus_funnel" -> ((s, dir) => corpusFunnel(s, Tables.documents(s, dir))),
 
     // --- df-capped Jaccard (the ngramJaccardPairs skew guard, oracle-d) ---
     // Every doc gets the same planted boilerplate suffix; with the df cap

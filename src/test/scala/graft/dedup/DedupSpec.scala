@@ -120,6 +120,20 @@ class DedupSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b").count() == 0)
   }
 
+  test("connected components: 200-hop chain converges within the round cap") {
+    // A near-dup CHAIN (one boilerplate doc mutated link by link) has
+    // diameter = length: plain min-label propagation needs one round per
+    // hop and would blow the 25-round cap on anything past 25 links. The
+    // pointer-jump step makes propagation distance double per round, so
+    // 200 hops must converge in ≤ 25 rounds — and in the worst direction
+    // (min id at the FAR end, so the label has to travel the whole chain).
+    val chain = (1L to 200L).map(i => (i, i + 1)) // min node 1 at one end
+    val comp = Dedup.connectedComponents(chain.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 201)
+    (1L to 201L).foreach(n => assert(comp(n) == 1L, s"chain node $n"))
+  }
+
   test("simhash: near-dups close in hamming space, unrelated docs far") {
     val hashes = docs.select(col("doc_id"), Dedup.simhash63(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
