@@ -2,7 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failure containment (the round-6 lesson — one environmental change took
+  * 14 queries with it): the oracle JSON is written BEFORE any query runs,
+  * queries execute in deterministic name order, a per-query watchdog
+  * cancels a hung query's job group after SPARK_GRAFT_VERIFY_TIMEOUT_S
+  * (default 600 s) instead of silently stalling every query after it, and
+  * a failed query removes its stale output so the compare can't pass on a
+  * previous run's parquet.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -15,23 +24,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // a failed query must not leave a previous run's parquet behind —
-        // the DuckDB compare would pass on the stale (older-code) result
-        // and mask the regression
-        val stale = new java.io.File(s"$outDir/$name")
-        if (stale.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(stale)
-        }
-      }
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -44,9 +37,49 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // written FIRST: the oracle map is pure metadata — it must survive any
+    // later query crash/hang so the partial parquet dumps stay comparable
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    def removeStale(name: String): Unit = {
+      // a failed query must not leave a previous run's parquet behind —
+      // the DuckDB compare would pass on the stale (older-code) result
+      // and mask the regression
+      val stale = new java.io.File(s"$outDir/$name")
+      if (stale.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(stale)
+      }
+    }
+
+    val timeoutS = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_S", "600").toLong
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val fut = Future {
+        // job-group set on the SUBMITTING thread (a thread-local Spark
+        // property) so the watchdog can cancel precisely this query's jobs
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        finally spark.sparkContext.clearJobGroup()
+      }
+      try Await.result(fut, timeoutS.seconds)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          System.err.println(s"[verify] $name timed out after ${timeoutS}s — job group cancelled")
+          removeStale(name)
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          removeStale(name)
+      }
+    }
     spark.stop()
   }
 }
