@@ -136,6 +136,17 @@ object Bench {
     KernelPruning.scoreRoutesPruned(
       syntheticRoutes(spark, 1680000), syntheticAccidents(spark, 69000), planDate)
 
+  /** 100× the reference's production batch — 16.8M routes × 69K accidents
+    * ≈ 1.16T raw pair-candidates through the tiered pruned kernel. The
+    * linearity point for the "100×-safe" design claim: candidates scale
+    * ~linearly with routes, so wall should land within ~1.5× of 10× the
+    * `kernel_batch_10x` number. EXPLICIT-ONLY (≈ tens of minutes): runs
+    * only when named in SPARK_GRAFT_BENCH_ONLY, never on a full round run.
+    */
+  def kernelBatch100x(spark: SparkSession): DataFrame =
+    KernelPruning.scoreRoutesPruned(
+      syntheticRoutes(spark, 16800000), syntheticAccidents(spark, 69000), planDate)
+
   /** LSH candidate generation over the sf corpus PLUS a planted degenerate
     * bucket: 5000 byte-identical documents share one minhash signature, so
     * every band maps them to one bucket — the uncapped join would emit
@@ -415,6 +426,9 @@ object Bench {
           graft.queries.PipelineQueries.corpusFunnel(spark, documents10x(spark, sfDir)))
       if (want("cluster_10x"))
         results("cluster_10x") = time(cluster10x(spark))
+      // linearity evidence, opt-in by explicit name only (~30 min)
+      if (only.exists(_.contains("kernel_batch_100x")))
+        results("kernel_batch_100x") = time(kernelBatch100x(spark))
     }
 
     // The harness that collects this output keeps only the last ~2000 chars,

@@ -16,12 +16,19 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // config-robustness twins of the default gate: the SAME hash compare
+    // under ANSI and/or AQE (a 100× cluster runs both on) — e.g.
+    // SPARK_GRAFT_VERIFY_ANSI=1 SPARK_GRAFT_VERIFY_AQE=1
+    if (sys.env.get("SPARK_GRAFT_VERIFY_ANSI").contains("1"))
+      builder.config("spark.sql.ansi.enabled", "true")
+    if (sys.env.get("SPARK_GRAFT_VERIFY_AQE").contains("1"))
+      builder.config("spark.sql.adaptive.enabled", "true")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
 
