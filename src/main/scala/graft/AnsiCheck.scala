@@ -10,6 +10,9 @@ object AnsiCheck {
       .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.shuffle.partitions", "8")
+      // same UTC pin as Verify/Bench: Tables.events' NTZ→LTZ cast keeps
+      // DuckDB's wall-clock instants only under a UTC session zone
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

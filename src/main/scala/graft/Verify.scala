@@ -64,9 +64,18 @@ object Verify {
     }
 
     val timeoutS = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_S", "600").toLong
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // a CACHED daemon pool, not the global EC: cancelJobGroup cannot kill a
+    // DRIVER-side hang (planning, footer reads, an internal collect), so a
+    // hung query permanently parks its thread — on the fixed-width global
+    // pool, #cores such hangs would starve every later query into phantom
+    // timeouts; a cached pool just grows, and daemon threads can't block
+    // JVM exit
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "verify-query"); t.setDaemon(true); t
+      }))
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val fut = Future {
         // job-group set on the SUBMITTING thread (a thread-local Spark
@@ -80,6 +89,14 @@ object Verify {
       catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
+          // grace window: let the cancelled write SETTLE before cleanup,
+          // or its still-running committer can recreate the output dir
+          // right after removeStale deletes it — a "timed out" query must
+          // not leave a directory the compare would treat as a result
+          try Await.ready(fut, 30.seconds)
+          catch { case _: Throwable =>
+            System.err.println(s"[verify] $name did not settle after cancel — driver-side hang")
+          }
           System.err.println(s"[verify] $name timed out after ${timeoutS}s — job group cancelled")
           removeStale(name)
         case e: Throwable =>

@@ -301,12 +301,8 @@ object Analytics {
     // the storage behind a localCheckpoint is only reclaimed when its RDD is
     // GC'd — at scale, letting up to 14 full copies of the frame pile up in
     // the block manager until some future GC is an OOM in waiting; free each
-    // level explicitly once its successor is materialized
-    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.logical match {
-        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
-        case _ => None
-      }
+    // level explicitly once its successor is materialized (CheckpointUtil
+    // owns the lookup contract)
     var current = base
     var level = 1 // the start node consumed level 1, like the driver twin
     // maxLevels counts NAMES INCLUDING the start (reference: `for _ in
@@ -323,7 +319,7 @@ object Analytics {
           when(col("p_name").isNotNull && !isStop, concat(col("p_name"), lit(" > "), col("path")))
             .otherwise(col("path")).as("path"))
         .localCheckpoint() // eager: materialized before the predecessor is freed
-      checkpointRdd(current).foreach(_.unpersist(blocking = false))
+      graft.plans.CheckpointUtil.release(current)
       current = next
       level += 1
     }

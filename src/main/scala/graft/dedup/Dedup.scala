@@ -156,11 +156,6 @@ object Dedup {
       .withColumn("label", col("node")).localCheckpoint()
     var converged = edges.isEmpty
     var it = 0
-    def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.logical match {
-        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
-        case _ => None
-      }
     while (!converged && it < maxIters) { // at most maxIters rounds, as documented
       // step 1 — neighbor min: pull each node's smallest neighboring label
       val neigh = edges.join(labels, edges("dst") === labels("node"))
@@ -185,10 +180,13 @@ object Dedup {
       converged = updated.where(col("next") < col("label")).isEmpty
       // both frames of the PREVIOUS round are materialized into the block
       // manager by localCheckpoint — release them once their successor
-      // exists, or O(rounds) full copies of the label table accumulate
-      rddOf(labels).foreach(_.unpersist(blocking = false))
+      // exists, or O(rounds) full copies of the label table accumulate.
+      // (CheckpointUtil walks through the `labels` projection to the
+      // checkpointed RDD beneath it — `labels` itself is a select over
+      // the previous round's `updated`.)
+      graft.plans.CheckpointUtil.release(labels)
       labels = updated.select(col("node"), col("next").as("label"))
-      rddOf(mid).foreach(_.unpersist(blocking = false))
+      graft.plans.CheckpointUtil.release(mid)
       it += 1
     }
     // a silently-truncated propagation would report one real cluster as

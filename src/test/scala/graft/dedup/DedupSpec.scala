@@ -134,6 +134,22 @@ class DedupSpec extends SparkSpec {
     (1L to 201L).foreach(n => assert(comp(n) == 1L, s"chain node $n"))
   }
 
+  test("connected components: per-round checkpoints are released, not accumulated") {
+    // localCheckpoint RDDs register in getPersistentRDDs; the loop must
+    // free each round's pair (mid + previous labels) once the successor is
+    // materialized. ~7 pointer-jump rounds on a 100-hop chain would leave
+    // ~14 label-table copies resident without the release — with it, only
+    // the symmetrized edge list and the final round's frames may remain.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val chain = (1L to 100L).map(i => (i, i + 1))
+    Dedup.connectedComponents(chain.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 4,
+      s"${leaked.size} checkpoint RDDs left persisted — per-round release regressed")
+  }
+
   test("simhash: near-dups close in hamming space, unrelated docs far") {
     val hashes = docs.select(col("doc_id"), Dedup.simhash63(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
