@@ -105,24 +105,7 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, idCol: String, sigLen: Int, bands: Int,
                         maxBucketSize: Option[Int] = None): DataFrame = {
     require(sigLen % bands == 0, s"signature length $sigLen not divisible by $bands bands")
-    val r = sigLen / bands
-    val banded0 = df.select(
-      col(idCol), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, concat_ws(",", slice(col("sig"), b * r + 1, lit(r)))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
-    val banded = maxBucketSize match {
-      case Some(cap) =>
-        // window count over the SAME (band, bucket) exchange the self-join
-        // needs anyway — one pass over the banding subtree (a groupBy +
-        // join back would evaluate the explode/hash pipeline twice)
-        val w = Window.partitionBy("band", "bucket")
-        banded0.withColumn("__bsz", count(lit(1)).over(w))
-          .where(col("__bsz") <= cap)
-          .drop("__bsz")
-      case None => banded0
-    }
+    val banded = bandedPostings(df, idCol, sigLen, bands, maxBucketSize)
     val a = banded.select(col("band"), col("bucket"),
       col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"),
@@ -134,16 +117,84 @@ object Dedup {
       .distinct()
   }
 
+  /** (band, bucket, id, sig) posting list for a signature frame: one row
+    * per (doc, band), bucket = xxhash64 of the band's signature slice.
+    * With `maxBucketSize`, postings in buckets larger than the cap are
+    * dropped wholesale — the window count rides the SAME (band, bucket)
+    * exchange the downstream join needs anyway (a groupBy + join back
+    * would evaluate the explode/hash pipeline twice).
+    */
+  private def bandedPostings(df: DataFrame, idCol: String, sigLen: Int,
+      bands: Int, maxBucketSize: Option[Int]): DataFrame = {
+    val r = sigLen / bands
+    val banded0 = df.select(
+      col(idCol), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, concat_ws(",", slice(col("sig"), b * r + 1, lit(r)))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    maxBucketSize match {
+      case Some(cap) =>
+        val w = Window.partitionBy("band", "bucket")
+        banded0.withColumn("__bsz", count(lit(1)).over(w))
+          .where(col("__bsz") <= cap)
+          .drop("__bsz")
+      case None => banded0
+    }
+  }
+
+  /** INCREMENTAL LSH candidates: a NEW batch of signatures against an
+    * EXISTING corpus signature store — the nightly-crawl shape. A daily
+    * increment must not re-join corpus × corpus (that work was already
+    * done when each older batch arrived); it needs exactly the new docs'
+    * bucket probes against the stored postings. Returns distinct
+    * (corpus_id, new_id, est_jaccard) — candidates WITHIN the new batch
+    * are [[lshCandidatePairs]] on `newSigs` (compose the two for full
+    * increment dedup), and corpus × corpus pairs are deliberately absent.
+    *
+    * Scale shape: the corpus side is banded once per increment here; a
+    * real deployment persists the posting list (band, bucket, id, sig)
+    * bucketed by (band, bucket) via `ScaleLayout.writeBucketed`, so each
+    * nightly join is exchange-free on the big side and the NEW side (tiny
+    * by comparison) broadcasts. `maxBucketSize` caps each side's bucket
+    * independently — a degenerate corpus bucket (boilerplate signatures
+    * accumulated over months) would otherwise fan every matching new doc
+    * into it, and a degenerate new bucket is exact-dup territory (d01)
+    * just like in the symmetric join.
+    *
+    * Both frames need columns (`idCol`, `sig`) with ids disjoint across
+    * the two (re-ingesting an id already in the corpus is an upsert
+    * problem, not a dedup problem); equal ids are excluded defensively.
+    */
+  def lshCandidatePairsAgainst(corpusSigs: DataFrame, newSigs: DataFrame,
+      idCol: String, sigLen: Int, bands: Int,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    require(sigLen % bands == 0, s"signature length $sigLen not divisible by $bands bands")
+    val c = bandedPostings(corpusSigs, idCol, sigLen, bands, maxBucketSize)
+      .select(col("band"), col("bucket"),
+        col(idCol).as("corpus_id"), col("sig").as("sig_c"))
+    val n = bandedPostings(newSigs, idCol, sigLen, bands, maxBucketSize)
+      .select(col("band"), col("bucket"),
+        col(idCol).as("new_id"), col("sig").as("sig_n"))
+    c.join(n, Seq("band", "bucket"))
+      .where(col("corpus_id") =!= col("new_id"))
+      .select(col("corpus_id"), col("new_id"),
+        minhashEstimate(col("sig_c"), col("sig_n")).as("est_jaccard"))
+      .distinct()
+  }
+
   /** Connected components over an undirected pair list — the step every
     * dedup pipeline needs AFTER pair generation: near-dup pairs (from LSH
     * verify or exact Jaccard) form clusters, and one keeper survives per
     * cluster. Iterative min-label propagation: every node repeatedly adopts
     * the minimum label in its closed neighborhood until a fixpoint — the
-    * distributed-join formulation of union-find. Rounds ≈ component
-    * diameter (near-dup clusters are dense — tiny diameters); each round
-    * is one equi-join + one min-agg, `localCheckpoint`ed so plan size and
-    * lineage stay constant across iterations (the classic iterative-
-    * algorithm trap on Spark). Returns (node, component), component = min
+    * distributed-join formulation of union-find. Pointer doubling (see the
+    * loop body) makes a minimum label travel 4× further each round, so
+    * rounds ≈ log₄(diameter); each round is ONE job — neighbor-min join +
+    * two label-table compositions + combine — `localCheckpoint`ed so plan
+    * size and lineage stay constant across iterations (the classic
+    * iterative-algorithm trap on Spark). Returns (node, component),
+    * component = min
     * reachable node id. Nodes appearing in no pair are absent — callers
     * left-join and coalesce to the node's own id for singleton semantics.
     */
@@ -160,33 +211,41 @@ object Dedup {
       // step 1 — neighbor min: pull each node's smallest neighboring label
       val neigh = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min("label").as("nmin"))
-      val mid = labels.join(neigh, labels("node") === neigh("src"), "left")
-        .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("mid"))
-        .localCheckpoint()
-      // step 2 — pointer jump: label := min(label, label-of-label). A label
-      // is always a node id inside the same component, so the jump is safe
-      // and monotone; it doubles the distance a minimum travels per round,
-      // turning convergence from O(diameter) into O(log diameter) rounds —
-      // without it a 26-hop near-dup CHAIN (one boilerplate doc mutated
-      // link by link, a real shape in crawled corpora) blows the iteration
-      // cap. Joining against the checkpointed `mid` keeps this a plain
-      // two-scan self-join, not an ambiguous derived-frame join.
-      val jump = mid.select(col("node").as("jn"), col("mid").as("jl"))
-      val updated = mid.join(jump, col("mid") === col("jn"), "left")
-        .select(col("node"), col("label"),
-          least(col("mid"), coalesce(col("jl"), col("mid"))).as("next"))
+      // step 2 — pointer DOUBLING on the label table: p2 = l∘l, p4 = p2∘p2.
+      // A label is always a node id inside the same component (so it has a
+      // row in `labels`, and the composition stays in-component and
+      // monotone). Composing twice makes the distance a minimum travels
+      // QUADRUPLE per round — O(log₄ diameter) rounds; without any jump a
+      // 26-hop near-dup CHAIN (one boilerplate doc mutated link by link, a
+      // real shape in crawled corpora) blows the iteration cap. Both
+      // compositions read only the checkpointed `labels`, so neighbor-min,
+      // the jumps and the combine all fuse into ONE job per round — the
+      // earlier two-step form (neighbor-min checkpoint, then jump) paid a
+      // second materialization per round for half the travel.
+      // The left-join + coalesce keeps the no-match row (cannot happen for
+      // an in-component label, but a dropped row would silently delete a
+      // node); `alias` + qualified refs disambiguate the self-joins.
+      val l1 = labels.select(col("node").as("k"), col("label").as("v"))
+      val p2 = l1.alias("pa").join(l1.alias("pb"), col("pa.v") === col("pb.k"), "left")
+        .select(col("pa.k").as("k"), coalesce(col("pb.v"), col("pa.v")).as("v"))
+      val p4 = p2.alias("qa").join(p2.alias("qb"), col("qa.v") === col("qb.k"), "left")
+        .select(col("qa.k").as("jn"), coalesce(col("qb.v"), col("qa.v")).as("jl"))
+      val updated = labels.join(neigh, labels("node") === neigh("src"), "left")
+        .join(p4, labels("node") === p4("jn"), "left")
+        .select(labels("node"), labels("label"),
+          least(col("label"),
+            coalesce(col("nmin"), col("label")),
+            coalesce(col("jl"), col("label"))).as("next"))
         .localCheckpoint()
       converged = updated.where(col("next") < col("label")).isEmpty
-      // both frames of the PREVIOUS round are materialized into the block
-      // manager by localCheckpoint — release them once their successor
-      // exists, or O(rounds) full copies of the label table accumulate.
+      // the PREVIOUS round's frame is materialized in the block manager by
+      // localCheckpoint — release it once its successor exists, or
+      // O(rounds) full copies of the label table accumulate.
       // (CheckpointUtil walks through the `labels` projection to the
       // checkpointed RDD beneath it — `labels` itself is a select over
       // the previous round's `updated`.)
       graft.plans.CheckpointUtil.release(labels)
       labels = updated.select(col("node"), col("next").as("label"))
-      graft.plans.CheckpointUtil.release(mid)
       it += 1
     }
     // a silently-truncated propagation would report one real cluster as

@@ -143,6 +143,26 @@ object PipelineQueries {
       .select(col("doc_id"), explode(TextExprs.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), mirrorTokenHash(col("tok")).as("h"))
 
+  /** MinHash signatures from mirror-hash token rows (doc_id, h): the
+    * affine family m_i = (2i+3)·h + 5i+7 mod [[MirrorHashMod]], minimum
+    * per doc — the SQL-derivable signature scheme the d05b/d25 oracle
+    * twins feed through the REAL banding/bucket-join code paths.
+    */
+  private def mirrorMinhashSigs(tok: DataFrame): DataFrame = {
+    val mins = (0 until MirrorSigLen).map(i =>
+      min((lit(2L * i + 3) * col("h") + lit(5L * i + 7)) % MirrorHashMod).as(s"m$i"))
+    tok.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MirrorSigLen).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** d25's derived "tonight's crawl": docs 0–9 re-surface with new ids
+    * (+[[IncrementalIdOffset]]) and one appended token — near-dups of their
+    * corpus originals, mirrored exactly in the oracle SQL.
+    */
+  private[queries] val IncrementalIdOffset = 1000L
+  private[queries] val IncrementalTok = "freshcrawl"
+
   /** d24's planted boilerplate + df cap — shared constants so the Spark
     * query and the DuckDB oracle can't drift. The boilerplate is appended to
     * EVERY doc of the subset, so its tokens' df (40) exceeds the cap and the
@@ -344,14 +364,29 @@ object PipelineQueries {
     // set + estimates from first principles. A banding off-by-one (wrong
     // slice bounds, band indexing, agreement count) now mismatches.
     "d05b_lsh_banding" -> ((s, dir) => {
-      val tok = mirrorTokenHashes(s, dir)
-      val mins = (0 until MirrorSigLen).map(i =>
-        min((lit(2L * i + 3) * col("h") + lit(5L * i + 7)) % MirrorHashMod).as(s"m$i"))
-      val sigs = tok.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-        .select(col("doc_id"),
-          array((0 until MirrorSigLen).map(i => col(s"m$i")): _*).as("sig"))
+      val sigs = mirrorMinhashSigs(mirrorTokenHashes(s, dir))
       Dedup.lshCandidatePairs(sigs, "doc_id", MirrorSigLen, MirrorBands)
         .orderBy("id_a", "id_b")
+    }),
+
+    // --- INCREMENTAL LSH: tonight's batch vs the corpus signature store.
+    // The corpus is the doc_id<40 mirror-sig subset; the "new batch" is
+    // docs 0-9 re-crawled under fresh ids with one appended token (planted
+    // near-dups of their originals). lshCandidatePairsAgainst — the REAL
+    // asymmetric banding/bucket-join path — must surface each new doc's
+    // corpus original WITHOUT emitting any corpus×corpus or new×new pair;
+    // DuckDB re-derives the full posting-list join from first principles.
+    "d25_incremental_lsh" -> ((s, dir) => {
+      val corpusSigs = mirrorMinhashSigs(mirrorTokenHashes(s, dir))
+      val newTok = Tables.documents(s, dir).where(col("doc_id") < 10)
+        .select((col("doc_id") + IncrementalIdOffset).as("doc_id"),
+          explode(concat(TextExprs.tokens(col("text")),
+            array(lit(IncrementalTok)))).as("tok"))
+        .select(col("doc_id"), mirrorTokenHash(col("tok")).as("h"))
+      val newSigs = mirrorMinhashSigs(newTok)
+      Dedup.lshCandidatePairsAgainst(
+        corpusSigs, newSigs, "doc_id", MirrorSigLen, MirrorBands)
+        .orderBy("corpus_id", "new_id")
     }),
 
     // --- ORACLE TWIN of d06's downstream: sign-vote simhash over the
@@ -1331,6 +1366,52 @@ object PipelineQueries {
          |JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
          |GROUP BY c.id_a, c.id_b
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // d25 re-derived: the corpus posting list and the new batch's posting
+    // list (docs 0-9 under ids +offset with one appended token) joined on
+    // equal band slices — DuckDB rebuilds BOTH sides' signatures and the
+    // asymmetric join from first principles. The appended-token UNION is
+    // gated on text IS NOT NULL exactly like Spark's null-propagating
+    // array concat (a null doc contributes no new-batch rows at all).
+    "d25_incremental_lsh" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE doc_id < 40),
+         |ntok0 AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE doc_id < 10
+         |  UNION ALL
+         |  SELECT doc_id, '$IncrementalTok'
+         |  FROM documents WHERE doc_id < 10 AND text IS NOT NULL),
+         |ntok AS (SELECT doc_id + $IncrementalIdOffset AS doc_id, tok FROM ntok0),
+         |h AS (SELECT doc_id, $MirrorTokenHashSql AS h FROM tok),
+         |nh AS (SELECT doc_id, $MirrorTokenHashSql AS h FROM ntok),
+         |i AS (SELECT unnest(generate_series(0, ${MirrorSigLen - 1})) AS i),
+         |sig AS (
+         |  SELECT doc_id, i, min(((2*i + 3) * h + 5*i + 7) % $MirrorHashMod) AS m
+         |  FROM h CROSS JOIN i GROUP BY doc_id, i),
+         |nsig AS (
+         |  SELECT doc_id, i, min(((2*i + 3) * h + 5*i + 7) % $MirrorHashMod) AS m
+         |  FROM nh CROSS JOIN i GROUP BY doc_id, i),
+         |band AS (
+         |  SELECT doc_id, i // ${MirrorSigLen / MirrorBands} AS band,
+         |         string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
+         |  FROM sig GROUP BY doc_id, band),
+         |nband AS (
+         |  SELECT doc_id, i // ${MirrorSigLen / MirrorBands} AS band,
+         |         string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
+         |  FROM nsig GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS new_id
+         |  FROM band a JOIN nband b ON a.band = b.band AND a.key = b.key)
+         |SELECT c.corpus_id, c.new_id,
+         |       CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / $MirrorSigLen AS est_jaccard
+         |FROM cand c
+         |JOIN sig sa ON sa.doc_id = c.corpus_id
+         |JOIN nsig sb ON sb.doc_id = c.new_id AND sb.i = sa.i
+         |GROUP BY c.corpus_id, c.new_id
+         |ORDER BY corpus_id, new_id""".stripMargin,
 
     // d06's downstream re-derived: sign-vote simhash from the same hash's
     // low 16 bits, hamming = bit_count(xor) over all pairs

@@ -104,6 +104,43 @@ class DedupSpec extends SparkSpec {
       uncapped.filter { case (a, b) => a < 100L && b < 100L })
   }
 
+  test("incremental LSH: new batch probes corpus; no corpus×corpus or new×new pairs") {
+    // corpus: base (1), near-dup (2), other (3), exact dup of base (4);
+    // new batch: a re-crawl of base (101) and two identical fresh docs
+    // (102, 103) matching nothing in the corpus
+    val corpusSigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16, 3)
+    val newDocs = Seq(
+      (101L, base.replace("home", "house")),
+      (102L, "totally new subject matter appearing tonight for the first time"),
+      (103L, "totally new subject matter appearing tonight for the first time"))
+      .toDF("doc_id", "text")
+    val newSigs = Dedup.minhashSignatures(newDocs, "doc_id", "text", 16, 3)
+    val pairs = Dedup.lshCandidatePairsAgainst(corpusSigs, newSigs, "doc_id", 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every pair is corpus → new, never within one side
+    assert(pairs.forall { case (c, n, _) => c <= 4L && n >= 101L })
+    // the re-crawl finds BOTH copies of its original (1 and its exact dup 4)
+    val hits = pairs.filter(_._2 == 101L).map(_._1).toSet
+    assert(Set(1L, 4L).subsetOf(hits), s"re-crawl matched $hits")
+    // est_jaccard of a 1-token edit stays high
+    assert(pairs.filter(p => p._1 == 1L && p._2 == 101L).head._3 > 0.5)
+    // the identical fresh pair (102, 103) is NOT here — in-batch dedup is
+    // lshCandidatePairs' job, and corpus pairs like (1, 4) never re-emit
+    assert(!pairs.exists { case (c, n, _) => c >= 101L || n <= 4L })
+    // cap engages per side: 20 boilerplate docs planted in the corpus form
+    // a degenerate bucket that must not fan matching new docs into it
+    val hot = (200L until 220L).map(i => (i, "boiler plate boiler plate boiler plate legal"))
+    val cHot = Dedup.minhashSignatures(docs.union(hot.toDF("doc_id", "text")),
+      "doc_id", "text", 16, 3)
+    val probe = Dedup.minhashSignatures(
+      Seq((300L, "boiler plate boiler plate boiler plate legal")).toDF("doc_id", "text"),
+      "doc_id", "text", 16, 3)
+    val capped = Dedup.lshCandidatePairsAgainst(cHot, probe, "doc_id", 16, 4,
+      maxBucketSize = Some(10)).collect()
+    val uncapped = Dedup.lshCandidatePairsAgainst(cHot, probe, "doc_id", 16, 4).collect()
+    assert(uncapped.length == 20 && capped.isEmpty)
+  }
+
   test("connected components: clusters, chains, isolated nodes, empty input") {
     // two clusters {1,2,3} + {10,11}, plus a 7-node chain 20-21-...-26
     // (diameter 6 — exercises multi-round propagation)
@@ -124,8 +161,8 @@ class DedupSpec extends SparkSpec {
     // A near-dup CHAIN (one boilerplate doc mutated link by link) has
     // diameter = length: plain min-label propagation needs one round per
     // hop and would blow the 25-round cap on anything past 25 links. The
-    // pointer-jump step makes propagation distance double per round, so
-    // 200 hops must converge in ≤ 25 rounds — and in the worst direction
+    // pointer-doubling step makes propagation distance quadruple per
+    // round, so 200 hops must converge in ≤ 25 rounds — and in the worst direction
     // (min id at the FAR end, so the label has to travel the whole chain).
     val chain = (1L to 200L).map(i => (i, i + 1)) // min node 1 at one end
     val comp = Dedup.connectedComponents(chain.toDF("id_a", "id_b"), "id_a", "id_b")
@@ -136,10 +173,10 @@ class DedupSpec extends SparkSpec {
 
   test("connected components: per-round checkpoints are released, not accumulated") {
     // localCheckpoint RDDs register in getPersistentRDDs; the loop must
-    // free each round's pair (mid + previous labels) once the successor is
-    // materialized. ~7 pointer-jump rounds on a 100-hop chain would leave
-    // ~14 label-table copies resident without the release — with it, only
-    // the symmetrized edge list and the final round's frames may remain.
+    // free the previous round's labels once the successor is materialized.
+    // Several pointer-doubling rounds on a 100-hop chain would leave one
+    // label-table copy per round resident without the release — with it,
+    // only the symmetrized edge list and the final round's frame remain.
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val chain = (1L to 100L).map(i => (i, i + 1))
