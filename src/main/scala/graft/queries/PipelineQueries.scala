@@ -599,6 +599,35 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // --- semantic dedup (SemDeDup): cluster-then-prune ---------------------
+    // Production path: deterministic sampled-kmeans cells (rows-only; the
+    // keep rule itself is oracle'd via s04b's one-hot twin below).
+    "s04_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        nlist = 8, tau = SemDedupTau)
+        .select(col("id").as("vec_id"), col("cell"), col("cell_capped"),
+          round(col("max_prior_sim"), 4).as("max_prior_sim"), col("kept"))
+        .orderBy("vec_id")
+    }),
+
+    // --- ORACLE TWIN of s04: one-hot centroids make the cell assignment
+    // an argmax over the first 8 coordinates, so DuckDB re-derives the
+    // whole keep rule — cell, max cosine to any lower-id cellmate, and the
+    // τ cut — from first principles. τ sits ≥1.5e-4 from every max_prior_sim
+    // in the data (both SFs, measured), so the kept flag cannot flip on a
+    // last-ulp dot-product difference between engines.
+    "s04b_semantic_dedup_cells" -> ((s, dir) => {
+      val oneHot: Array[(Int, Seq[Double])] = Array.tabulate(8)(j =>
+        j -> Seq.tabulate(64)(d => if (d == j) 1.0 else 0.0))
+      Similarity.semanticDedupWithCentroids(
+        Tables.embeddings(s, dir), "vec_id", "embedding", oneHot,
+        tau = SemDedupTau)
+        .select(col("id").as("vec_id"), col("cell"), col("cell_capped"),
+          round(col("max_prior_sim"), 4).as("max_prior_sim"), col("kept"))
+        .orderBy("vec_id")
+    }),
+
     // --- language-ID heuristic + quality scoring (oracle-checked: the
     // argmax tie-break is mirrored via packed score*8+langIdx encoding) ----
     "d08_lang_quality" -> ((s, dir) => {
@@ -874,7 +903,31 @@ object PipelineQueries {
         .groupBy("shard", "seq_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
         .orderBy("shard", "seq_id")
+    }),
+
+    // --- per-doc sliding-window chunking (RAG / context-window prep) ------
+    // 48-token windows, 8-token overlap: every chunk boundary is covered by
+    // a duplicate span, unlike d18's packing which never duplicates. Pure
+    // map-side (split → sequence → posexplode → slice); the oracle is
+    // GENERATED from the same (maxTokens, overlap) constants.
+    "d26_doc_chunks" -> ((s, dir) => {
+      graft.text.Chunking.chunk(
+        Tables.documents(s, dir), "doc_id", "text",
+        maxTokens = ChunkMaxTokens, overlap = ChunkOverlap)
+        .orderBy("doc_id", "chunk_idx")
     }))
+
+  /** d26 window shape — single-sourced into both the Spark query and its
+    * generated DuckDB oracle.
+    */
+  val ChunkMaxTokens = 48
+  val ChunkOverlap = 8
+
+  /** s04/s04b SemDeDup threshold — measured ≥1.5e-4 clear of every
+    * max_prior_sim at sf0.01 AND sf0.1, so the τ comparison is immune to
+    * cross-engine last-ulp dot-product drift.
+    */
+  val SemDedupTau = 0.42
 
   val oracles: Map[String, String] = Map(
     // same RE2-safe pattern string on both sides (TextExprs.BpePattern)
@@ -1538,6 +1591,31 @@ object PipelineQueries {
         |FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
 
+    // s04's keep rule re-derived with the one-hot quantizer: cell = argmax
+    // of the first 8 coordinates (ties to the lowest cell, list_indexof's
+    // first occurrence — same as nearestCell's (sim, -cell) struct max),
+    // max_prior_sim = max cosine to any lower-id same-cell row, kept iff
+    // below τ (or no cellmate / no cell). Null and zero-norm vectors get a
+    // null cell and are kept, exactly like the library's norm gate.
+    "s04b_semantic_dedup_cells" ->
+      s"""WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+         |      FROM c0 WHERE v IS NOT NULL),
+         |u AS (SELECT vec_id, v, nrm,
+         |             CAST(list_indexof(v[1:8], list_max(v[1:8])) - 1 AS INT) AS cell
+         |      FROM n WHERE nrm > 0),
+         |p AS (SELECT a.vec_id AS vec_id,
+         |             max(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) AS mps
+         |      FROM u a JOIN u b ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |      GROUP BY 1)
+         |SELECT c0.vec_id, u.cell, FALSE AS cell_capped,
+         |       round(p.mps, 4) AS max_prior_sim,
+         |       (p.mps IS NULL OR p.mps < $SemDedupTau) AS kept
+         |FROM c0
+         |LEFT JOIN u USING (vec_id)
+         |LEFT JOIN p ON p.vec_id = c0.vec_id
+         |ORDER BY c0.vec_id""".stripMargin,
+
     // capped Jaccard re-derived from token strings (Spark hashes shingles;
     // Jaccard over collision-free hashes equals Jaccard over the tokens)
     "d24_jaccard_capped" ->
@@ -1576,5 +1654,10 @@ object PipelineQueries {
         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM o
         |GROUP BY shard, seq_id
-        |ORDER BY shard, seq_id""".stripMargin)
+        |ORDER BY shard, seq_id""".stripMargin,
+
+    // generated from the SAME (maxTokens, overlap) the Spark query uses —
+    // window starts, slice bounds, and chunk identity cannot drift
+    "d26_doc_chunks" ->
+      graft.text.Chunking.chunkOracleSql(ChunkMaxTokens, ChunkOverlap))
 }

@@ -342,4 +342,83 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
+
+  /** Semantic deduplication (SemDeDup, arXiv:2303.09540): cluster the
+    * corpus with a coarse quantizer, then WITHIN each cluster drop every
+    * vector that has a lower-id neighbor at cosine ≥ `tau`. The keep rule
+    * is the paper's independent one — a row survives iff NO lower-id
+    * same-cell row is ≥ tau similar (not connected components: of a chain
+    * a~b~c with a≁c, both b and c drop, each having its own lower-id
+    * near-dup) — so the decision per row is a single aggregate, no
+    * iteration.
+    *
+    * 100 TB shape: the quadratic term is per-cell, bounded by
+    * (corpus/nlist)² · nlist — nlist grows with the corpus (SemDeDup uses
+    * ~√N clusters) so per-cell work stays flat; the cell equi-join is the
+    * only shuffle of vectors and its parallelism is nlist. `maxCellSize`
+    * is the skew valve (the LSH-bucket-cap idiom): a degenerate cell —
+    * every vector equal, a giant boilerplate cluster — would cost cap²
+    * unbounded, so cells above the cap skip pairwise entirely and their
+    * rows are KEPT and flagged `cell_capped` (safe degrade: never drops a
+    * row it didn't compare; such cells are exact-dup territory, d01's job).
+    *
+    * Output, one row per corpus row: (id, cell, cell_capped,
+    * max_prior_sim, kept). `cell` is null for null/zero-norm vectors
+    * (nothing to compare — kept); `max_prior_sim` is the max cosine to any
+    * lower-id same-cell row (null if none).
+    */
+  def semanticDedupWithCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                                 centroids: Array[(Int, Seq[Double])],
+                                 tau: Double,
+                                 maxCellSize: Option[Int] = None): DataFrame = {
+    require(centroids.zipWithIndex.forall { case ((id, _), i) => id == i },
+      "centroid labels must equal their array positions (0..n-1)")
+    val unit = withNorm(graft.Partitioning.balanced(corpus), idCol, vecCol,
+      "id", "v", "n")
+      .where(col("n") > 0) // zero-norm: no cosine, no cell — kept via left join
+      .withColumn("cell", nearestCell(col("v"), centroids))
+    // ≤ nlist rows — broadcast, never a shuffle
+    val sizes = broadcast(unit.groupBy("cell").agg(count(lit(1)).as("cell_n")))
+    val celled = unit.join(sizes, "cell")
+    val eligible = maxCellSize match {
+      case Some(cap) => celled.where(col("cell_n") <= cap)
+      case None => celled
+    }
+    val a = eligible.select(col("cell"), col("id").as("a_id"),
+      col("v").as("a_v"), col("n").as("a_n"))
+    val b = eligible.select(col("cell"), col("id").as("b_id"),
+      col("v").as("b_v"), col("n").as("b_n"))
+    val maxPrior = a.join(b, Seq("cell"))
+      .where(col("b_id") < col("a_id"))
+      .groupBy(col("a_id").as("id"))
+      .agg(max(VectorExprs.dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
+        .as("max_prior_sim"))
+    val capped: Column = maxCellSize match {
+      case Some(cap) => coalesce(col("cell_n") > cap, lit(false))
+      case None => lit(false)
+    }
+    corpus.select(col(idCol).as("id"))
+      .join(celled.select("id", "cell", "cell_n"), Seq("id"), "left")
+      .join(maxPrior, Seq("id"), "left")
+      .select(col("id"), col("cell"), capped.as("cell_capped"),
+        col("max_prior_sim"),
+        (capped || col("max_prior_sim").isNull ||
+          col("max_prior_sim") < tau).as("kept"))
+  }
+
+  /** [[semanticDedupWithCentroids]] behind the deterministic sampled-kmeans
+    * quantizer — the production entry point. An empty/all-zero-norm corpus
+    * trains no centroids: every row is kept with a null cell.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int, tau: Double, iters: Int = 3,
+                    maxCellSize: Option[Int] = None): DataFrame = {
+    val centroids = ivfTrainCentroids(corpus, idCol, vecCol, nlist, iters)
+    if (centroids.isEmpty)
+      corpus.select(col(idCol).as("id"),
+        lit(null).cast("int").as("cell"), lit(false).as("cell_capped"),
+        lit(null).cast("double").as("max_prior_sim"), lit(true).as("kept"))
+    else
+      semanticDedupWithCentroids(corpus, idCol, vecCol, centroids, tau, maxCellSize)
+  }
 }
