@@ -79,4 +79,19 @@ object GeoExprs {
       shiftleft(latBit, 2 * i + 1).bitwiseOR(shiftleft(lonBit, 2 * i))
     }.reduce(_ bitwiseOR _)
   }
+
+  /** DuckDB twin of [[mortonKey]] — generated from the same scale and
+    * quantization constants so the k21 oracle re-derives the interleave
+    * bit-for-bit (disjoint bit positions let `+` stand in for `|`).
+    * Emits a SELECT-list expression over `latExpr`/`lonExpr`.
+    */
+  def mortonKeySql(latExpr: String, lonExpr: String, bitsPerDim: Int = 16): String = {
+    require(bitsPerDim >= 1 && bitsPerDim <= 31, "bitsPerDim must be 1..31")
+    val scale = (1L << bitsPerDim) - 1
+    val latQ = s"CAST(floor(($latExpr + 90.0) / 180.0 * $scale) AS BIGINT)"
+    val lonQ = s"CAST(floor(($lonExpr + 180.0) / 360.0 * $scale) AS BIGINT)"
+    s"""CAST(list_sum(list_transform(generate_series(0, ${bitsPerDim - 1}),
+       |  j -> ((($latQ >> j) & 1) << (2*j + 1))
+       |     + ((($lonQ >> j) & 1) << (2*j)))) AS BIGINT)""".stripMargin
+  }
 }

@@ -199,6 +199,16 @@ object KernelQueries {
         .orderBy("route_id")
     }),
 
+    // Z-order layout key (the 100 TB geo-layout primitive GeoLayoutSpec
+    // measures file-skipping with) — previously spec-only; the oracle
+    // re-derives quantization + bit interleave from the same constants.
+    "k21_morton_key" -> ((s, dir) => {
+      Derived.routes(s, dir)
+        .select(col("route_id"),
+          GeoExprs.mortonKey(col("lat"), col("lon"), 16).as("zkey"))
+        .orderBy("route_id")
+    }),
+
     // §2.7 + A7: the kernel with EXTREME-WEATHER AMPLIFICATION — archive
     // stats (A6) → per-route-bucket multiplier (A7) broadcast onto the
     // route side, per-accident assembled similarity (S4→A5) on the
@@ -227,6 +237,12 @@ object KernelQueries {
   private val distExpr = Sql.haversine("lat", "lon", "a_lat", "a_lon")
 
   val oracles: Map[String, String] = Map(
+    "k21_morton_key" -> withDomain(
+      s"""SELECT route_id,
+         |       ${graft.expr.GeoExprs.mortonKeySql("lat", "lon", 16)} AS zkey
+         |FROM routes
+         |ORDER BY route_id""".stripMargin),
+
     "k01_haversine" -> withDomain(
       s"""SELECT route_id, accident_id,
          |       round($distExpr, 6) AS dist_km,
