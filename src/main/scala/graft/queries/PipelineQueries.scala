@@ -628,6 +628,22 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // --- int8 scalar-quantized ANN (SQ8): the memory-bound scale path ----
+    // codes are signed bytes in a flat binary column (8× smaller than the
+    // array<double> they replace), ranking runs on an exact integer dot;
+    // FULL oracle — max-abs, floor(x*127/m + .5) codes, integer dot, and
+    // the two-scale reconstruction are all exactly-rounded IEEE steps
+    // DuckDB replays bit-for-bit (qdot is hash-matched as a BIGINT).
+    "s05_ann_int8" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.int8TopK(
+        e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("qdot"), round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // --- language-ID heuristic + quality scoring (oracle-checked: the
     // argmax tie-break is mirrored via packed score*8+langIdx encoding) ----
     "d08_lang_quality" -> ((s, dir) => {
@@ -1232,6 +1248,40 @@ object PipelineQueries {
         |                                 ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rank
         |  FROM pairs)
         |SELECT query_id, rank, neighbor_id, round(cos_raw, 4) AS cosine
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // int8 quantization replay: same max-abs / floor(x*127/m + 0.5) /
+    // clamp pipeline as Int8Pack, integer dot as exact doubles cast to
+    // BIGINT, scales re-applied in the query's association order
+    "s05_ann_int8" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+        |qq AS (
+        |  SELECT query_id, m,
+        |         CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x ->
+        |                greatest(-127.0, least(127.0, floor(x * 127.0 / m + 0.5)))) END AS codes
+        |  FROM (SELECT query_id, v,
+        |               list_max(list_transform(v, x -> abs(x))) AS m FROM q) t),
+        |cc AS (
+        |  SELECT neighbor_id, m,
+        |         CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x ->
+        |                greatest(-127.0, least(127.0, floor(x * 127.0 / m + 0.5)))) END AS codes
+        |  FROM (SELECT neighbor_id, v,
+        |               list_max(list_transform(v, x -> abs(x))) AS m FROM c) t),
+        |pairs AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(list_dot_product(qq.codes, cc.codes) AS BIGINT) AS qdot,
+        |         ((qq.m / 127.0) * (cc.m / 127.0)) * list_dot_product(qq.codes, cc.codes) AS score
+        |  FROM qq CROSS JOIN cc),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, qdot, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM pairs)
+        |SELECT query_id, rank, neighbor_id, qdot, round(score, 4) AS score
         |FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.expr.VectorExprs
+import graft.expr.{Int8Exprs, VectorExprs}
 
 /** Vector-similarity search over embedding columns (`Array[Float]`).
   *
@@ -420,5 +420,64 @@ object Similarity {
         lit(null).cast("double").as("max_prior_sim"), lit(true).as("kept"))
     else
       semanticDedupWithCentroids(corpus, idCol, vecCol, centroids, tau, maxCellSize)
+  }
+
+  // ------------------------------------------------------------------
+  // Int8 scalar-quantized ANN (FAISS-SQ8 shape)
+  // ------------------------------------------------------------------
+
+  /** Project (id, int8 code vector, reconstruction scale) — the quantized
+    * representation candidate ranking runs on. `codes` is a flat `binary`
+    * (one signed byte per dimension, 8× smaller than the `array<double>`
+    * it replaces in every exchange/broadcast/cache) and `scale` is the
+    * per-vector `max|vᵢ|/127` that maps integer dots back to value space.
+    * With `normalize=true` the vector is unit-normalized BEFORE
+    * quantization, so the approximate dot approximates cosine (zero-norm
+    * rows quantize to all-zero codes with scale 0, never ranking above a
+    * real neighbor).
+    */
+  def int8Quantized(df: DataFrame, idCol: String, vecCol: String,
+                    outId: String, outCodes: String, outScale: String,
+                    normalize: Boolean = false): DataFrame = {
+    val raw = col(vecCol).cast("array<double>")
+    val v =
+      if (!normalize) raw
+      else {
+        val n = VectorExprs.norm(raw)
+        when(n > 0, transform(raw, x => x / n)).otherwise(transform(raw, x => x * 0.0))
+      }
+    df.select(col(idCol).as(outId), Int8Exprs.pack(v).as(outCodes),
+      (array_max(transform(v, x => abs(x))) / 127.0).as(outScale))
+  }
+
+  /** Approximate top-k by int8-quantized dot product: rank each query's
+    * candidates by `(scale_q * scale_c) * Σ code_qᵢ·code_cᵢ`, ties to the
+    * lower neighbor id. With `normalize=false` (the s05 oracle form) the
+    * score approximates the RAW dot product and every step — max-abs,
+    * `floor(x*127/m + 0.5)` codes, integer dot, two-scale product — is an
+    * exactly-rounded IEEE pipeline DuckDB replays bit-for-bit; with
+    * `normalize=true` it approximates cosine (recall vs the exact
+    * baseline pinned in `Int8AnnSpec`).
+    *
+    * Returns (query_id, rank, neighbor_id, qdot, score): `qdot` is the
+    * exact integer dot (the hash-matched currency), `score` its
+    * value-space reconstruction.
+    */
+  def int8TopK(queries: DataFrame, corpus: DataFrame,
+               idCol: String, vecCol: String, k: Int,
+               normalize: Boolean = false): DataFrame = {
+    val q = broadcast(
+      int8Quantized(queries, idCol, vecCol, "query_id", "q_codes", "q_scale", normalize))
+    val c = int8Quantized(graft.Partitioning.balanced(corpus), idCol, vecCol,
+      "neighbor_id", "c_codes", "c_scale", normalize)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    q.crossJoin(c)
+      .withColumn("qdot", Int8Exprs.dotI8(col("q_codes"), col("c_codes")))
+      .withColumn("score",
+        (col("q_scale") * col("c_scale")) * col("qdot").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "qdot", "score")
   }
 }

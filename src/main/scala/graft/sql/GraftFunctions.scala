@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{BitmapDistinct, DotProductD, GeoWithinKm, GradeParser, SimHash63, WeatherPatternSimilarity}
+import graft.expr.{BitmapDistinct, DotProductD, DotProductI8, GeoWithinKm, GradeParser, Int8Pack, SimHash63, WeatherPatternSimilarity}
 import graft.plans.SpatialBboxRule
 
 /** SQL-surface registration for the engine's custom functions.
@@ -37,6 +37,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bitmap_distinct"),
       new ExpressionInfo(classOf[BitmapDistinct].getName, "bitmap_distinct"),
       (exprs: Seq[Expression]) => BitmapDistinct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("int8_pack"),
+      new ExpressionInfo(classOf[Int8Pack].getName, "int8_pack"),
+      (exprs: Seq[Expression]) => Int8Pack(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_i8"),
+      new ExpressionInfo(classOf[DotProductI8].getName, "dot_i8"),
+      (exprs: Seq[Expression]) => DotProductI8(exprs.head, exprs(1))))
     // parse_grade too: both deployment modes must expose the same SQL surface
     ext.injectFunction((
       FunctionIdentifier("parse_grade"),
@@ -63,6 +71,10 @@ object GraftFunctions {
       exprs => GeoWithinKm(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4)))
     bridge.registerFunction(spark, "bitmap_distinct",
       exprs => BitmapDistinct(exprs(0), exprs(1)))
+    bridge.registerFunction(spark, "int8_pack",
+      exprs => Int8Pack(exprs.head))
+    bridge.registerFunction(spark, "dot_i8",
+      exprs => DotProductI8(exprs.head, exprs(1)))
     // live-session twin of injectOptimizerRule (runs as the optimizer's
     // final user batch — still above the scan for the filter-on-scan shape)
     if (!spark.experimental.extraOptimizations.contains(SpatialBboxRule))

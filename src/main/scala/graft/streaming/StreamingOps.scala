@@ -139,6 +139,101 @@ object StreamingOps {
       .join(corpusDigests.select("text_hash"), Seq("text_hash"), "left_anti")
       .drop("text_hash") // internal helper — output schema == input schema
 
+  // --- streaming NEAR-dup candidates (LSH over a stateful posting list) ----
+
+  /** One (doc, band) posting: `bucket` is xxhash64 of the band's signature
+    * slice — the SAME banding pipeline as the batch `Dedup.bandedPostings`,
+    * so stream and batch agree on which docs collide.
+    */
+  case class BandedSig(id: Long, sig: Seq[Long], band: Int, bucket: Long)
+
+  /** Per-(band, bucket) state: the bucket's posting list (parallel id/sig
+    * seqs — the streaming mirror of the persisted posting list
+    * `lshCandidatePairsAgainst` probes), plus the skew latch.
+    */
+  case class LshBucketState(ids: Seq[Long], sigs: Seq[Seq[Long]], capped: Boolean)
+
+  case class LshPairOut(id_a: Long, id_b: Long, band: Int, est_jaccard: Double)
+
+  /** Streaming NEAR-dup candidate pairs — the streaming twin of the
+    * incremental batch dedup (`Dedup.lshCandidatePairsAgainst`): each
+    * micro-batch's documents are MinHash-signed map-side, exploded into
+    * band postings, and probed against a stateful per-(band, bucket)
+    * posting list; a new doc emits a candidate pair (lower id first, with
+    * the estimated Jaccard) against every doc already in its bucket, then
+    * joins the posting list itself. State IS the incremental path's
+    * persisted posting list, so corpus × corpus work is never redone —
+    * each arrival costs O(bucket size) comparisons, and `maxBucketSize`
+    * latches a degenerate bucket (boilerplate signatures) closed: once
+    * full, later arrivals are dropped from that bucket, bounding both
+    * state and per-batch fan-out the way the batch cap bounds the join
+    * (the divergence: pairs emitted before the latch engaged are not
+    * retractable in append mode — the batch cap drops such buckets
+    * wholesale). Re-delivered ids are idempotent (already-present ids
+    * neither re-emit nor re-join). A pair sharing several bands emits once
+    * per (band, bucket) — distinct on (id_a, id_b) downstream, exactly
+    * like the batch form's final `.distinct()`.
+    */
+  def streamingLshCandidates(docs: DataFrame, idCol: String, textCol: String,
+                             numHashes: Int = 16, shingleWidth: Int = 3,
+                             bands: Int = 4, maxBucketSize: Int = 64,
+                             minEst: Double = 0.0): Dataset[LshPairOut] = {
+    require(numHashes % bands == 0,
+      s"signature length $numHashes not divisible by $bands bands")
+    import docs.sparkSession.implicits._
+    val r = numHashes / bands
+    val signed = docs.select(
+        col(idCol).cast("long").as("id"),
+        graft.dedup.Dedup.minhashSignature(col(textCol), numHashes, shingleWidth).as("sig"))
+      .where(col("sig").isNotNull)
+    val banded = signed.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, concat_ws(",", slice(col("sig"), b * r + 1, lit(r)))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+      .as[BandedSig]
+    banded
+      .groupByKey(p => (p.band, p.bucket))
+      .flatMapGroupsWithState[LshBucketState, LshPairOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Int, Long), rows: Iterator[BandedSig],
+         state: GroupState[LshBucketState]) =>
+          val band = key._1
+          var st = state.getOption.getOrElse(
+            LshBucketState(Vector.empty, Vector.empty, capped = false))
+          val out = scala.collection.mutable.ListBuffer[LshPairOut]()
+          // id order makes replayed micro-batches deterministic
+          rows.toSeq.sortBy(_.id).foreach { d =>
+            if (!st.capped && !st.ids.contains(d.id)) {
+              if (st.ids.size >= maxBucketSize) st = st.copy(capped = true)
+              else {
+                var i = 0
+                while (i < st.ids.length) {
+                  val other = st.sigs(i)
+                  val n = math.min(other.length, d.sig.length)
+                  var agree = 0
+                  var j = 0
+                  while (j < n) {
+                    if (other(j) == d.sig(j)) agree += 1
+                    j += 1
+                  }
+                  // fraction of agreeing minima over size(sigA) — the
+                  // minhashEstimate contract (signatures share numHashes)
+                  val est = agree.toDouble / other.length
+                  if (est >= minEst)
+                    out += LshPairOut(math.min(st.ids(i), d.id),
+                      math.max(st.ids(i), d.id), band, est)
+                  i += 1
+                }
+                st = st.copy(ids = st.ids :+ d.id, sigs = st.sigs :+ d.sig)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // --- streaming 7-day pattern assembly (S4/A2 streamed) -------------------
 
   /** One weather observation for one accident's window (the FIXTURES §2 row

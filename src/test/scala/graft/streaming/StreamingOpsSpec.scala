@@ -154,6 +154,70 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH candidates match the batch pair set, emit once, idempotent replay") {
+    val docs = Map(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox leaps over the lazy dog again and again",
+      3L -> "completely unrelated text about weather patterns in the alps",
+      4L -> "the quick brown fox jumps over the lazy dog again and again",
+      5L -> "another standalone document mentioning glaciers and granite walls")
+    val mem = MemoryStream[Doc]
+    val q = streamingLshCandidates(mem.toDF(), "doc_id", "text",
+      numHashes = 8, shingleWidth = 2, bands = 4)
+      .writeStream.format("memory").queryName("lsh_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Doc(ts(0), 1, docs(1L)), Doc(ts(1), 2, docs(2L)), Doc(ts(2), 3, docs(3L)))
+      q.processAllAvailable()
+      val afterB1 = spark.table("lsh_stream")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // batch 2: a re-crawl of doc 1's text (doc 4) + an unrelated doc —
+      // new pairs appear in the batch where the LATER doc arrives
+      mem.addData(Doc(ts(10), 4, docs(4L)), Doc(ts(11), 5, docs(5L)))
+      q.processAllAvailable()
+      val streamed = spark.table("lsh_stream")
+        .select("id_a", "id_b", "est_jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(afterB1.subsetOf(streamed.map(p => (p._1, p._2))))
+      // parity: distinct streamed pairs == the symmetric batch LSH pair set
+      // over the SAME five docs (same hashes, same banding)
+      val batchDf = docs.toSeq.map { case (i, t) => (i, t) }.toDF("doc_id", "text")
+      val sigs = graft.dedup.Dedup.minhashSignatures(batchDf, "doc_id", "text",
+        numHashes = 8, shingleWidth = 2)
+      val batchPairs = graft.dedup.Dedup.lshCandidatePairs(sigs, "doc_id",
+        sigLen = 8, bands = 4)
+        .select("id_a", "id_b", "est_jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(streamed == batchPairs,
+        s"stream=$streamed\nbatch=$batchPairs")
+      // the exact re-crawl pair must be there with est 1.0
+      assert(streamed.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0))
+      // replay idempotence: re-deliver doc 4 — no new rows
+      val before = spark.table("lsh_stream").count()
+      mem.addData(Doc(ts(20), 4, docs(4L)))
+      q.processAllAvailable()
+      assert(spark.table("lsh_stream").count() == before)
+    } finally q.stop()
+  }
+
+  test("streaming LSH bucket cap latches a degenerate bucket closed") {
+    val boiler = "identical boilerplate text repeated across every crawled page forever"
+    val mem = MemoryStream[Doc]
+    val q = streamingLshCandidates(mem.toDF(), "doc_id", "text",
+      numHashes = 8, shingleWidth = 2, bands = 4, maxBucketSize = 2)
+      .writeStream.format("memory").queryName("lsh_capped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L to 6L).map(i => Doc(ts(i.toInt), i, boiler)): _*)
+      q.processAllAvailable()
+      val pairs = spark.table("lsh_capped")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // docs 1-2 filled every bucket to the cap; doc 3 latched them closed,
+      // so the only surviving pair is (1,2) — not the 15 of an uncapped m²
+      assert(pairs == Set((1L, 2L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("streaming pattern assembly converges to the batch assembly") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
