@@ -26,6 +26,11 @@ object PipelineQueries {
 
   private val Stopwords = Seq("the", "a", "of", "and")
 
+  /** Shared PQ model for s06: query and oracle derive from the SAME
+    * codebooks (exact-binary quarters), so they cannot drift.
+    */
+  private val PqOracleBooks = Similarity.pqFixedCodebooks(dim = 64, numSub = 8, ksub = 4)
+
   /** Per-language md5-gate thresholds for d13's reproducible training-mix
     * sample: 4 hex digits ⇒ admitted fraction = parse(gate)/65536
     * (en downsampled hard, the rest kept near-whole — the usual
@@ -641,6 +646,23 @@ object PipelineQueries {
         "vec_id", "embedding", k = 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           col("qdot"), round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- PQ/ADC ANN (Jégou 2011): codes-only corpus + per-query LUT ------
+    // 8 subvectors × 4 codewords over the 64-dim embeddings; corpus rows
+    // carry 8 small ints (→ 2 B/vector at scale vs 512 B of doubles), each
+    // pair costs 8 LUT lookups. FULL oracle: fixed exact-binary quarter
+    // codebooks, so DuckDB replays encoding (first-of-min argmin), the
+    // packed code_key (hash-matched as BIGINT — one flipped assignment
+    // anywhere fails), and the ADC sum bit-for-bit from generated SQL.
+    "s06_ann_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.pqTopKADC(
+        e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+        "vec_id", "embedding", PqOracleBooks, k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("code_key"), round(col("score"), 4).as("score"))
         .orderBy("query_id", "rank")
     }),
 
@@ -1284,6 +1306,11 @@ object PipelineQueries {
         |SELECT query_id, rank, neighbor_id, qdot, round(score, 4) AS score
         |FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+
+    // generated from the SAME fixed codebooks as the query (exact-binary
+    // quarters round-trip through SQL text): encoding argmin, packed
+    // code_key, and the ADC chain replayed term for term
+    "s06_ann_pq" -> Similarity.pqOracleSql(PqOracleBooks, k = 3),
 
     // same 3-gram construction as d14's oracle; the eval set is the
     // doc_id % 23 slice, overlap counted over DISTINCT grams per doc

@@ -480,4 +480,234 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "qdot", "score")
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (PQ / ADC — Jégou et al., TPAMI 2011)
+  // ------------------------------------------------------------------
+
+  /** PQ model: `numSub` subvectors of `ds` dims, each with a `ksub`-entry
+    * codebook. A vector encodes as `numSub` small ints (2 bits per code at
+    * ksub=4, one byte at ksub=256) — for 64-dim doubles that is 512 bytes
+    * → `numSub` bytes, the compression that lets a 100 TB corpus's codes
+    * live in executor memory while full vectors stay in cold storage.
+    */
+  case class PqCodebooks(numSub: Int, ksub: Int, ds: Int,
+                         cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]) {
+    require(cb.length == numSub && cb.forall(_.length == ksub) &&
+      cb.forall(_.forall(_.length == ds)), "codebook shape mismatch")
+  }
+
+  /** Deterministic literal codebooks on the exact-binary quarter grid:
+    * c[m][j][d] = ((m + j + d) % ksub') · 0.5 − 0.75. Every value is a
+    * multiple of 1/4, so its decimal text round-trips exactly through SQL
+    * parsing — the property the s06 oracle needs to replay encoding and
+    * ADC bit-for-bit (and the fallback when a corpus is too small to
+    * train).
+    */
+  def pqFixedCodebooks(dim: Int, numSub: Int, ksub: Int): PqCodebooks = {
+    require(dim % numSub == 0, s"dim $dim not divisible by $numSub subvectors")
+    val ds = dim / numSub
+    PqCodebooks(numSub, ksub, ds,
+      IndexedSeq.tabulate(numSub, ksub, ds)((m, j, d) => ((m + j + d) % 4) * 0.5 - 0.75))
+  }
+
+  private def cbLit(cb: PqCodebooks): Column = typedLit(cb.cb.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Encode a vector as its `numSub` nearest-codeword indices (L2 per
+    * subvector, ties to the LOWEST index via first-position-of-min — the
+    * same rule `list_position(l, list_min(l))` replays in DuckDB). The
+    * fold over dimensions is left-assoc in index order, so the distances
+    * are bit-identical across engines.
+    */
+  def pqEncode(vec: Column, cb: PqCodebooks): Column = {
+    val cmat = cbLit(cb)
+    transform(sequence(lit(0), lit(cb.numSub - 1)), m => {
+      val dists = transform(sequence(lit(0), lit(cb.ksub - 1)), j =>
+        aggregate(sequence(lit(0), lit(cb.ds - 1)), lit(0.0), (acc, d) => {
+          val x = element_at(vec, m * cb.ds + d + 1)
+          val c = element_at(element_at(element_at(cmat, m + 1), j + 1), d + 1)
+          acc + (x - c) * (x - c)
+        }))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+  }
+
+  /** Per-query ADC lookup table: entry `m·ksub + j` is the dot of the
+    * query's m-th subvector with codeword j — computed ONCE per query,
+    * then every candidate costs `numSub` table lookups instead of a
+    * `dim`-wide dot (the asymmetric-distance trick that makes PQ scanning
+    * memory-bound rather than compute-bound).
+    */
+  def pqAdcLut(qv: Column, cb: PqCodebooks): Column = {
+    val cmat = cbLit(cb)
+    transform(sequence(lit(0), lit(cb.numSub * cb.ksub - 1)), idx => {
+      val m = (idx / cb.ksub).cast("int")
+      val j = (idx % cb.ksub).cast("int")
+      aggregate(sequence(lit(0), lit(cb.ds - 1)), lit(0.0), (acc, d) =>
+        acc + element_at(qv, m * cb.ds + d + 1) *
+          element_at(element_at(element_at(cmat, m + 1), j + 1), d + 1))
+    })
+  }
+
+  /** Approximate top-k by PQ/ADC: corpus rows carry only their codes, each
+    * pair is scored as Σₘ lut[m·ksub + codeₘ] (≈ the raw dot product),
+    * rank ties to the lower neighbor id. `code_key` packs the full code
+    * word as Σₘ codeₘ·ksubᵐ — an exact integer the oracle hash-matches, so
+    * a single flipped assignment anywhere fails the gate. Returns
+    * (query_id, rank, neighbor_id, code_key, score).
+    */
+  def pqTopKADC(queries: DataFrame, corpus: DataFrame,
+                idCol: String, vecCol: String, cb: PqCodebooks, k: Int): DataFrame = {
+    val c = graft.Partitioning.balanced(corpus).select(
+      col(idCol).as("neighbor_id"),
+      pqEncode(col(vecCol).cast("array<double>"), cb).as("codes"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      pqAdcLut(col(vecCol).cast("array<double>"), cb).as("lut")))
+    val score = aggregate(sequence(lit(0), lit(cb.numSub - 1)), lit(0.0), (acc, m) =>
+      acc + element_at(col("lut"),
+        m.cast("int") * cb.ksub + element_at(col("codes"), m + 1) + 1))
+    val codeKey = (0 until cb.numSub).map(m =>
+      element_at(col("codes"), m + 1).cast("long") *
+        lit(math.pow(cb.ksub.toDouble, m.toDouble).toLong))
+      .reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    q.crossJoin(c)
+      .withColumn("score", score)
+      .withColumn("code_key", codeKey)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "code_key", "score")
+  }
+
+  /** PQ with exact re-ranking (ADC+R, Jégou 2011 §VII): ADC selects a
+    * `shortlist`-sized candidate set from codes alone, then ONLY those
+    * candidates' full vectors are fetched and scored with the exact dot.
+    * This is the production PQ serving shape — quantization noise drowns
+    * small top-k margins (ADC recall@3 on weak-margin corpora is low even
+    * though the shortlist contains the true neighbors), and the re-rank
+    * touches `|queries|·shortlist` vectors instead of the corpus. Returns
+    * (query_id, rank, neighbor_id, dot).
+    */
+  def pqTopKADCRerank(queries: DataFrame, corpus: DataFrame,
+                      idCol: String, vecCol: String, cb: PqCodebooks,
+                      k: Int, shortlist: Int = 50): DataFrame = {
+    val cands = pqTopKADC(queries, corpus, idCol, vecCol, cb, shortlist)
+      .select("query_id", "neighbor_id")
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    cands.join(cv, Seq("neighbor_id")).join(qv, Seq("query_id"))
+      .withColumn("dot", VectorExprs.dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dot")
+  }
+
+  /** DuckDB twin of [[pqEncode]] + [[pqTopKADC]] over the embeddings
+    * table — GENERATED from the same codebooks so the two can never
+    * drift. Distances, argmin ties (`list_position` of `list_min` =
+    * first-of-min, the [[pqEncode]] rule), the packed `code_key`, and the
+    * ADC sum are all left-assoc chains matching the Spark folds term for
+    * term, so with exact-binary codebook literals (e.g.
+    * [[pqFixedCodebooks]]' quarters) the replay is bit-for-bit.
+    */
+  def pqOracleSql(cb: PqCodebooks, k: Int): String = {
+    val M = cb.numSub; val K = cb.ksub; val ds = cb.ds
+    def sq(m: Int, j: Int): String =
+      (0 until ds).map { d =>
+        val c = cb.cb(m)(j)(d)
+        s"(v[${m * ds + d + 1}] - $c) * (v[${m * ds + d + 1}] - $c)"
+      }.mkString(" + ")
+    def code(m: Int): String = {
+      val lst = (0 until K).map(j => s"(${sq(m, j)})").mkString("[", ", ", "]")
+      s"(list_position($lst, list_min($lst)) - 1)"
+    }
+    def dot(m: Int, j: Int): String =
+      (0 until ds).map { d =>
+        s"q.v[${m * ds + d + 1}] * ${cb.cb(m)(j)(d)}"
+      }.mkString(" + ")
+    def scoreTerm(m: Int): String =
+      s"(CASE enc.c$m " +
+        (0 until K).map(j => s"WHEN $j THEN ${dot(m, j)}").mkString(" ") +
+        " END)"
+    val encCols = (0 until M).map(m => s"${code(m)} AS c$m").mkString(",\n         ")
+    val keyExpr = (0 until M).map(m =>
+      s"CAST(enc.c$m AS BIGINT) * ${math.pow(K.toDouble, m.toDouble).toLong}")
+      .mkString(" + ")
+    val scoreExpr = (0 until M).map(scoreTerm).mkString(" + ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+       |enc AS (
+       |  SELECT neighbor_id,
+       |         $encCols
+       |  FROM c),
+       |pairs AS (
+       |  SELECT q.query_id, enc.neighbor_id,
+       |         $keyExpr AS code_key,
+       |         $scoreExpr AS score
+       |  FROM q CROSS JOIN enc),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, code_key, score,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, code_key, round(score, 4) AS score
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Deterministic PQ training: per-subvector Lloyd's on the same
+    * md5-gated sample discipline as [[ivfTrainCentroids]] (seed-stable,
+    * O(sample) per iteration, decimal means so partition boundaries can't
+    * shift an ulp), initialized from the `ksub` lowest-id sampled vectors.
+    * Empty codewords keep their previous centroid (codes are POSITIONS —
+    * renumbering would corrupt every stored code). Falls back to
+    * [[pqFixedCodebooks]] when the corpus is smaller than one codebook.
+    */
+  def pqTrainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       numSub: Int, ksub: Int, iters: Int = 3,
+                       samplePerCode: Int = 50): PqCodebooks = {
+    val raw = graft.Partitioning.balanced(corpus)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+    val dim = raw.select(size(col("v"))).take(1) match {
+      case Array(r) if !r.isNullAt(0) => r.getInt(0)
+      case _ => return pqFixedCodebooks(64, numSub, ksub) // empty corpus
+    }
+    require(dim % numSub == 0, s"dim $dim not divisible by $numSub subvectors")
+    val ds = dim / numSub
+    val target = samplePerCode.toLong * ksub
+    val total = raw.count()
+    val sample = (if (total <= target) raw else {
+      val thr = math.max(1L, math.min(0xFFFFFFFFL,
+        math.ceil(target.toDouble / total * 4294967296.0).toLong))
+      raw.where(substring(md5(col("id").cast("string")), 1, 8) < f"$thr%08x")
+    }).cache()
+    try {
+      if (sample.count() < ksub) return pqFixedCodebooks(dim, numSub, ksub)
+      val seeds = sample.orderBy("id").limit(ksub).collect().map(_.getSeq[Double](1))
+      var books = PqCodebooks(numSub, ksub, ds,
+        IndexedSeq.tabulate(numSub, ksub, ds)((m, j, d) => seeds(j)(m * ds + d)))
+      for (_ <- 0 until iters) {
+        val means = sample
+          .select(col("v"), posexplode(pqEncode(col("v"), books)).as(Seq("m", "code")))
+          .select(col("m"), col("code"),
+            posexplode(slice(col("v"), col("m") * ds + 1, lit(ds))).as(Seq("d", "x")))
+          .groupBy("m", "code", "d")
+          .agg(avg(col("x").cast("decimal(38,18)")).cast("double").as("mean"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case (mc, rows) =>
+            mc -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toIndexedSeq }
+        books = PqCodebooks(numSub, ksub, ds,
+          IndexedSeq.tabulate(numSub, ksub)((m, j) =>
+            means.getOrElse((m, j), books.cb(m)(j))))
+      }
+      books
+    } finally sample.unpersist()
+  }
 }
