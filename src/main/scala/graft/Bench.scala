@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.kernel.{KernelPruning, SafetyKernel}
+import graft.sim.Similarity
 
 /** Benchmark main — driver runs this per-round at sf0.1 (BENCH_r{N}.json).
   *
@@ -253,6 +254,38 @@ object Bench {
     graft.dedup.Dedup.connectedComponents(chain.union(stars), "id_a", "id_b")
   }
 
+  /** n synthetic 64-dim embeddings from id arithmetic (deterministic,
+    * spread over [-1,1] by incommensurate sin frequencies) — the volume
+    * source for the ANN gates, 2000× the sf0.1 embeddings table.
+    */
+  def syntheticEmbeddings(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        d => sin(col("id") * (d + 1))).as("embedding"))
+
+  /** Int8 ANN at volume: 10 queries × 1M-vector corpus through pack +
+    * integer-dot ranking — the codes path (native codegen) must stay
+    * scan-bound; a regression to interpreted HOFs or a plan that
+    * re-packs per pair shows up as a blow-up here.
+    */
+  def annInt81m(spark: SparkSession): DataFrame = {
+    val e = syntheticEmbeddings(spark, 1000000L)
+    Similarity.int8TopK(
+      e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+      "vec_id", "embedding", k = 10)
+  }
+
+  /** PQ/ADC at volume: 10 queries × 200K-vector corpus, fixed codebooks —
+    * encode once per corpus row, rank on LUT lookups only.
+    */
+  def annPq200k(spark: SparkSession): DataFrame = {
+    val e = syntheticEmbeddings(spark, 200000L)
+    Similarity.pqTopKADC(
+      e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+      "vec_id", "embedding",
+      Similarity.pqFixedCodebooks(dim = 64, numSub = 8, ksub = 4), k = 10)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -404,7 +437,7 @@ object Bench {
     // (SPARK_GRAFT_BENCH_ONLY) time inline — they ARE the child, and the
     // recursion guard below is what stops a fork bomb.
     val scaleKeys = Seq("kernel_batch_10x", "lsh_skew", "quota_skew",
-      "tfidf_10x", "funnel_10x", "cluster_10x")
+      "tfidf_10x", "funnel_10x", "cluster_10x", "ann_int8_1m", "ann_pq_200k")
     if (only.isEmpty) {
       spark.stop() // free the parent's executor pool + heap for the child
       results ++= runIsolated(scaleKeys, sfDir, cpus)
@@ -426,6 +459,12 @@ object Bench {
           graft.queries.PipelineQueries.corpusFunnel(spark, documents10x(spark, sfDir)))
       if (want("cluster_10x"))
         results("cluster_10x") = time(cluster10x(spark))
+      // ANN volume gates: the quantized codes paths at 2000× the bench
+      // embeddings table (1M / 200K synthetic vectors)
+      if (want("ann_int8_1m"))
+        results("ann_int8_1m") = time(annInt81m(spark))
+      if (want("ann_pq_200k"))
+        results("ann_pq_200k") = time(annPq200k(spark))
       // linearity evidence, opt-in by explicit name only (~30 min)
       if (only.exists(_.contains("kernel_batch_100x")))
         results("kernel_batch_100x") = time(kernelBatch100x(spark))
@@ -442,7 +481,7 @@ object Bench {
       "kernel_batch_168k_pruned", "kernel_batch_incremental_100new",
       "kernel_batch_168k_factorized", "map_with_safety_168k",
       "kernel_batch_10x", "lsh_skew", "quota_skew",
-      "tfidf_10x", "funnel_10x", "cluster_10x")
+      "tfidf_10x", "funnel_10x", "cluster_10x", "ann_int8_1m", "ann_pq_200k")
     def fmt(v: Double) = // Locale.ROOT: a comma-decimal default locale would break the JSON
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
