@@ -666,6 +666,20 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // --- binary (1-bit) ANN: the far end of the quantization ladder ------
+    // one BIGINT per vector (8 B vs 512 B), candidates cost XOR+popcount;
+    // FULL oracle — sign bits, the Horner pack, and the Hamming ranking
+    // are exact integer arithmetic both engines replay identically.
+    "s07_ann_binary" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.binaryTopK(
+        e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy("query_id", "rank")
+    }),
+
     // --- language-ID heuristic + quality scoring (oracle-checked: the
     // argmax tie-break is mirrored via packed score*8+langIdx encoding) ----
     "d08_lang_quality" -> ((s, dir) => {
@@ -1311,6 +1325,34 @@ object PipelineQueries {
     // quarters round-trip through SQL text): encoding argmin, packed
     // code_key, and the ADC chain replayed term for term
     "s06_ann_pq" -> Similarity.pqOracleSql(PqOracleBooks, k = 3),
+
+    // sign-code replay: same 63-bit pack (bit j-1 = v[j] > 0, the d06b /
+    // s02b integer-shift idiom) and the same Hamming rank — all integers
+    "s07_ann_binary" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+        |qs AS (SELECT query_id,
+        |              CAST(list_sum(list_transform(generate_series(1, 63),
+        |                j -> CASE WHEN v[j] > 0 THEN CAST(1 AS BIGINT) << (j - 1)
+        |                     ELSE 0 END)) AS BIGINT) AS code
+        |       FROM q),
+        |cs AS (SELECT neighbor_id,
+        |              CAST(list_sum(list_transform(generate_series(1, 63),
+        |                j -> CASE WHEN v[j] > 0 THEN CAST(1 AS BIGINT) << (j - 1)
+        |                     ELSE 0 END)) AS BIGINT) AS code
+        |       FROM c),
+        |pairs AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(bit_count(xor(qs.code, cs.code)) AS INT) AS hamming
+        |  FROM qs CROSS JOIN cs),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, hamming,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY hamming ASC, neighbor_id ASC) AS INT) AS rank
+        |  FROM pairs)
+        |SELECT query_id, rank, neighbor_id, hamming
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
 
     // same 3-gram construction as d14's oracle; the eval set is the
     // doc_id % 23 slice, overlap counted over DISTINCT grams per doc

@@ -580,6 +580,44 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "code_key", "score")
   }
 
+  // ------------------------------------------------------------------
+  // Binary (1-bit) quantization — the far end of the compression ladder
+  // ------------------------------------------------------------------
+
+  /** 63-bit sign code: bit d (0-based) is `v[d] > 0`, Horner-packed MSB
+    * first so the fold never touches the long's sign bit (the SimHash63
+    * ANSI-overflow discipline — Spark 4 runs ANSI mode, and `acc*2` on a
+    * set top bit would throw). One BIGINT per vector: 8 bytes against 512
+    * for the doubles — the shuffle/cache footprint at which a 100 TB
+    * corpus's entire code table fits in one executor's memory. Exactly
+    * mirrorable in SQL, so the s07 ranking is oracle'd end to end.
+    */
+  def signCode63(vec: Column): Column =
+    aggregate(sequence(lit(1), lit(63)), lit(0L), (acc, i) =>
+      acc * 2L + when(element_at(vec, lit(64) - i) > 0.0, 1L).otherwise(0L))
+
+  /** Approximate top-k by Hamming distance between sign codes (Charikar
+    * 2002: angular distance ∝ expected sign disagreements): corpus rows
+    * carry ONE long, each candidate costs an XOR + popcount. Ties break to
+    * the lower neighbor id. Returns (query_id, rank, neighbor_id,
+    * hamming) — all exact integers, hash-matched by the s07 oracle.
+    */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame,
+                 idCol: String, vecCol: String, k: Int): DataFrame = {
+    def coded(df: DataFrame, outId: String) = df.select(col(idCol).as(outId),
+      signCode63(col(vecCol).cast("array<double>")).as(s"${outId}_code"))
+    val q = broadcast(coded(queries, "query_id"))
+    val c = coded(graft.Partitioning.balanced(corpus), "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    q.crossJoin(c)
+      .withColumn("hamming",
+        bit_count(col("query_id_code").bitwiseXOR(col("neighbor_id_code"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "hamming")
+  }
+
   /** PQ with exact re-ranking (ADC+R, Jégou 2011 §VII): ADC selects a
     * `shortlist`-sized candidate set from codes alone, then ONLY those
     * candidates' full vectors are fetched and scored with the exact dot.
