@@ -336,4 +336,56 @@ object Dedup {
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
   }
+
+  /** Two-phase dedup of a NEW batch against a corpus SNAPSHOT via a Bloom
+    * filter — the shuffle-free shape for "is this re-crawled?" at 100 TB:
+    * a filter over the corpus's content hashes broadcasts to every task
+    * (~1.2 GB for 10⁹ docs at 1% fpp, vs shuffling either side for an
+    * anti-join), the new batch probes it MAP-SIDE through Spark's own
+    * runtime-filter expression (`BloomFilterMightContain` — the same
+    * machinery InjectRuntimeFilter uses, codegen'd, no UDF), and only the
+    * bloom-HIT sliver (true dups + ~fpp false positives) reaches the
+    * exact md5 confirmation join. Bloom filters have NO false negatives,
+    * so the confirm join erases the fpp noise and the OUTPUT is exactly
+    * "text exists in corpus" — which is why d27's oracle can hash-match a
+    * plain EXISTS even though the bloom stage itself is hash-internal.
+    *
+    * Null-text rows are never duplicates (nothing to re-crawl) and never
+    * probe the filter. Returns (`idCol`, is_dup, bloom_hit) — `bloom_hit`
+    * is the probe result (deterministic, spec-inspected; excluded from
+    * the oracle projection).
+    */
+  def bloomDedupAgainst(newDocs: DataFrame, corpus: DataFrame,
+                        idCol: String, textCol: String,
+                        fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    val corpusHashes = corpus.where(col(textCol).isNotNull)
+      .select(xxhash64(col(textCol)).as("h"))
+    // expectedNumItems sizes the filter; exact count is affordable as a
+    // metadata-scale job (at 10⁹+ docs swap in approx_count_distinct)
+    val n = math.max(corpusHashes.count(), 1L)
+    val bf = corpusHashes.stat.bloomFilter("h", n, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      ColumnBridge.expression(xxhash64(col(textCol)))))
+    val flagged = newDocs.select(col(idCol), col(textCol),
+      (col(textCol).isNotNull && coalesce(probe, lit(false))).as("bloom_hit"))
+    // exact confirmation: ONLY bloom hits join the corpus digest set
+    val dupIds = flagged.where(col("bloom_hit"))
+      .select(col(idCol), md5(col(textCol)).as("__d"))
+      .join(corpus.where(col(textCol).isNotNull)
+        .select(md5(col(textCol)).as("__d")).distinct(), Seq("__d"), "left_semi")
+      .select(col(idCol), lit(true).as("is_dup"))
+    flagged.join(dupIds, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("is_dup"), lit(false)).as("is_dup"),
+        col("bloom_hit"))
+  }
 }

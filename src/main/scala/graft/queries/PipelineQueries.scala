@@ -666,6 +666,22 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // --- Bloom-filter corpus-snapshot dedup (two-phase) -------------------
+    // new batch = doc_id % 3 == 0, corpus = the rest; the bloom stage is
+    // hash-internal but has NO false negatives, so after exact md5
+    // confirmation the output is precisely "text exists in corpus" — which
+    // a plain EXISTS re-derives (bloom_hit itself stays out of the
+    // projection; BloomDedupSpec pins it).
+    "d27_bloom_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.dedup.Dedup.bloomDedupAgainst(
+        docs.where(col("doc_id") % 3 === 0),
+        docs.where(col("doc_id") % 3 =!= 0),
+        "doc_id", "text")
+        .select(col("doc_id"), col("is_dup"))
+        .orderBy("doc_id")
+    }),
+
     // --- binary (1-bit) ANN: the far end of the quantization ladder ------
     // one BIGINT per vector (8 B vs 512 B), candidates cost XOR+popcount;
     // FULL oracle — sign bits, the Horner pack, and the Hamming ranking
@@ -1325,6 +1341,17 @@ object PipelineQueries {
     // quarters round-trip through SQL text): encoding argmin, packed
     // code_key, and the ADC chain replayed term for term
     "s06_ann_pq" -> Similarity.pqOracleSql(PqOracleBooks, k = 3),
+
+    // the bloom stage is transparent (no false negatives + exact confirm),
+    // so the oracle is the plain membership predicate
+    "d27_bloom_dedup" ->
+      """SELECT n.doc_id,
+        |       (n.text IS NOT NULL AND EXISTS (
+        |          SELECT 1 FROM documents c
+        |          WHERE c.doc_id % 3 <> 0 AND c.text = n.text)) AS is_dup
+        |FROM documents n
+        |WHERE n.doc_id % 3 = 0
+        |ORDER BY n.doc_id""".stripMargin,
 
     // sign-code replay: same 63-bit pack (bit j-1 = v[j] > 0, the d06b /
     // s02b integer-shift idiom) and the same Hamming rank — all integers
