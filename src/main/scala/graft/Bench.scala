@@ -496,16 +496,27 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val line =
       s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
-    println(line)
-    // The collecting harness keeps only a ~2000-char tail, which truncates
-    // the head of this line (every BENCH_r{N}.json so far has parsed:null).
-    // Full runs also persist the complete line to the repo root so the
-    // round's artifact trail has a parseable copy; subset runs (dev
-    // re-timing and the forked gate child) must not clobber it.
-    if (only.isEmpty)
+    // The collecting harness keeps only a ~2000-char stdout tail. The full
+    // per-query line outgrew that window rounds ago (every BENCH_r{N}.json
+    // since has parsed:null — an unparseable truncated blob), so FULL runs
+    // print a compact line that FITS — the headline kernels the baseline
+    // comparison actually grades, plus suite aggregates — and persist the
+    // complete line to BENCH_LOCAL.json at the repo root (committed, the
+    // round's parseable artifact trail). Subset runs (dev re-timing and
+    // the forked gate child) keep the full line on stdout — runIsolated
+    // harvests its per-key timings from exactly that output — and never
+    // clobber BENCH_LOCAL.
+    if (only.isEmpty) {
+      val headline = headlineKeys.flatMap(k => results.get(k).map(k -> _))
+      val hqs = headline.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val suiteTotal = suite.map(_._2).filter(_ >= 0).sum
+      val nFailed = results.values.count(_ < 0)
+      println(
+        s"""{"queries":$hqs,"suite_n":${suite.size},"suite_sec":${fmt(suiteTotal)},"n_failed":$nFailed,"full":"BENCH_LOCAL.json","sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}""")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL write: ${e.getMessage}") }
+    } else println(line)
     spark.stop()
   }
 }

@@ -236,16 +236,23 @@ object Dedup {
           least(col("label"),
             coalesce(col("nmin"), col("label")),
             coalesce(col("jl"), col("label"))).as("next"))
-        .localCheckpoint()
-      converged = updated.where(col("next") < col("label")).isEmpty
+      // fresh-stats checkpoint, NOT plain localCheckpoint: the plain form
+      // carries the origin plan's sizeInBytes into its LogicalRDD, and
+      // this loop joins ~7 copies of the previous round's frame — the
+      // carried estimate compounds ^7 per round into million-digit
+      // BigInts whose multiplications wedge the driver's stats visitor
+      // around round 7 (hit live by cluster_10x's ~10-round chain)
+      val checkpointed = org.apache.spark.sql.graftbridge.PlanBridge
+        .freshStatsCheckpoint(updated)
+      converged = checkpointed.where(col("next") < col("label")).isEmpty
       // the PREVIOUS round's frame is materialized in the block manager by
       // localCheckpoint — release it once its successor exists, or
       // O(rounds) full copies of the label table accumulate.
       // (CheckpointUtil walks through the `labels` projection to the
       // checkpointed RDD beneath it — `labels` itself is a select over
-      // the previous round's `updated`.)
+      // the previous round's checkpointed frame.)
       graft.plans.CheckpointUtil.release(labels)
-      labels = updated.select(col("node"), col("next").as("label"))
+      labels = checkpointed.select(col("node"), col("next").as("label"))
       it += 1
     }
     // a silently-truncated propagation would report one real cluster as

@@ -23,3 +23,34 @@ object ColumnBridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 }
+
+/** Plan-level bridge: local checkpointing for ITERATIVE algorithms.
+  *
+  * `Dataset.localCheckpoint` truncates lineage but deliberately carries
+  * the ORIGIN plan's `Statistics` into the replacement [[LogicalRDD]]
+  * (`originStats`) so one-shot checkpoints keep their size estimates. For
+  * an iterative algorithm that is a trap: round r+1's plan joins k copies
+  * of round r's checkpointed frame, so the carried `sizeInBytes` compounds
+  * ^k per round — doubly-exponential BigInts whose Toom-Cook
+  * multiplications wedge the stats visitor on the DRIVER for hours (a
+  * 200K-hop pointer-doubling component run stalls around round 7) while
+  * the cluster sits idle. `freshStatsCheckpoint` rebuilds the LogicalRDD
+  * WITHOUT origin stats, so every round re-estimates from
+  * `defaultSizeInBytes` and planning cost stays constant per round.
+  */
+object PlanBridge {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.execution.LogicalRDD
+
+  def freshStatsCheckpoint(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.queryExecution.logical match {
+      case l: LogicalRDD =>
+        val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val clean = LogicalRDD(l.output, l.rdd, l.outputPartitioning,
+          l.outputOrdering, l.isStreaming, l.stream)(session, None, None)
+        org.apache.spark.sql.classic.Dataset.ofRows(session, clean)
+      case _ => ck // unexpected shape — keep the plain checkpoint
+    }
+  }
+}

@@ -69,4 +69,29 @@ class ChunkingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Chunking.chunk(df, "doc_id", "text", 4, 4))
     intercept[IllegalArgumentException](Chunking.chunk(df, "doc_id", "text", 4, -1))
   }
+
+  test("unified API: the same chunk() runs unchanged on a STREAM, equal to batch") {
+    // map-side ops carry to Structured Streaming verbatim — chunking a
+    // live crawl needs no second implementation
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq((1L, (1 to 9).map(i => s"t$i").mkString(" ")),
+      (2L, "solo"), (3L, (1 to 5).map(i => s"u$i").mkString(" ")))
+    val mem = MemoryStream[(Long, String)]
+    val q = Chunking.chunk(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", maxTokens = 4, overlap = 1)
+      .writeStream.format("memory").queryName("chunk_stream").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_stream")
+        .select("doc_id", "chunk_idx", "start_token", "chunk_text", "chunk_hash")
+        .collect().map(_.toString).sorted.toSeq
+      val batch = Chunking.chunk(rows.toDF("doc_id", "text"),
+        "doc_id", "text", maxTokens = 4, overlap = 1)
+        .select("doc_id", "chunk_idx", "start_token", "chunk_text", "chunk_hash")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
