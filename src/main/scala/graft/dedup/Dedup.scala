@@ -385,12 +385,19 @@ object Dedup {
       ColumnBridge.expression(xxhash64(col(textCol)))))
     val flagged = newDocs.select(col(idCol), col(textCol),
       (col(textCol).isNotNull && coalesce(probe, lit(false))).as("bloom_hit"))
-    // exact confirmation: ONLY bloom hits join the corpus digest set
+    // exact confirmation: ONLY bloom hits join the corpus digest set.
+    // distinct on idCol: a duplicated id in newDocs (both rows bloom hits)
+    // would otherwise multiply through the left join below (2 flagged ×
+    // 2 dupIds = 4 output rows) — with the distinct, each flagged row
+    // joins at most one dupIds row, so the output has exactly newDocs'
+    // cardinality (an id duplicated with DIFFERENT texts is out of
+    // contract — idCol is a key, as for every operator here)
     val dupIds = flagged.where(col("bloom_hit"))
       .select(col(idCol), md5(col(textCol)).as("__d"))
       .join(corpus.where(col(textCol).isNotNull)
         .select(md5(col(textCol)).as("__d")).distinct(), Seq("__d"), "left_semi")
-      .select(col(idCol), lit(true).as("is_dup"))
+      .select(col(idCol)).distinct()
+      .withColumn("is_dup", lit(true))
     flagged.join(dupIds, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("is_dup"), lit(false)).as("is_dup"),
         col("bloom_hit"))

@@ -517,14 +517,17 @@ object Similarity {
     * subvector, ties to the LOWEST index via first-position-of-min — the
     * same rule `list_position(l, list_min(l))` replays in DuckDB). The
     * fold over dimensions is left-assoc in index order, so the distances
-    * are bit-identical across engines.
+    * are bit-identical across engines. Vectors shorter than the model's
+    * `numSub·ds` dims are zero-padded (`try_element_at` + coalesce) rather
+    * than throwing INVALID_ARRAY_INDEX under ANSI mode — for conforming
+    * vectors the expression is bit-identical to plain indexing.
     */
   def pqEncode(vec: Column, cb: PqCodebooks): Column = {
     val cmat = cbLit(cb)
     transform(sequence(lit(0), lit(cb.numSub - 1)), m => {
       val dists = transform(sequence(lit(0), lit(cb.ksub - 1)), j =>
         aggregate(sequence(lit(0), lit(cb.ds - 1)), lit(0.0), (acc, d) => {
-          val x = element_at(vec, m * cb.ds + d + 1)
+          val x = coalesce(try_element_at(vec, m * cb.ds + d + 1), lit(0.0))
           val c = element_at(element_at(element_at(cmat, m + 1), j + 1), d + 1)
           acc + (x - c) * (x - c)
         }))
@@ -544,7 +547,7 @@ object Similarity {
       val m = (idx / cb.ksub).cast("int")
       val j = (idx % cb.ksub).cast("int")
       aggregate(sequence(lit(0), lit(cb.ds - 1)), lit(0.0), (acc, d) =>
-        acc + element_at(qv, m * cb.ds + d + 1) *
+        acc + coalesce(try_element_at(qv, m * cb.ds + d + 1), lit(0.0)) *
           element_at(element_at(element_at(cmat, m + 1), j + 1), d + 1))
     })
   }
@@ -591,10 +594,14 @@ object Similarity {
     * for the doubles — the shuffle/cache footprint at which a 100 TB
     * corpus's entire code table fits in one executor's memory. Exactly
     * mirrorable in SQL, so the s07 ranking is oracle'd end to end.
+    * Vectors shorter than 63 dims contribute 0-bits for the missing
+    * coordinates (`try_element_at`: out-of-range → null → the otherwise-0
+    * arm, the same total semantics as SQL list indexing) instead of
+    * throwing INVALID_ARRAY_INDEX under ANSI mode.
     */
   def signCode63(vec: Column): Column =
     aggregate(sequence(lit(1), lit(63)), lit(0L), (acc, i) =>
-      acc * 2L + when(element_at(vec, lit(64) - i) > 0.0, 1L).otherwise(0L))
+      acc * 2L + when(try_element_at(vec, lit(64) - i) > 0.0, 1L).otherwise(0L))
 
   /** Approximate top-k by Hamming distance between sign codes (Charikar
     * 2002: angular distance ∝ expected sign disagreements): corpus rows

@@ -202,32 +202,54 @@ object StreamingOps {
           var st = state.getOption.getOrElse(
             LshBucketState(Vector.empty, Vector.empty, capped = false))
           val out = scala.collection.mutable.ListBuffer[LshPairOut]()
-          // id order makes replayed micro-batches deterministic
-          rows.toSeq.sortBy(_.id).foreach { d =>
-            if (!st.capped && !st.ids.contains(d.id)) {
-              if (st.ids.size >= maxBucketSize) st = st.copy(capped = true)
-              else {
-                var i = 0
-                while (i < st.ids.length) {
-                  val other = st.sigs(i)
-                  val n = math.min(other.length, d.sig.length)
-                  var agree = 0
-                  var j = 0
-                  while (j < n) {
-                    if (other(j) == d.sig(j)) agree += 1
-                    j += 1
-                  }
-                  // fraction of agreeing minima over size(sigA) — the
-                  // minhashEstimate contract (signatures share numHashes)
-                  val est = agree.toDouble / other.length
-                  if (est >= minEst)
-                    out += LshPairOut(math.min(st.ids(i), d.id),
-                      math.max(st.ids(i), d.id), band, est)
-                  i += 1
-                }
-                st = st.copy(ids = st.ids :+ d.id, sigs = st.sigs :+ d.sig)
+          if (st.capped) {
+            // latched: nothing from this batch can ever emit or join —
+            // drain without materializing (a 1M-row boilerplate bucket
+            // arriving in one batch must not be buffered in this task)
+            while (rows.hasNext) rows.next()
+          } else {
+            // Bounded deterministic selection: id order decides which rows
+            // fill the remaining room, but only the (room + 1) smallest
+            // distinct new ids can matter — the +1 sentinel is the arrival
+            // that flips the latch. A TreeMap bounded to that size replaces
+            // the old full-batch toSeq.sortBy (which buffered a degenerate
+            // bucket's entire micro-batch in one task's heap even though
+            // all but `room` rows could never emit). Re-delivered ids keep
+            // first-arrival semantics (already-present keys are skipped).
+            val room = maxBucketSize - st.ids.size
+            val known = st.ids.toSet
+            val cand = scala.collection.mutable.TreeMap[Long, Seq[Long]]()
+            while (rows.hasNext) {
+              val d = rows.next()
+              if (!known.contains(d.id) && !cand.contains(d.id) &&
+                  (cand.size <= room || d.id < cand.lastKey)) {
+                cand(d.id) = d.sig
+                if (cand.size > room + 1) cand.remove(cand.lastKey)
               }
             }
+            val overflow = cand.size > room
+            cand.take(room).foreach { case (id, sig) =>
+              var i = 0
+              while (i < st.ids.length) {
+                val other = st.sigs(i)
+                val n = math.min(other.length, sig.length)
+                var agree = 0
+                var j = 0
+                while (j < n) {
+                  if (other(j) == sig(j)) agree += 1
+                  j += 1
+                }
+                // fraction of agreeing minima over size(sigA) — the
+                // minhashEstimate contract (signatures share numHashes)
+                val est = agree.toDouble / other.length
+                if (est >= minEst)
+                  out += LshPairOut(math.min(st.ids(i), id),
+                    math.max(st.ids(i), id), band, est)
+                i += 1
+              }
+              st = st.copy(ids = st.ids :+ id, sigs = st.sigs :+ sig)
+            }
+            if (overflow) st = st.copy(capped = true)
           }
           state.update(st)
           out.iterator
