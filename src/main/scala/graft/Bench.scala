@@ -286,6 +286,27 @@ object Bench {
       Similarity.pqFixedCodebooks(dim = 64, numSub = 8, ksub = 4), k = 10)
   }
 
+  /** IVFADC on the SAME corpus/codebooks as [[annPq200k]] with 16 one-hot
+    * cells × nprobe 4 and FOUR TIMES the queries: per-query candidate work
+    * is ~nprobe/nlist = 1/4 of the plain ADC scan (the sin-embedding
+    * argmax spreads near-uniformly over the 16 cells), so 40 queries here
+    * cost the same ranking-stage pair count as [[annPq200k]]'s 10 — the
+    * measured point for "ADC scan work ∝ nprobe/nlist" is this entry
+    * landing at ≲ the ann_pq_200k wall at 4× the query throughput. Both
+    * paths pay the same map-side encode (the index build — one-time and
+    * amortized across queries in a real serving deployment).
+    */
+  def annIvfPq200k(spark: SparkSession): DataFrame = {
+    val e = syntheticEmbeddings(spark, 200000L)
+    val oneHot = Array.tabulate(16)(j =>
+      j -> Seq.tabulate(64)(d => if (d == j) 1.0 else 0.0))
+    Similarity.ivfPqTopKWithModel(
+      e.where(col("vec_id") < 40), e.where(col("vec_id") >= 40),
+      "vec_id", "embedding", oneHot,
+      Similarity.pqFixedCodebooks(dim = 64, numSub = 8, ksub = 4),
+      nprobe = 4, k = 10)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -437,7 +458,8 @@ object Bench {
     // (SPARK_GRAFT_BENCH_ONLY) time inline — they ARE the child, and the
     // recursion guard below is what stops a fork bomb.
     val scaleKeys = Seq("kernel_batch_10x", "lsh_skew", "quota_skew",
-      "tfidf_10x", "funnel_10x", "cluster_10x", "ann_int8_1m", "ann_pq_200k")
+      "tfidf_10x", "funnel_10x", "cluster_10x", "ann_int8_1m", "ann_pq_200k",
+      "ann_ivfpq_200k")
     if (only.isEmpty) {
       spark.stop() // free the parent's executor pool + heap for the child
       results ++= runIsolated(scaleKeys, sfDir, cpus)
@@ -465,6 +487,8 @@ object Bench {
         results("ann_int8_1m") = time(annInt81m(spark))
       if (want("ann_pq_200k"))
         results("ann_pq_200k") = time(annPq200k(spark))
+      if (want("ann_ivfpq_200k"))
+        results("ann_ivfpq_200k") = time(annIvfPq200k(spark))
       // linearity evidence, opt-in by explicit name only (~30 min)
       if (only.exists(_.contains("kernel_batch_100x")))
         results("kernel_batch_100x") = time(kernelBatch100x(spark))
@@ -481,7 +505,8 @@ object Bench {
       "kernel_batch_168k_pruned", "kernel_batch_incremental_100new",
       "kernel_batch_168k_factorized", "map_with_safety_168k",
       "kernel_batch_10x", "lsh_skew", "quota_skew",
-      "tfidf_10x", "funnel_10x", "cluster_10x", "ann_int8_1m", "ann_pq_200k")
+      "tfidf_10x", "funnel_10x", "cluster_10x", "ann_int8_1m", "ann_pq_200k",
+      "ann_ivfpq_200k")
     def fmt(v: Double) = // Locale.ROOT: a comma-decimal default locale would break the JSON
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

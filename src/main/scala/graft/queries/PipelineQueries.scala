@@ -696,6 +696,26 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // --- IVFADC (Jégou 2011 §V): coarse cells × PQ codes ------------------
+    // The composition the quantization ladder exists to enable: each query
+    // ADC-scans only its nprobe probed cells' codes (~nprobe/nlist of the
+    // corpus), the corpus side still carrying 8 small ints per vector.
+    // FULL oracle via the proven s03b × s06 idiom — one-hot centroids make
+    // assignment/probing coordinate reads, fixed quarter codebooks make
+    // encoding and the ADC chain replayable, and the output pins all three
+    // (cell, code_key hash-matched as INT/BIGINT, ADC score).
+    "s08_ann_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val oneHot: Array[(Int, Seq[Double])] = Array.tabulate(8)(j =>
+        j -> Seq.tabulate(64)(d => if (d == j) 1.0 else 0.0))
+      Similarity.ivfPqTopKWithModel(
+        e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+        "vec_id", "embedding", oneHot, PqOracleBooks, nprobe = 3, k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cell"), col("code_key"), round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // --- language-ID heuristic + quality scoring (oracle-checked: the
     // argmax tie-break is mirrored via packed score*8+langIdx encoding) ----
     "d08_lang_quality" -> ((s, dir) => {
@@ -1341,6 +1361,11 @@ object PipelineQueries {
     // quarters round-trip through SQL text): encoding argmin, packed
     // code_key, and the ADC chain replayed term for term
     "s06_ann_pq" -> Similarity.pqOracleSql(PqOracleBooks, k = 3),
+
+    // generated from the SAME codebooks as the query, composed with the
+    // s03b one-hot probe CTEs: assignment, nprobe cut, encoding, code_key,
+    // and the probed-cell ADC chain all replayed
+    "s08_ann_ivfpq" -> Similarity.ivfPqOracleSql(PqOracleBooks, nprobe = 3, k = 3),
 
     // the bloom stage is transparent (no false negatives + exact confirm),
     // so the oracle is the plain membership predicate

@@ -145,10 +145,18 @@ object Similarity {
     */
   private def nearestCell(vec: Column, centroids: Array[(Int, Seq[Double])]): Column = {
     require(centroids.nonEmpty, "nearestCell needs at least one centroid")
-    val cmat = typedLit(centroids.map(_._2).toSeq)
-    val best = array_max(transform(sequence(lit(0), lit(centroids.length - 1)),
-      i => struct(VectorExprs.dot(vec, element_at(cmat, i + 1)).as("sim"),
-        (-i).as("negCell"))))
+    // UNROLLED over cells (the hyperplaneSignature idiom), not a transform
+    // HOF over a centroid-matrix literal: higher-order functions are
+    // CodegenFallback, so the HOF form ran every per-cell dot through an
+    // interpreted lambda with boxing — measured ~3× the entire plain-ADC
+    // scan on the 200K-vector bench. Unrolled, each cell costs one NATIVE
+    // codegen'd dot against its own array literal, and the argmax is a
+    // `greatest` over (sim, -cell) structs — same lexicographic tie rule
+    // (max sim, then min cell) as the array_max form it replaces.
+    val cands = centroids.map { case (i, cvec) =>
+      struct(VectorExprs.dot(vec, typedLit(cvec)).as("sim"), lit(-i).as("negCell"))
+    }
+    val best = if (cands.length == 1) cands.head else greatest(cands.toIndexedSeq: _*)
     (-best.getField("negCell")).cast("int")
   }
 
@@ -517,22 +525,24 @@ object Similarity {
     * subvector, ties to the LOWEST index via first-position-of-min — the
     * same rule `list_position(l, list_min(l))` replays in DuckDB). The
     * fold over dimensions is left-assoc in index order, so the distances
-    * are bit-identical across engines. Vectors shorter than the model's
-    * `numSub·ds` dims are zero-padded (`try_element_at` + coalesce) rather
-    * than throwing INVALID_ARRAY_INDEX under ANSI mode — for conforming
-    * vectors the expression is bit-identical to plain indexing.
+    * are bit-identical across engines. A vector shorter than the model's
+    * `numSub·ds` dims encodes as NULL (one top-level size() guard — ranks
+    * last, never throws INVALID_ARRAY_INDEX under ANSI mode; a per-element
+    * try_element_at guard measured 3× slower across the whole 256-term
+    * tree, so the guard sits OUTSIDE the hot fold).
     */
   def pqEncode(vec: Column, cb: PqCodebooks): Column = {
     val cmat = cbLit(cb)
-    transform(sequence(lit(0), lit(cb.numSub - 1)), m => {
+    val enc = transform(sequence(lit(0), lit(cb.numSub - 1)), m => {
       val dists = transform(sequence(lit(0), lit(cb.ksub - 1)), j =>
         aggregate(sequence(lit(0), lit(cb.ds - 1)), lit(0.0), (acc, d) => {
-          val x = coalesce(try_element_at(vec, m * cb.ds + d + 1), lit(0.0))
+          val x = element_at(vec, m * cb.ds + d + 1)
           val c = element_at(element_at(element_at(cmat, m + 1), j + 1), d + 1)
           acc + (x - c) * (x - c)
         }))
       (array_position(dists, array_min(dists)) - 1).cast("int")
     })
+    when(size(vec) >= cb.numSub * cb.ds, enc).otherwise(lit(null).cast("array<int>"))
   }
 
   /** Per-query ADC lookup table: entry `m·ksub + j` is the dot of the
@@ -543,13 +553,17 @@ object Similarity {
     */
   def pqAdcLut(qv: Column, cb: PqCodebooks): Column = {
     val cmat = cbLit(cb)
-    transform(sequence(lit(0), lit(cb.numSub * cb.ksub - 1)), idx => {
+    val lut = transform(sequence(lit(0), lit(cb.numSub * cb.ksub - 1)), idx => {
       val m = (idx / cb.ksub).cast("int")
       val j = (idx % cb.ksub).cast("int")
       aggregate(sequence(lit(0), lit(cb.ds - 1)), lit(0.0), (acc, d) =>
-        acc + coalesce(try_element_at(qv, m * cb.ds + d + 1), lit(0.0)) *
+        acc + element_at(qv, m * cb.ds + d + 1) *
           element_at(element_at(element_at(cmat, m + 1), j + 1), d + 1))
     })
+    // same ANSI guard as pqEncode: a short query vector yields a NULL LUT
+    // (every candidate scores null → the query returns nothing) instead of
+    // throwing INVALID_ARRAY_INDEX mid-scan
+    when(size(qv) >= cb.numSub * cb.ds, lut).otherwise(lit(null).cast("array<double>"))
   }
 
   /** Approximate top-k by PQ/ADC: corpus rows carry only their codes, each
@@ -650,6 +664,189 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "dot")
+  }
+
+  // ------------------------------------------------------------------
+  // IVFADC — coarse quantizer × PQ/ADC (Jégou et al., TPAMI 2011 §V)
+  // ------------------------------------------------------------------
+
+  /** IVFADC: the composition [[pqTopKADC]] exists to enable at 100 TB.
+    * Plain ADC still scans the ENTIRE codes table per query (memory-bound
+    * but O(corpus)); here the coarse quantizer restricts that scan to the
+    * query's `nprobe` probed cells, so per-query work is ~nprobe/nlist of
+    * the corpus while the corpus itself still carries only codes.
+    *
+    * Plan shape: ONE corpus scan computes cell assignment ([[nearestCell]],
+    * argmax inlined per row) AND the PQ codes map-side — only
+    * (cell, neighbor_id, codes) survives into the cell equi-join, so at
+    * scale the shuffled/broadcast payload is `numSub` small ints per
+    * vector, never the doubles. Queries rank the broadcast centroid table
+    * for their `nprobe` cells, build their ADC LUT once, and the broadcast
+    * probe join + LUT scoring replaces the cross join. Non-residual
+    * variant: codes quantize the raw vector, not (vector − centroid), so
+    * the same codebooks serve every cell and the oracle can replay
+    * encoding and the ADC chain with the s06 machinery.
+    *
+    * Returns (query_id, rank, neighbor_id, cell, code_key, score):
+    * `cell` pins the assignment, `code_key` the full code word, `score`
+    * the ADC sum — with one-hot centroids + exact-binary codebooks all
+    * three are SQL-derivable, which is what the s08 oracle hash-matches.
+    */
+  def ivfPqTopKWithModel(queries: DataFrame, corpus: DataFrame,
+                         idCol: String, vecCol: String,
+                         centroids: Array[(Int, Seq[Double])],
+                         cb: PqCodebooks, nprobe: Int, k: Int): DataFrame = {
+    require(centroids.zipWithIndex.forall { case ((id, _), i) => id == i },
+      "centroid labels must equal their array positions (0..n-1)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(centroids.toSeq.toDF("cell", "c_vec"))
+
+    // one corpus scan: map-side assignment + encoding, codes-only output
+    val assigned = graft.Partitioning.balanced(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull) // null vector: no cell, no codes — excluded
+      .select(nearestCell(col("v"), centroids).as("cell"),
+        col("neighbor_id"), pqEncode(col("v"), cb).as("codes"))
+
+    // probe ranking on the raw dot: centroids are unit-normalized, the
+    // query's own norm is a positive per-query constant, so the nprobe
+    // order equals the cosine order without a division (and stays exactly
+    // replayable for one-hot centroids: sim = a coordinate read)
+    val wProbe = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .where(col("qv").isNotNull)
+      .crossJoin(cdf)
+      .withColumn("sim", VectorExprs.dot(col("qv"), col("c_vec")))
+      .withColumn("rk", row_number().over(wProbe)).where(col("rk") <= nprobe)
+      // LUT materialized AFTER the nprobe cut: nprobe copies per query
+      // ride the broadcast, not nlist
+      .withColumn("lut", pqAdcLut(col("qv"), cb))
+      .select("query_id", "lut", "cell")
+
+    val score = aggregate(sequence(lit(0), lit(cb.numSub - 1)), lit(0.0), (acc, m) =>
+      acc + element_at(col("lut"),
+        m.cast("int") * cb.ksub + element_at(col("codes"), m + 1) + 1))
+    val codeKey = (0 until cb.numSub).map(m =>
+      element_at(col("codes"), m + 1).cast("long") *
+        lit(math.pow(cb.ksub.toDouble, m.toDouble).toLong))
+      .reduce(_ + _)
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    // no distinct: corpus cells are single-valued and a query's probe
+    // cells pairwise distinct, so a candidate appears exactly once
+    broadcast(probes).join(assigned, "cell")
+      .withColumn("score", score)
+      .withColumn("code_key", codeKey)
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cell", "code_key", "score")
+  }
+
+  /** IVFADC behind the deterministic trainers — the production entry:
+    * spherical-kmeans coarse cells ([[ivfTrainCentroids]]) + per-subvector
+    * Lloyd's codebooks ([[pqTrainCodebooks]]), both O(sample) per
+    * iteration. An empty / all-null corpus yields an empty result with the
+    * right schema.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                idCol: String, vecCol: String,
+                nlist: Int, nprobe: Int, numSub: Int, ksub: Int, k: Int,
+                iters: Int = 3): DataFrame = {
+    val centroids = ivfTrainCentroids(corpus, idCol, vecCol, nlist, iters)
+    val cb = pqTrainCodebooks(corpus, idCol, vecCol, numSub, ksub, iters)
+    if (centroids.isEmpty)
+      ivfPqTopKWithModel(queries.limit(0), corpus.limit(0), idCol, vecCol,
+        Array(0 -> Seq.fill(cb.numSub * cb.ds)(0.0)), cb, nprobe, k)
+    else
+      ivfPqTopKWithModel(queries, corpus, idCol, vecCol, centroids, cb, nprobe, k)
+  }
+
+  /** IVFADC+R: the probed-cell ADC scan selects a `shortlist` per query,
+    * then ONLY those candidates' full vectors are fetched and re-ranked by
+    * the exact dot (the [[pqTopKADCRerank]] discipline composed with the
+    * coarse stage) — per-query work is nprobe/nlist of the codes plus
+    * `shortlist` full vectors. Returns (query_id, rank, neighbor_id, dot).
+    */
+  def ivfPqTopKRerank(queries: DataFrame, corpus: DataFrame,
+                      idCol: String, vecCol: String,
+                      centroids: Array[(Int, Seq[Double])],
+                      cb: PqCodebooks, nprobe: Int, k: Int,
+                      shortlist: Int = 50): DataFrame = {
+    val cands = ivfPqTopKWithModel(queries, corpus, idCol, vecCol,
+      centroids, cb, nprobe, shortlist)
+      .select("query_id", "neighbor_id")
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    cands.join(cv, Seq("neighbor_id")).join(qv, Seq("query_id"))
+      .withColumn("dot", VectorExprs.dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dot")
+  }
+
+  /** DuckDB twin of [[ivfPqTopKWithModel]] under 8 one-hot centroids —
+    * GENERATED from the same codebooks (the [[pqOracleSql]] machinery
+    * composed with the s03b probe CTEs): cell = argmax of the first 8
+    * coordinates (first-of-max ties, [[nearestCell]]'s rule), probes =
+    * the query's top-`nprobe` coordinates (same order), then encoding,
+    * code_key, and the ADC chain replayed term for term WITHIN probed
+    * cells only.
+    */
+  def ivfPqOracleSql(cb: PqCodebooks, nprobe: Int, k: Int): String = {
+    val M = cb.numSub; val K = cb.ksub; val ds = cb.ds
+    def sq(m: Int, j: Int): String =
+      (0 until ds).map { d =>
+        val c = cb.cb(m)(j)(d)
+        s"(v[${m * ds + d + 1}] - $c) * (v[${m * ds + d + 1}] - $c)"
+      }.mkString(" + ")
+    def code(m: Int): String = {
+      val lst = (0 until K).map(j => s"(${sq(m, j)})").mkString("[", ", ", "]")
+      s"(list_position($lst, list_min($lst)) - 1)"
+    }
+    def dot(m: Int, j: Int): String =
+      (0 until ds).map { d =>
+        s"p.v[${m * ds + d + 1}] * ${cb.cb(m)(j)(d)}"
+      }.mkString(" + ")
+    def scoreTerm(m: Int): String =
+      s"(CASE enc.c$m " +
+        (0 until K).map(j => s"WHEN $j THEN ${dot(m, j)}").mkString(" ") +
+        " END)"
+    val encCols = (0 until M).map(m => s"${code(m)} AS c$m").mkString(",\n         ")
+    val keyExpr = (0 until M).map(m =>
+      s"CAST(enc.c$m AS BIGINT) * ${math.pow(K.toDouble, m.toDouble).toLong}")
+      .mkString(" + ")
+    val scoreExpr = (0 until M).map(scoreTerm).mkString(" + ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+       |enc AS (
+       |  SELECT neighbor_id,
+       |         CAST(list_indexof(v[1:8], list_max(v[1:8])) - 1 AS INT) AS cell,
+       |         $encCols
+       |  FROM c),
+       |qp AS (SELECT query_id, v, CAST(j AS INT) AS cell,
+       |              row_number() OVER (PARTITION BY query_id
+       |                ORDER BY v[j+1] DESC, j ASC) AS rk
+       |       FROM q, range(8) t(j)),
+       |probes AS (SELECT query_id, v, cell FROM qp WHERE rk <= $nprobe),
+       |pairs AS (
+       |  SELECT p.query_id, enc.neighbor_id, enc.cell,
+       |         $keyExpr AS code_key,
+       |         $scoreExpr AS score
+       |  FROM probes p JOIN enc USING (cell)),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cell, code_key, score,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, cell, code_key, round(score, 4) AS score
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** DuckDB twin of [[pqEncode]] + [[pqTopKADC]] over the embeddings
