@@ -307,6 +307,23 @@ object Bench {
       nprobe = 4, k = 10)
   }
 
+  /** Bloom corpus-snapshot dedup at volume: the filter is built over 10M
+    * synthetic content digests (~12 MB at 1% fpp — the analytic
+    * −n·ln(fpp)/ln²2 bits; BloomDedupSpec pins the 1.3× bound), torrent-
+    * broadcast once, and probed map-side by a 1M-row new batch straddling
+    * the corpus boundary (half true dups, half fresh) so both the hit
+    * sliver and the exact confirmation join run at realistic selectivity.
+    * The gate is "no OOM, wall stays build-dominated": probe work is one
+    * codegen'd mightContainLong per row.
+    */
+  def bloom10m(spark: SparkSession): DataFrame = {
+    val corpus = spark.range(10000000L).select(col("id").as("doc_id"),
+      concat(lit("synthetic doc "), col("id")).as("text"))
+    val newBatch = spark.range(9500000L, 10500000L).select(col("id").as("doc_id"),
+      concat(lit("synthetic doc "), col("id")).as("text"))
+    graft.dedup.Dedup.bloomDedupAgainst(newBatch, corpus, "doc_id", "text")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -459,7 +476,7 @@ object Bench {
     // recursion guard below is what stops a fork bomb.
     val scaleKeys = Seq("kernel_batch_10x", "lsh_skew", "quota_skew",
       "tfidf_10x", "funnel_10x", "cluster_10x", "ann_int8_1m", "ann_pq_200k",
-      "ann_ivfpq_200k")
+      "ann_ivfpq_200k", "bloom_10m")
     if (only.isEmpty) {
       spark.stop() // free the parent's executor pool + heap for the child
       results ++= runIsolated(scaleKeys, sfDir, cpus)
@@ -489,6 +506,8 @@ object Bench {
         results("ann_pq_200k") = time(annPq200k(spark))
       if (want("ann_ivfpq_200k"))
         results("ann_ivfpq_200k") = time(annIvfPq200k(spark))
+      if (want("bloom_10m"))
+        results("bloom_10m") = time(bloom10m(spark))
       // linearity evidence, opt-in by explicit name only (~30 min)
       if (only.exists(_.contains("kernel_batch_100x")))
         results("kernel_batch_100x") = time(kernelBatch100x(spark))
@@ -506,7 +525,7 @@ object Bench {
       "kernel_batch_168k_factorized", "map_with_safety_168k",
       "kernel_batch_10x", "lsh_skew", "quota_skew",
       "tfidf_10x", "funnel_10x", "cluster_10x", "ann_int8_1m", "ann_pq_200k",
-      "ann_ivfpq_200k")
+      "ann_ivfpq_200k", "bloom_10m")
     def fmt(v: Double) = // Locale.ROOT: a comma-decimal default locale would break the JSON
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

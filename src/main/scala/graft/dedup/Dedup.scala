@@ -344,13 +344,43 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
   }
 
+  /** Distributed Bloom build at the ANALYTIC size. `stat.bloomFilter`
+    * routes through `bloom_filter_agg`, which SILENTLY clamps the filter
+    * to the runtime-join-filter confs (maxNumItems 4M, maxNumBits
+    * 2^26 ≈ 8 MiB by default — sized for join pruning, where a degraded
+    * fpp only weakens pruning). For dedup, fpp IS the design point (it
+    * sizes the exact-confirmation sliver), so both confs are lifted to
+    * the `optimalNumOfBits(n, fpp)` optimum for the build and restored
+    * after: a 10M-digest corpus gets its honest ~11.4 MiB, not a
+    * 5×-the-design-fpp 8 MiB cap (BloomDedupSpec pins the 1.3× bound).
+    */
+  def buildBloom(hashes: DataFrame, hashCol: String, n: Long,
+                 fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
+    val spark = hashes.sparkSession
+    val optimalBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prevItems = spark.conf.getOption(itemsKey)
+    val prevBits = spark.conf.getOption(bitsKey)
+    try {
+      spark.conf.set(itemsKey, math.max(n, 4000000L))
+      spark.conf.set(bitsKey, math.max(optimalBits, 67108864L))
+      hashes.stat.bloomFilter(hashCol, n, fpp)
+    } finally {
+      prevItems.fold(spark.conf.unset(itemsKey))(spark.conf.set(itemsKey, _))
+      prevBits.fold(spark.conf.unset(bitsKey))(spark.conf.set(bitsKey, _))
+    }
+  }
+
   /** Two-phase dedup of a NEW batch against a corpus SNAPSHOT via a Bloom
     * filter — the shuffle-free shape for "is this re-crawled?" at 100 TB:
-    * a filter over the corpus's content hashes broadcasts to every task
-    * (~1.2 GB for 10⁹ docs at 1% fpp, vs shuffling either side for an
-    * anti-join), the new batch probes it MAP-SIDE through Spark's own
-    * runtime-filter expression (`BloomFilterMightContain` — the same
-    * machinery InjectRuntimeFilter uses, codegen'd, no UDF), and only the
+    * a filter over the corpus's content hashes ships to executors as a
+    * TORRENT BROADCAST (~1.2 GB for 10⁹ docs at 1% fpp travels once per
+    * executor, the same path a broadcast join's hash relation takes — NOT
+    * a plan Literal, which would be serialized into every task binary and
+    * wedge the driver at that size), the new batch probes it MAP-SIDE
+    * through a codegen'd broadcast-backed expression
+    * ([[graft.expr.BloomMightContainBcast]], no UDF), and only the
     * bloom-HIT sliver (true dups + ~fpp false positives) reaches the
     * exact md5 confirmation join. Bloom filters have NO false negatives,
     * so the confirm join erases the fpp noise and the OUTPUT is exactly
@@ -365,24 +395,14 @@ object Dedup {
   def bloomDedupAgainst(newDocs: DataFrame, corpus: DataFrame,
                         idCol: String, textCol: String,
                         fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    import org.apache.spark.sql.types.BinaryType
-
     val corpusHashes = corpus.where(col(textCol).isNotNull)
       .select(xxhash64(col(textCol)).as("h"))
     // expectedNumItems sizes the filter; exact count is affordable as a
     // metadata-scale job (at 10⁹+ docs swap in approx_count_distinct)
     val n = math.max(corpusHashes.count(), 1L)
-    val bf = corpusHashes.stat.bloomFilter("h", n, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
-    val probe = ColumnBridge.column(BloomFilterMightContain(
-      Literal(bytes, BinaryType),
-      ColumnBridge.expression(xxhash64(col(textCol)))))
+    val bf = buildBloom(corpusHashes, "h", n, fpp)
+    val bfBcast = newDocs.sparkSession.sparkContext.broadcast(bf)
+    val probe = graft.expr.BloomExprs.mightContain(bfBcast, xxhash64(col(textCol)))
     val flagged = newDocs.select(col(idCol), col(textCol),
       (col(textCol).isNotNull && coalesce(probe, lit(false))).as("bloom_hit"))
     // exact confirmation: ONLY bloom hits join the corpus digest set.

@@ -46,4 +46,27 @@ class BloomDedupSpec extends SparkSpec {
       assert(fps <= 200L, s"bloom false positives $fps far above the 1% design point")
     } finally out.unpersist()
   }
+
+  test("filter sizing at 10M digests stays within 1.3x of the analytic optimum") {
+    // the bloom_10m bench gate measures wall/no-OOM at this scale; this
+    // pins the SIZE claim — an optimally-sized filter needs
+    // −n·ln(fpp)/ln²2 bits, and Spark's create() must land within 1.3×
+    // of it (a blow-up here means the "~1.2 GB for 10⁹ docs" design
+    // arithmetic in Dedup.bloomDedupAgainst no longer holds)
+    val n = 10000000L
+    val fpp = 0.01
+    val df = spark.range(n).select(xxhash64(col("id").cast("string")).as("h"))
+    val t0 = System.nanoTime()
+    // buildBloom, NOT stat.bloomFilter directly: the raw aggregate clamps
+    // to the runtime-join-filter confs (2^26 bits) and would silently
+    // hand back an 8 MiB filter with ~5× the design fpp at this n
+    val bf = graft.dedup.Dedup.buildBloom(df, "h", n, fpp)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val analyticBits = -n * math.log(fpp) / (math.log(2) * math.log(2))
+    info(f"bits=${bf.bitSize()} analytic=$analyticBits%.0f (${bf.bitSize() / 8 / 1024 / 1024} MiB) build=$buildSec%.1fs")
+    assert(bf.bitSize() <= 1.3 * analyticBits,
+      s"filter ${bf.bitSize()} bits vs analytic $analyticBits — sizing blew past 1.3x")
+    assert(bf.bitSize() >= 0.9 * analyticBits,
+      "filter suspiciously small — fpp would be above the design point")
+  }
 }

@@ -118,6 +118,23 @@ class ExprParitySpec extends SparkSpec {
     }
   }
 
+  test("bloom_might_contain_bcast: parity incl. null hash, hits and misses") {
+    import spark.implicits._
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    Seq(1L, 42L, -7L).foreach(bf.putLong)
+    val bcast = spark.sparkContext.broadcast(bf)
+    assertParity {
+      Seq(Some(1L), Some(42L), Some(-7L), Some(999L), None).toDF("h")
+        .select(col("h"), BloomExprs.mightContain(bcast, col("h")).as("hit"))
+        .orderBy("h")
+    }
+    // no false negatives on the codegen path: every inserted key must hit
+    val hits = Seq(1L, 42L, -7L).toDF("h")
+      .select(BloomExprs.mightContain(bcast, col("h")).as("hit"))
+      .collect().map(_.getBoolean(0))
+    assert(hits.forall(identity), "bloom filter reported a false negative")
+  }
+
   test("geo_within_km SQL surface coerces decimal and float arguments") {
     // decimal literals (40.0 parses as DECIMAL) and float columns go
     // through ImplicitCastInputTypes — no analysis error, same answer
