@@ -173,11 +173,28 @@ object StreamingOps {
     * neither re-emit nor re-join). A pair sharing several bands emits once
     * per (band, bucket) — distinct on (id_a, id_b) downstream, exactly
     * like the batch form's final `.distinct()`.
+    *
+    * STATE RETENTION (`stateTtl`): without a TTL the per-(band, bucket)
+    * state count grows with the corpus forever — bounded per bucket by
+    * `maxBucketSize`, but unbounded in the number of buckets, so a real
+    * unbounded-ingest deployment eventually exhausts the state store.
+    * With `stateTtl = Some(d)`, a bucket idle for longer than `d`
+    * (processing time, re-armed on every arrival) is EVICTED. The
+    * contract that survives eviction: any two docs whose arrivals are
+    * within one TTL window of each other always emit their candidate
+    * pair (the bucket cannot expire between them); pairs spanning more
+    * than the horizon are deliberately forgotten — the retention policy,
+    * same as compacting old postings out of the incremental batch path.
+    * Re-delivering an evicted doc re-admits it and re-emits its pairs
+    * against the CURRENT bucket residents, so recovery degrades to
+    * at-most-duplicate candidates downstream (the trailing distinct on
+    * (id_a, id_b) absorbs them), never to corrupt state.
     */
   def streamingLshCandidates(docs: DataFrame, idCol: String, textCol: String,
                              numHashes: Int = 16, shingleWidth: Int = 3,
                              bands: Int = 4, maxBucketSize: Int = 64,
-                             minEst: Double = 0.0): Dataset[LshPairOut] = {
+                             minEst: Double = 0.0,
+                             stateTtl: Option[java.time.Duration] = None): Dataset[LshPairOut] = {
     require(numHashes % bands == 0,
       s"signature length $numHashes not divisible by $bands bands")
     import docs.sparkSession.implicits._
@@ -192,12 +209,22 @@ object StreamingOps {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
       .as[BandedSig]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     banded
       .groupByKey(p => (p.band, p.bucket))
       .flatMapGroupsWithState[LshBucketState, LshPairOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (key: (Int, Long), rows: Iterator[BandedSig],
          state: GroupState[LshBucketState]) =>
+          if (state.hasTimedOut) {
+            // idle past the TTL: drop the posting list (capped latches
+            // are forgotten too — a re-filling bucket re-latches on its
+            // own merits within the new window)
+            state.remove()
+            Iterator.empty
+          } else {
           val band = key._1
           var st = state.getOption.getOrElse(
             LshBucketState(Vector.empty, Vector.empty, capped = false))
@@ -252,7 +279,12 @@ object StreamingOps {
             if (overflow) st = st.copy(capped = true)
           }
           state.update(st)
+          // re-arm the idle clock on every arrival: eviction is "idle for
+          // ttl", not "created ttl ago" — co-resident arrivals within one
+          // window can therefore never lose their pair to an expiry race
+          stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
           out.iterator
+          }
       }
   }
 

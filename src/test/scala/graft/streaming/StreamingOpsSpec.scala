@@ -218,6 +218,72 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Poll-with-deadline instead of processAllAvailable: a query with
+    * processing-time timeouts always "has another batch" to run (expiry
+    * checks), so the engine never reports the idle state
+    * processAllAvailable waits for — it blocks forever on such queries.
+    */
+  private def awaitCond(what: String, timeoutMs: Long = 30000)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    while (System.currentTimeMillis < deadline && !cond) Thread.sleep(250)
+    assert(cond, s"condition not reached within ${timeoutMs}ms: $what")
+  }
+
+  test("streaming LSH TTL evicts idle buckets; re-delivery recovers pairs") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val mem = MemoryStream[Doc]
+    val q = streamingLshCandidates(mem.toDF(), "doc_id", "text",
+      numHashes = 8, shingleWidth = 2, bands = 4,
+      stateTtl = Some(java.time.Duration.ofSeconds(2)))
+      .writeStream.format("memory").queryName("lsh_ttl")
+      // a real trigger interval: timeout-driven batches would otherwise
+      // busy-loop back-to-back at ~ms intervals
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .outputMode(OutputMode.Append()).start()
+    def pairs() = spark.table("lsh_ttl")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    try {
+      // doc 1 arrives, then its buckets sit idle well past the 2s TTL —
+      // the timeout-driven empty batches evict them on their own
+      mem.addData(Doc(ts(0), 1, text))
+      Thread.sleep(6000)
+      // docs 3 and 4 re-crawl the text AFTER the horizon: they pair with
+      // each other (co-resident) but NOT with the evicted doc 1 — the
+      // (3,4) pair doubles as the "this batch was processed" marker the
+      // negative assertion needs
+      mem.addData(Doc(ts(20), 3, text), Doc(ts(21), 4, text))
+      awaitCond("(3,4) emitted")(pairs().contains((3L, 4L)))
+      assert(!pairs().exists(p => p._1 == 1L),
+        s"pairs beyond the TTL horizon must be forgotten, got ${pairs()}")
+      // re-delivering doc 1 within the CURRENT window re-admits it and
+      // re-emits against current residents: (1,3)/(1,4) recovered (the
+      // at-most-duplicate-candidates degrade, never corrupt state)
+      mem.addData(Doc(ts(30), 1, text))
+      awaitCond("(1,3) recovered")(pairs().contains((1L, 3L)))
+      assert(pairs().contains((1L, 4L)))
+    } finally q.stop()
+  }
+
+  test("streaming LSH co-resident arrivals within the TTL window always pair") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val mem = MemoryStream[Doc]
+    val q = streamingLshCandidates(mem.toDF(), "doc_id", "text",
+      numHashes = 8, shingleWidth = 2, bands = 4,
+      stateTtl = Some(java.time.Duration.ofMinutes(10)))
+      .writeStream.format("memory").queryName("lsh_ttl_window")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Doc(ts(0), 1, text))
+      mem.addData(Doc(ts(1), 2, text))
+      awaitCond("(1,2) paired") {
+        spark.table("lsh_ttl_window")
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+          .contains((1L, 2L))
+      }
+    } finally q.stop()
+  }
+
   test("streaming pattern assembly converges to the batch assembly") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
