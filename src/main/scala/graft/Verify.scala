@@ -44,9 +44,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // dev-only subsetting (SPARK_GRAFT_VERIFY_ONLY="k08_…,d05b_…"): run and
+    // oracle-check only the named queries — the mutation-check harness
+    // re-verifies a mutation's blast radius without paying for the full
+    // suite. The driver sets no such env; its gate is always complete.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(name: String): Boolean = only.forall(_.contains(name))
+
     // written FIRST: the oracle map is pure metadata — it must survive any
     // later query crash/hang so the partial parquet dumps stay comparable
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => want(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
@@ -76,7 +84,8 @@ object Verify {
       java.util.concurrent.Executors.newCachedThreadPool(r => {
         val t = new Thread(r, "verify-query"); t.setDaemon(true); t
       }))
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => want(kv._1))
+      .foreach { case (name, fn) =>
       val fut = Future {
         // job-group set on the SUBMITTING thread (a thread-local Spark
         // property) so the watchdog can cancel precisely this query's jobs

@@ -43,6 +43,21 @@ object KernelQueries {
         .orderBy("route_id", "accident_id")
     }),
 
+    // --- P7 boundary coverage: weatherFactor over a wsim ramp spanning
+    // the exclusion threshold. Closes the round-8 mutation-check hole:
+    // real weather similarities in the test data never fall below 0.25,
+    // so the silence arm (wsim < 0.25 → EXACTLY 0) was dead in every
+    // other oracle query — a mutated arm value, or < flipped to <= (the
+    // ramp includes wsim = 0.25 exactly, an exact binary double), now
+    // fails this query's hash.
+    "k22_weather_factor" -> ((s, dir) => {
+      Derived.accidents(s, dir)
+        .select(col("accident_id"),
+          (((col("accident_id") * 25) % 101).cast("double") / 100.0).as("wsim"))
+        .withColumn("wfactor", round(WeightExprs.weatherFactor(col("wsim")), 6))
+        .orderBy("accident_id")
+    }),
+
     "k02_spatial_weight" -> ((s, dir) => {
       routeSubset(s, dir).crossJoin(broadcast(Derived.accidents(s, dir)))
         .withColumn("dist_km",
@@ -250,6 +265,15 @@ object KernelQueries {
          |FROM routes CROSS JOIN accidents
          |WHERE route_id <= 200
          |ORDER BY route_id, accident_id""".stripMargin),
+
+    "k22_weather_factor" -> withDomain(
+      s"""SELECT accident_id,
+         |       CAST((accident_id * 25) % 101 AS DOUBLE) / 100.0 AS wsim,
+         |       round(CASE WHEN CAST((accident_id * 25) % 101 AS DOUBLE) / 100.0 < ${WeightExprs.WeatherExclusionThreshold}
+         |             THEN 0.0
+         |             ELSE pow(CAST((accident_id * 25) % 101 AS DOUBLE) / 100.0, ${WeightExprs.WeatherPower}) END, 6) AS wfactor
+         |FROM accidents
+         |ORDER BY accident_id""".stripMargin),
 
     "k02_spatial_weight" -> withDomain(
       s"""SELECT route_id, accident_id,

@@ -1,0 +1,129 @@
+#!/usr/bin/env bash
+# Oracle-gate SENSITIVITY check: plant one-line mutations in the Spark-side
+# query code and assert the DuckDB hash gate actually FIRES on each.
+#
+# The whole evidence chain rests on "twin SQL is generated from shared
+# constants, so the engines cannot drift" — this script proves the gate has
+# teeth by mutating the SPARK side only (structural mutations: comparison
+# bounds, argmin direction, bit interleave, slice offsets, default values).
+# NOTE what this deliberately does NOT test: mutating a SHARED constant
+# (codebook values, thresholds interpolated into the generated SQL) moves
+# BOTH engines together and is invisible to the gate BY DESIGN — absolute
+# constant values are pinned by exact-value ScalaTest specs, not by the
+# engine-vs-engine oracle.
+#
+# Usage: tools/mutation_check.sh          (sf0.001, ~2 min per mutation)
+#        SF=/root/testdata/sf0.01 tools/mutation_check.sh
+#
+# Exit: 0 if every mutation was caught (>=1 failing query or a build/run
+# failure), 1 if any mutation slipped through the gate (a coverage hole).
+set -u
+cd "$(git rev-parse --show-toplevel)"
+SF="${SF:-/root/testdata/sf0.001}"
+OUT=/tmp/mutation_check
+mkdir -p "$OUT"
+HOLES=0
+SUMMARY=""
+
+run_mutation() {
+  local name="$1" file="$2" old="$3" new="$4" queries="$5"
+  echo ""
+  echo "=== mutation: $name"
+  echo "    file:     $file"
+  echo "    change:   '$old' -> '$new'"
+  echo "    queries:  $queries"
+  if ! git diff --quiet -- "$file"; then
+    echo "FATAL: $file has uncommitted changes; refusing to mutate" >&2
+    exit 2
+  fi
+  python3 - "$file" "$old" "$new" <<'PYEOF'
+import sys
+p, old, new = sys.argv[1], sys.argv[2], sys.argv[3]
+s = open(p).read()
+n = s.count(old)
+if n != 1:
+    sys.exit(f"expected exactly 1 occurrence of mutation target in {p}, found {n}")
+open(p, 'w').write(s.replace(old, new))
+PYEOF
+  local verdict="NOT-CAUGHT"
+  if sbt -batch compile > "$OUT/$name.build.log" 2>&1; then
+    rm -rf "$OUT/$name"
+    SPARK_GRAFT_VERIFY_ONLY="$queries" SPARK_GRAFT_CPUS=8 \
+      sbt -batch "runMain graft.Verify $SF $OUT/$name" > "$OUT/$name.verify.log" 2>&1
+    if python3 tools/check_oracle.py "$SF" "$OUT/$name" > "$OUT/$name.log" 2>&1; then
+      verdict="NOT-CAUGHT"
+      echo "!! gate PASSED under mutation — coverage hole (see $OUT/$name.log)"
+    else
+      local nfail
+      nfail=$(grep -cE 'VALUES-DIFF|ROWS-DIFF|SCHEMA-DIFF|MISSING-SPARK|ORACLE-ERR' "$OUT/$name.log" || true)
+      verdict="caught($nfail)"
+      echo "caught: $nfail failing quer(y/ies):"
+      grep -E 'VALUES-DIFF|ROWS-DIFF|SCHEMA-DIFF|MISSING-SPARK|ORACLE-ERR' "$OUT/$name.log" | head -4
+    fi
+  else
+    verdict="caught(build)"
+    echo "caught: mutated source does not compile"
+  fi
+  git checkout -- "$file"
+  if [ "$verdict" = "NOT-CAUGHT" ]; then HOLES=$((HOLES + 1)); fi
+  SUMMARY="$SUMMARY
+| $name | \`$old\` → \`$new\` | $queries | $verdict |"
+}
+
+# M1: silence-threshold arm — weather similarity below the exclusion
+# threshold must contribute EXACTLY zero, not epsilon
+run_mutation weather-threshold-arm \
+  src/main/scala/graft/expr/WeightExprs.scala \
+  'when(weatherSimilarity < WeatherExclusionThreshold, lit(0.0))' \
+  'when(weatherSimilarity < WeatherExclusionThreshold, lit(0.01))' \
+  'k08_kernel_risk,k14_kernel_weather,k16_kernel_extreme,k22_weather_factor'
+
+# M2: LSH band slice off-by-one — bands must tile the signature exactly
+run_mutation band-slice-off-by-one \
+  src/main/scala/graft/dedup/Dedup.scala \
+  'slice(col("sig"), b * r + 1, lit(r))' \
+  'slice(col("sig"), b * r + 2, lit(r))' \
+  'd05b_lsh_banding,d25_incremental_lsh'
+
+# M3: PQ encode argmin flipped to argmax — every code assignment wrong
+run_mutation pq-argmin-flip \
+  src/main/scala/graft/sim/Similarity.scala \
+  '(array_position(dists, array_min(dists)) - 1).cast("int")' \
+  '(array_position(dists, array_max(dists)) - 1).cast("int")' \
+  's06_ann_pq,s08_ann_ivfpq'
+
+# M4: Morton interleave swapped — lat must own the odd bits
+run_mutation morton-interleave-swap \
+  src/main/scala/graft/expr/GeoExprs.scala \
+  'shiftleft(latBit, 2 * i + 1).bitwiseOR(shiftleft(lonBit, 2 * i))' \
+  'shiftleft(latBit, 2 * i).bitwiseOR(shiftleft(lonBit, 2 * i + 1))' \
+  'k21_morton_key'
+
+# M5: pagination page boundary off by one
+run_mutation pagination-offset \
+  src/main/scala/graft/queries/CoreQueries.scala \
+  'col("rn") >= 101 && col("rn") <= 150' \
+  'col("rn") >= 100 && col("rn") <= 150' \
+  'q14_pagination'
+
+# M6: neutral-weather default perturbed — the no-weather kernel's coalesce
+# value must match the documented 0.5 exactly
+run_mutation neutral-weather-default \
+  src/main/scala/graft/kernel/SafetyKernel.scala \
+  'accidents.withColumn("wsim", lit(NeutralWeatherSimilarity))' \
+  'accidents.withColumn("wsim", lit(NeutralWeatherSimilarity + 0.1))' \
+  'k08_kernel_risk,k18_location_kernel'
+
+echo ""
+echo "==================================================================="
+echo "mutation -> gate outcome (caught(N) = N queries failed the oracle)"
+echo ""
+echo "| mutation | change | queries run | outcome |"
+echo "|---|---|---|---|$SUMMARY"
+echo ""
+if [ "$HOLES" -gt 0 ]; then
+  echo "RESULT: $HOLES mutation(s) NOT caught — the gate has coverage holes"
+  exit 1
+fi
+echo "RESULT: every mutation was caught — the oracle gate fires"
+exit 0
