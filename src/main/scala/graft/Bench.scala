@@ -324,6 +324,28 @@ object Bench {
     graft.dedup.Dedup.bloomDedupAgainst(newBatch, corpus, "doc_id", "text")
   }
 
+  /** Mergeable-sketch aggregation at volume: 10M hashed tokens over 2M
+    * distinct keys, 8 groups — ONE aggregation pass builds a Count-Min
+    * (4×4096 counters, 128 KB) AND a register sketch (m=4096, HLL-style)
+    * per group; partial state per (group × partition) is fixed no matter
+    * the row count. [[exactDistinct10m]] is the same question answered
+    * exactly — `count(DISTINCT key)` re-shuffling the 16M (group, key)
+    * pairs — so the pair of entries measures what the sketch buys.
+    */
+  def sketch10m(spark: SparkSession): DataFrame = {
+    val df = spark.range(10000000L).select(
+      (col("id") % 8).as("domain"),
+      xxhash64(col("id") % 2000000L).bitwiseAND(lit(Long.MaxValue)).as("h"))
+    df.groupBy("domain").agg(
+      graft.expr.SketchAggs.cmsSketch(col("h"), 4, 4096).as("cms"),
+      graft.expr.SketchAggs.registerSketch(col("h"), 4096).as("regs"))
+  }
+
+  def exactDistinct10m(spark: SparkSession): DataFrame =
+    spark.range(10000000L).select(
+      (col("id") % 8).as("domain"), (col("id") % 2000000L).as("key"))
+      .groupBy("domain").agg(count_distinct(col("key")).as("n_distinct"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -476,7 +498,7 @@ object Bench {
     // recursion guard below is what stops a fork bomb.
     val scaleKeys = Seq("kernel_batch_10x", "lsh_skew", "quota_skew",
       "tfidf_10x", "funnel_10x", "cluster_10x", "ann_int8_1m", "ann_pq_200k",
-      "ann_ivfpq_200k", "bloom_10m")
+      "ann_ivfpq_200k", "bloom_10m", "sketch_10m", "distinct_exact_10m")
     if (only.isEmpty) {
       spark.stop() // free the parent's executor pool + heap for the child
       results ++= runIsolated(scaleKeys, sfDir, cpus)
@@ -508,6 +530,10 @@ object Bench {
         results("ann_ivfpq_200k") = time(annIvfPq200k(spark))
       if (want("bloom_10m"))
         results("bloom_10m") = time(bloom10m(spark))
+      if (want("sketch_10m"))
+        results("sketch_10m") = time(sketch10m(spark))
+      if (want("distinct_exact_10m"))
+        results("distinct_exact_10m") = time(exactDistinct10m(spark))
       // linearity evidence, opt-in by explicit name only (~30 min)
       if (only.exists(_.contains("kernel_batch_100x")))
         results("kernel_batch_100x") = time(kernelBatch100x(spark))
@@ -525,7 +551,7 @@ object Bench {
       "kernel_batch_168k_factorized", "map_with_safety_168k",
       "kernel_batch_10x", "lsh_skew", "quota_skew",
       "tfidf_10x", "funnel_10x", "cluster_10x", "ann_int8_1m", "ann_pq_200k",
-      "ann_ivfpq_200k", "bloom_10m")
+      "ann_ivfpq_200k", "bloom_10m", "sketch_10m", "distinct_exact_10m")
     def fmt(v: Double) = // Locale.ROOT: a comma-decimal default locale would break the JSON
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -1,0 +1,275 @@
+package graft.expr
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Mergeable frequency/cardinality sketches as custom
+  * [[TypedImperativeAggregate]]s — the fixed-memory aggregation story for
+  * corpus statistics at 100 TB.
+  *
+  * Exact `groupBy(term).count()` over a 100 TB token stream shuffles the
+  * full vocabulary; exact `count(DISTINCT …)` re-shuffles every distinct
+  * value. Both sketches here replace that with a SINGLE map-side pass whose
+  * partial state is a small fixed-size array per (group × partition): the
+  * shuffle carries `depth·width` longs (Count-Min) or `m` bytes-worth of
+  * registers (register sketch) no matter how many rows went in, and
+  * partials merge by elementwise add / max — associative + commutative, so
+  * Spark's partial-aggregation pushdown applies unchanged.
+  *
+  * Both consume a PRE-HASHED non-negative long column rather than hashing
+  * internally: the caller picks the hash (xxhash64 in production, the
+  * SQL-mirrorable arithmetic family in the oracle twins), which is what
+  * makes every downstream stage of d28/d29 DuckDB-derivable — the same
+  * twin idiom as d05b/d06b. Negative hashes throw (the position/register
+  * arithmetic mirrors SQL `%`, whose sign-of-dividend semantics would
+  * silently scatter negative keys), nulls are skipped like every SQL
+  * aggregate.
+  */
+object SketchAggs {
+  /** Modulus of the affine position family — the same Mersenne prime as the
+    * minhash mirror family (PipelineQueries.MirrorHashMod), shared so the
+    * d28 oracle SQL and this implementation cannot drift independently.
+    */
+  val CmsPrime = 2147483647L
+
+  /** Count-Min position of hash `h` in row `d`: an affine family over the
+    * prime field, reduced to the row width. `h` is reduced mod the prime
+    * FIRST so the multiply never overflows a long for any non-negative
+    * input (hp < 2^31, 2d+3 small).
+    */
+  def cmsPos(h: Long, d: Int, width: Int): Int = {
+    val hp = h % CmsPrime
+    (((2L * d + 3L) * hp + (5L * d + 7L)) % CmsPrime % width).toInt
+  }
+
+  /** Register index + rank of hash `h` for an `m`-register sketch
+    * (m a power of two): register = h mod m, rank = trailing zeros of
+    * h/m plus one, capped at [[MaxRank]]. The cap keeps the harmonic-sum
+    * term `2^(MaxRank - rank)` inside a signed long even for the EMPTY
+    * register's rank 0 (term 2^62), so the estimator's denominator can be
+    * summed EXACTLY in DECIMAL(38,0) — which is what lets DuckDB reproduce
+    * the estimate bit-for-bit instead of chasing FP summation order.
+    */
+  val MaxRank = 62
+  def hllRank(h: Long, m: Int): Int = {
+    val w = h / m
+    math.min(java.lang.Long.numberOfTrailingZeros(w) + 1, MaxRank)
+  }
+
+  /** HLL alpha constant (Flajolet et al. 2007) for m ≥ 64. */
+  def hllAlpha(m: Int): Double = 0.7213 / (1.0 + 1.079 / m)
+
+  /** The estimator's constant numerator alpha·m²·2^MaxRank; the d29 oracle
+    * interpolates exactly this value, so the two engines divide the same
+    * numerator by the same exactly-summed denominator.
+    */
+  def hllNumerator(m: Int): Double = hllAlpha(m) * m * m * math.pow(2.0, MaxRank)
+
+  /** Column factory: `cms_sketch(h, depth, width)` → flattened row-major
+    * depth×width counter array.
+    */
+  def cmsSketch(hash: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(
+      CountMinAgg(ColumnBridge.expression(hash),
+        org.apache.spark.sql.catalyst.expressions.Literal(depth, IntegerType),
+        org.apache.spark.sql.catalyst.expressions.Literal(width, IntegerType))
+        .toAggregateExpression())
+
+  /** Column factory: `register_sketch(h, m)` → m max-rank registers. */
+  def registerSketch(hash: Column, m: Int): Column =
+    ColumnBridge.column(
+      RegisterSketchAgg(ColumnBridge.expression(hash),
+        org.apache.spark.sql.catalyst.expressions.Literal(m, IntegerType))
+        .toAggregateExpression())
+
+  /** Point estimate for hash `h` from a built Count-Min array: min over
+    * rows of the counter at that row's position — pure Column arithmetic
+    * (no UDF), so probing N candidate keys against a broadcast sketch
+    * stays inside codegen.
+    */
+  def cmsEstimate(cms: Column, hashCol: Column, depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val hp = hashCol % lit(CmsPrime)
+    val ests = (0 until depth).map { d =>
+      val pos = ((lit(2L * d + 3L) * hp + lit(5L * d + 7L)) % lit(CmsPrime)) % lit(width)
+      element_at(cms, (lit(d * width) + pos + 1).cast("int"))
+    }
+    if (depth == 1) ests.head else least(ests: _*)
+  }
+}
+
+/** `cms_sketch(hash, depth, width)` — Count-Min sketch (Cormode &
+  * Muthukrishnan 2005) over a pre-hashed long column. Buffer is one
+  * `depth·width` long array; update bumps one counter per row per sketch
+  * row, merge is elementwise add, eval returns the flattened counters
+  * (row-major) for relational probing via [[SketchAggs.cmsEstimate]].
+  * Estimates never undercount: est(k) ≥ true(k), with overshoot bounded by
+  * collisions per row (≤ N/width in expectation per row, min over rows).
+  */
+case class CountMinAgg(child: Expression, depthExpr: Expression,
+    widthExpr: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  private lazy val depth: Int = depthExpr.eval(null).asInstanceOf[Int]
+  private lazy val width: Int = widthExpr.eval(null).asInstanceOf[Int]
+
+  override def children: Seq[Expression] = Seq(child, depthExpr, widthExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType && child.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"cms_sketch requires an int/long hash column, got ${child.dataType}")
+    else if (!Seq(depthExpr, widthExpr).forall(e =>
+        e.dataType == IntegerType && e.foldable && e.eval(null) != null))
+      TypeCheckResult.TypeCheckFailure(
+        "cms_sketch depth/width must be non-null int literals")
+    else {
+      val d = depthExpr.eval(null).asInstanceOf[Int]
+      val w = widthExpr.eval(null).asInstanceOf[Int]
+      if (d <= 0 || w <= 0)
+        TypeCheckResult.TypeCheckFailure(s"cms_sketch depth/width must be positive, got $d x $w")
+      else if (d.toLong * w > (1 << 22))
+        // 4M counters = 32 MB per buffer; beyond that the "small fixed
+        // state" premise is gone and the caller should shard the domain
+        TypeCheckResult.TypeCheckFailure(s"cms_sketch state $d x $w exceeds 2^22 counters")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v match {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }
+      if (h < 0)
+        throw new IllegalArgumentException(s"cms_sketch: negative hash $h (contract: h >= 0)")
+      var d = 0
+      while (d < depth) {
+        buffer(d * width + SketchAggs.cmsPos(h, d, width)) += 1L
+        d += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CountMinAgg =
+    copy(child = newChildren(0), depthExpr = newChildren(1), widthExpr = newChildren(2))
+
+  override def prettyName: String = "cms_sketch"
+}
+
+/** `register_sketch(hash, m)` — HyperLogLog-style max-rank register sketch
+  * (Flajolet et al. 2007) over a pre-hashed long column. Buffer is m
+  * byte-sized registers (rank ≤ 62 fits a byte); update takes max of the
+  * incoming rank, merge is elementwise max, eval returns the registers as
+  * an int array. The RAW harmonic estimator (no small/large-range
+  * corrections — documented contract; callers needing the corrected bands
+  * apply them on the returned registers) is derived relationally from the
+  * output so both engines of the d29 twin sum the exact same
+  * DECIMAL(38,0) denominator.
+  */
+case class RegisterSketchAgg(child: Expression, mExpr: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  private lazy val m: Int = mExpr.eval(null).asInstanceOf[Int]
+
+  override def children: Seq[Expression] = Seq(child, mExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType && child.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"register_sketch requires an int/long hash column, got ${child.dataType}")
+    else if (mExpr.dataType != IntegerType || !mExpr.foldable || mExpr.eval(null) == null)
+      TypeCheckResult.TypeCheckFailure("register_sketch m must be a non-null int literal")
+    else {
+      val mv = mExpr.eval(null).asInstanceOf[Int]
+      if (mv < 16 || mv > (1 << 20) || java.lang.Integer.bitCount(mv) != 1)
+        TypeCheckResult.TypeCheckFailure(
+          s"register_sketch m must be a power of two in [16, 2^20], got $mv")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v match {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }
+      if (h < 0)
+        throw new IllegalArgumentException(s"register_sketch: negative hash $h (contract: h >= 0)")
+      val reg = (h % m).toInt
+      val rank = SketchAggs.hllRank(h, m)
+      if (rank > buffer(reg)) buffer(reg) = rank.toByte
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < buffer.length) {
+      if (other(i) > buffer(i)) buffer(i) = other(i)
+      i += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: Array[Byte]): Any =
+    new GenericArrayData(buffer.map(_.toInt))
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): RegisterSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): RegisterSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): RegisterSketchAgg =
+    copy(child = newChildren(0), mExpr = newChildren(1))
+
+  override def prettyName: String = "register_sketch"
+}

@@ -161,6 +161,18 @@ object PipelineQueries {
         array((0 until MirrorSigLen).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** d28/d29 sketch twin parameters. Width 32 is DELIBERATELY smaller than
+    * the sf0.01 vocabulary (31 distinct tokens × 4 rows over 32 cells) so
+    * counter collisions actually occur and the min-over-rows estimate is
+    * load-bearing — a `least`→`greatest` mutation or an off-by-one in the
+    * position family flips hashes. Accuracy at realistic width/cardinality
+    * is pinned in SketchAggsSpec with xxhash64; the registered queries pin
+    * ENGINE EQUALITY of every counter/register.
+    */
+  private[queries] val CmsDepth = 4
+  private[queries] val CmsWidth = 32
+  private[queries] val HllM = 64
+
   /** d25's derived "tonight's crawl": docs 0–9 re-surface with new ids
     * (+[[IncrementalIdOffset]]) and one appended token — near-dups of their
     * corpus originals, mirrored exactly in the oracle SQL.
@@ -680,6 +692,54 @@ object PipelineQueries {
         "doc_id", "text")
         .select(col("doc_id"), col("is_dup"))
         .orderBy("doc_id")
+    }),
+
+    // --- Count-Min heavy hitters (mergeable frequency sketch) ------------
+    // The sketch twin of d22's exact heavy hitters: ONE map-side pass
+    // builds a depth×width counter array (fixed 1 KB state per partition
+    // regardless of token volume — at 100 TB the shuffle carries 32
+    // partial arrays, not the vocabulary), the distinct terms then probe
+    // the broadcast sketch with pure Column arithmetic. est ≥ exact for
+    // every term by construction; both the counters and the min-over-rows
+    // probe are integer arithmetic DuckDB replays identically.
+    "d28_cms_heavy_hitters" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(explode(TextExprs.tokens(col("text"))).as("tok"))
+        .select(col("tok"), mirrorTokenHash(col("tok")).as("h"))
+      val sketch = tok.agg(
+        graft.expr.SketchAggs.cmsSketch(col("h"), CmsDepth, CmsWidth).as("cms"))
+      tok.groupBy("tok", "h").agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(sketch))
+        .select(col("tok").as("term"), col("n_exact"),
+          graft.expr.SketchAggs.cmsEstimate(
+            col("cms"), col("h"), CmsDepth, CmsWidth).as("n_est"))
+        .orderBy("term")
+    }),
+
+    // --- register-sketch distinct estimate (mergeable cardinality) -------
+    // HLL-style max-rank registers per source: m bytes of state per group
+    // vs count(DISTINCT …)'s full value re-shuffle. The raw harmonic
+    // estimator is derived RELATIONALLY from the returned registers with
+    // an exact DECIMAL(38,0) denominator (every term 2^(62-rank) is an
+    // integer), so the estimate — not just the registers — hash-matches
+    // DuckDB despite being a double.
+    "d29_hll_distinct" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("source"), explode(TextExprs.tokens(col("text"))).as("tok"))
+        .select(col("source"), col("tok"), mirrorTokenHash(col("tok")).as("h"))
+      val sk = tok.groupBy("source").agg(
+        graft.expr.SketchAggs.registerSketch(col("h"), HllM).as("regs"),
+        countDistinct(col("tok")).as("n_exact"))
+      sk.select(col("source"), col("n_exact"),
+          posexplode(col("regs")).as(Seq("i", "r")))
+        .groupBy("source", "n_exact")
+        .agg(sum(when(col("r") > 0, 1L).otherwise(0L)).as("n_regs_hit"),
+          sum(pow(lit(2.0), lit(graft.expr.SketchAggs.MaxRank) - col("r"))
+            .cast("decimal(38,0)")).as("ssum"))
+        .select(col("source"), col("n_exact"), col("n_regs_hit"),
+          round(lit(graft.expr.SketchAggs.hllNumerator(HllM)) /
+            col("ssum").cast("double"), 4).as("n_est"))
+        .orderBy("source")
     }),
 
     // --- binary (1-bit) ANN: the far end of the quantization ladder ------
@@ -1377,6 +1437,56 @@ object PipelineQueries {
         |FROM documents n
         |WHERE n.doc_id % 3 = 0
         |ORDER BY n.doc_id""".stripMargin,
+
+    // Count-Min replay: counters re-derived as group-bys over the affine
+    // position family (same prime + coefficients via interpolation), the
+    // probe as a join on (row, pos) — every value BIGINT, min over rows
+    "d28_cms_heavy_hitters" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT tok, $MirrorTokenHashSql AS h FROM tok),
+         |d AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS d),
+         |pos AS (SELECT h.h, d.d,
+         |               ((2*d.d + 3) * (h.h % ${graft.expr.SketchAggs.CmsPrime}) + (5*d.d + 7))
+         |                 % ${graft.expr.SketchAggs.CmsPrime} % $CmsWidth AS pos
+         |        FROM h CROSS JOIN d),
+         |counters AS (SELECT d, pos, count(*) AS c FROM pos GROUP BY d, pos),
+         |terms AS (SELECT tok, h, count(*) AS n_exact FROM h GROUP BY tok, h),
+         |tpos AS (SELECT t.tok, t.n_exact, d.d,
+         |                ((2*d.d + 3) * (t.h % ${graft.expr.SketchAggs.CmsPrime}) + (5*d.d + 7))
+         |                  % ${graft.expr.SketchAggs.CmsPrime} % $CmsWidth AS pos
+         |         FROM terms t CROSS JOIN d)
+         |SELECT t.tok AS term, t.n_exact, min(c.c) AS n_est
+         |FROM tpos t JOIN counters c ON c.d = t.d AND c.pos = t.pos
+         |GROUP BY t.tok, t.n_exact
+         |ORDER BY term""".stripMargin,
+
+    // register replay: reg = h mod m, rank = trailing-zeros(h/m)+1 via
+    // bit_count((w & -w) - 1) on BIGINT (cap 62 keeps 2^(62-rank) an
+    // integer even for empty registers), denominator summed EXACTLY in
+    // DECIMAL(38,0) then divided under the same interpolated numerator
+    "d29_hll_distinct" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT source, tok, $MirrorTokenHashSql AS h FROM tok),
+         |rk AS (SELECT source, h % $HllM AS reg,
+         |              least(bit_count(((h // $HllM) & -(h // $HllM)) - 1) + 1,
+         |                    ${graft.expr.SketchAggs.MaxRank}) AS rank
+         |       FROM h),
+         |regix AS (SELECT unnest(generate_series(0, ${HllM - 1})) AS reg),
+         |srcs AS (SELECT source, count(DISTINCT tok) AS n_exact FROM h GROUP BY source),
+         |regs AS (SELECT s.source, g.reg, coalesce(max(rk.rank), 0) AS r
+         |         FROM srcs s CROSS JOIN regix g
+         |         LEFT JOIN rk ON rk.source = s.source AND rk.reg = g.reg
+         |         GROUP BY s.source, g.reg)
+         |SELECT s.source, s.n_exact,
+         |       CAST(sum(CASE WHEN r.r > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_regs_hit,
+         |       round(CAST('${graft.expr.SketchAggs.hllNumerator(HllM)}' AS DOUBLE) /
+         |             CAST(sum(CAST((CAST(1 AS BIGINT) << (${graft.expr.SketchAggs.MaxRank} - r.r))
+         |                           AS DECIMAL(38,0))) AS DOUBLE), 4) AS n_est
+         |FROM regs r JOIN srcs s ON s.source = r.source
+         |GROUP BY s.source, s.n_exact
+         |ORDER BY s.source""".stripMargin,
 
     // sign-code replay: same 63-bit pack (bit j-1 = v[j] > 0, the d06b /
     // s02b integer-shift idiom) and the same Hamming rank — all integers

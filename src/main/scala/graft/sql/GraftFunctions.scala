@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{BitmapDistinct, DotProductD, DotProductI8, GeoWithinKm, GradeParser, Int8Pack, SimHash63, WeatherPatternSimilarity}
+import graft.expr.{BitmapDistinct, CountMinAgg, DotProductD, DotProductI8, GeoWithinKm, GradeParser, Int8Pack, RegisterSketchAgg, SimHash63, WeatherPatternSimilarity}
 import graft.plans.SpatialBboxRule
 
 /** SQL-surface registration for the engine's custom functions.
@@ -45,6 +45,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_i8"),
       new ExpressionInfo(classOf[DotProductI8].getName, "dot_i8"),
       (exprs: Seq[Expression]) => DotProductI8(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "cms_sketch"),
+      (exprs: Seq[Expression]) => CountMinAgg(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("register_sketch"),
+      new ExpressionInfo(classOf[RegisterSketchAgg].getName, "register_sketch"),
+      (exprs: Seq[Expression]) => RegisterSketchAgg(exprs(0), exprs(1))))
     // parse_grade too: both deployment modes must expose the same SQL surface
     ext.injectFunction((
       FunctionIdentifier("parse_grade"),
@@ -75,6 +83,10 @@ object GraftFunctions {
       exprs => Int8Pack(exprs.head))
     bridge.registerFunction(spark, "dot_i8",
       exprs => DotProductI8(exprs.head, exprs(1)))
+    bridge.registerFunction(spark, "cms_sketch",
+      exprs => CountMinAgg(exprs(0), exprs(1), exprs(2)))
+    bridge.registerFunction(spark, "register_sketch",
+      exprs => RegisterSketchAgg(exprs(0), exprs(1)))
     // live-session twin of injectOptimizerRule (runs as the optimizer's
     // final user batch — still above the scan for the filter-on-scan shape)
     if (!spark.experimental.extraOptimizations.contains(SpatialBboxRule))
