@@ -90,6 +90,21 @@ object SketchAggs {
         org.apache.spark.sql.catalyst.expressions.Literal(m, IntegerType))
         .toAggregateExpression())
 
+  /** Column factory: `cms_merge(cms_array)` — elementwise-add re-aggregation
+    * of STORED Count-Min arrays (the datacube pattern: persist per-day /
+    * per-shard sketches, re-aggregate to any rollup without the raw rows).
+    */
+  def cmsMerge(sketches: Column): Column =
+    ColumnBridge.column(
+      CmsMergeAgg(ColumnBridge.expression(sketches)).toAggregateExpression())
+
+  /** Column factory: `register_merge(regs_array)` — elementwise-max
+    * re-aggregation of stored register sketches.
+    */
+  def registerMerge(sketches: Column): Column =
+    ColumnBridge.column(
+      RegisterMergeAgg(ColumnBridge.expression(sketches)).toAggregateExpression())
+
   /** Point estimate for hash `h` from a built Count-Min array: min over
     * rows of the counter at that row's position — pure Column arithmetic
     * (no UDF), so probing N candidate keys against a broadcast sketch
@@ -194,6 +209,150 @@ case class CountMinAgg(child: Expression, depthExpr: Expression,
     copy(child = newChildren(0), depthExpr = newChildren(1), widthExpr = newChildren(2))
 
   override def prettyName: String = "cms_sketch"
+}
+
+/** `cms_merge(cms)` — re-aggregates STORED Count-Min arrays by elementwise
+  * add. This is what makes the sketches a LAYOUT primitive, not just an
+  * aggregate: persist per-(day, shard) sketch rows once, then answer any
+  * coarser rollup (per-day → per-month → global) by merging a handful of
+  * small arrays instead of re-scanning the raw stream. Counts are additive,
+  * so merged(daily sketches) ≡ sketch(all rows) exactly — d30 pins that
+  * identity against both the direct aggregate and DuckDB.
+  *
+  * Contract: all input arrays in a group must have the same length (same
+  * depth×width model) — mismatches throw rather than silently mis-add;
+  * null rows are skipped; an empty group yields an empty array.
+  */
+case class CmsMergeAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cms_merge requires array<bigint> sketches, got $t")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+      addInto(buffer, arr)
+    }
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] =
+    addInto(buffer, other)
+
+  private def addInto(buffer: Array[Long], other: Array[Long]): Array[Long] =
+    if (other.isEmpty) buffer
+    else if (buffer.isEmpty) other.clone()
+    else {
+      if (buffer.length != other.length)
+        throw new IllegalArgumentException(
+          s"cms_merge: sketch length mismatch ${buffer.length} vs ${other.length}")
+      var i = 0
+      while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+      buffer
+    }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CmsMergeAgg =
+    copy(child = newChildren(0))
+
+  override def prettyName: String = "cms_merge"
+}
+
+/** `register_merge(regs)` — re-aggregates stored register sketches by
+  * elementwise max (rank maxima commute with grouping, so merged(daily)
+  * ≡ direct(all rows) exactly — the cardinality half of the d30 identity).
+  * Same contracts as [[CmsMergeAgg]].
+  */
+case class RegisterMergeAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Int]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"register_merge requires array<int> sketches, got $t")
+  }
+
+  override def createAggregationBuffer(): Array[Int] = Array.emptyIntArray
+
+  override def update(buffer: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else maxInto(buffer,
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray())
+  }
+
+  override def merge(buffer: Array[Int], other: Array[Int]): Array[Int] =
+    maxInto(buffer, other)
+
+  private def maxInto(buffer: Array[Int], other: Array[Int]): Array[Int] =
+    if (other.isEmpty) buffer
+    else if (buffer.isEmpty) other.clone()
+    else {
+      if (buffer.length != other.length)
+        throw new IllegalArgumentException(
+          s"register_merge: sketch length mismatch ${buffer.length} vs ${other.length}")
+      var i = 0
+      while (i < buffer.length) {
+        if (other(i) > buffer(i)) buffer(i) = other(i)
+        i += 1
+      }
+      buffer
+    }
+
+  override def eval(buffer: Array[Int]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 4)
+    buffer.foreach(bb.putInt)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 4)(bb.getInt)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): RegisterMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): RegisterMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): RegisterMergeAgg =
+    copy(child = newChildren(0))
+
+  override def prettyName: String = "register_merge"
 }
 
 /** `register_sketch(hash, m)` — HyperLogLog-style max-rank register sketch

@@ -173,6 +173,17 @@ object PipelineQueries {
   private[queries] val CmsWidth = 32
   private[queries] val HllM = 64
 
+  /** Scala-side twin of [[mirrorTokenHash]] for literal probe tokens (d30
+    * probes the merged Count-Min at a FIXED token) — same fold, same
+    * constants, so the Column form, this value, and the SQL spelling agree.
+    */
+  private[queries] def mirrorTokenHashValue(tok: String): Long = {
+    val t = tok + "abc"
+    ((t.charAt(0).toLong * MirrorHashMul + t.charAt(1).toLong) * MirrorHashMul +
+      t.charAt(2).toLong) * MirrorHashMul + tok.length.toLong
+  }
+  private[queries] val SketchProbeTok = "data"
+
   /** d25's derived "tonight's crawl": docs 0–9 re-surface with new ids
     * (+[[IncrementalIdOffset]]) and one appended token — near-dups of their
     * corpus originals, mirrored exactly in the oracle SQL.
@@ -739,6 +750,56 @@ object PipelineQueries {
         .select(col("source"), col("n_exact"), col("n_regs_hit"),
           round(lit(graft.expr.SketchAggs.hllNumerator(HllM)) /
             col("ssum").cast("double"), 4).as("n_est"))
+        .orderBy("source")
+    }),
+
+    // --- sketch re-aggregation (the datacube / stored-sketch pattern) ----
+    // Daily (source, day) sketches merged per source must equal the direct
+    // per-source sketch EXACTLY (counts add, rank maxima commute with
+    // grouping) — the identity that lets a 100 TB deployment persist tiny
+    // per-partition sketch rows and answer any coarser rollup without
+    // re-scanning raw data. Spark runs BOTH paths (two-level merge via
+    // cms_merge/register_merge vs direct aggregate); DuckDB computes the
+    // mathematical answer once and emits it for both columns — so a merge
+    // bug shows up as a hash mismatch on the *_merged columns.
+    "d30_sketch_merge" -> ((s, dir) => {
+      import graft.expr.SketchAggs
+      val tok = Tables.documents(s, dir)
+        .select(col("source"), (col("doc_id") % 5).as("day"),
+          explode(TextExprs.tokens(col("text"))).as("tok"))
+        .select(col("source"), col("day"), mirrorTokenHash(col("tok")).as("h"))
+      val daily = tok.groupBy("source", "day").agg(
+        SketchAggs.cmsSketch(col("h"), CmsDepth, CmsWidth).as("cms"),
+        SketchAggs.registerSketch(col("h"), HllM).as("regs"))
+      val merged = daily.groupBy("source").agg(
+        SketchAggs.cmsMerge(col("cms")).as("cms_m"),
+        SketchAggs.registerMerge(col("regs")).as("regs_m"))
+      val direct = tok.groupBy("source").agg(
+        SketchAggs.cmsSketch(col("h"), CmsDepth, CmsWidth).as("cms_d"),
+        SketchAggs.registerSketch(col("h"), HllM).as("regs_d"))
+      val probeH = lit(mirrorTokenHashValue(SketchProbeTok))
+      merged.join(direct, "source")
+        .select(col("source"),
+          SketchAggs.cmsEstimate(col("cms_m"), probeH, CmsDepth, CmsWidth)
+            .as("cms_probe_merged"),
+          SketchAggs.cmsEstimate(col("cms_d"), probeH, CmsDepth, CmsWidth)
+            .as("cms_probe_direct"),
+          posexplode(arrays_zip(col("regs_m"), col("regs_d"))).as(Seq("i", "z")))
+        .groupBy("source", "cms_probe_merged", "cms_probe_direct")
+        .agg(
+          sum(when(col("z.regs_m") > 0, 1L).otherwise(0L)).as("n_regs_hit_merged"),
+          sum(when(col("z.regs_d") > 0, 1L).otherwise(0L)).as("n_regs_hit_direct"),
+          sum(pow(lit(2.0), lit(SketchAggs.MaxRank) - col("z.regs_m"))
+            .cast("decimal(38,0)")).as("sm"),
+          sum(pow(lit(2.0), lit(SketchAggs.MaxRank) - col("z.regs_d"))
+            .cast("decimal(38,0)")).as("sd"))
+        .select(col("source"),
+          col("n_regs_hit_merged"), col("n_regs_hit_direct"),
+          round(lit(SketchAggs.hllNumerator(HllM)) / col("sm").cast("double"), 4)
+            .as("hll_est_merged"),
+          round(lit(SketchAggs.hllNumerator(HllM)) / col("sd").cast("double"), 4)
+            .as("hll_est_direct"),
+          col("cms_probe_merged"), col("cms_probe_direct"))
         .orderBy("source")
     }),
 
@@ -1487,6 +1548,55 @@ object PipelineQueries {
          |FROM regs r JOIN srcs s ON s.source = r.source
          |GROUP BY s.source, s.n_exact
          |ORDER BY s.source""".stripMargin,
+
+    // merge identity replay: counts add and rank maxima commute with
+    // grouping, so merged(daily) ≡ direct(all rows) — DuckDB derives the
+    // GLOBAL registers/counters once and emits each value for both the
+    // merged and direct columns; probe positions interpolated from the
+    // same cmsPos arithmetic the aggregate runs
+    "d30_sketch_merge" -> {
+      val probeH = mirrorTokenHashValue(SketchProbeTok)
+      val probeVals = (0 until CmsDepth)
+        .map(d => s"($d, ${graft.expr.SketchAggs.cmsPos(probeH, d, CmsWidth)})")
+        .mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT source, tok, $MirrorTokenHashSql AS h FROM tok),
+         |rk AS (SELECT source, h % $HllM AS reg,
+         |              least(bit_count(((h // $HllM) & -(h // $HllM)) - 1) + 1,
+         |                    ${graft.expr.SketchAggs.MaxRank}) AS rank
+         |       FROM h),
+         |regix AS (SELECT unnest(generate_series(0, ${HllM - 1})) AS reg),
+         |srcs AS (SELECT DISTINCT source FROM h),
+         |regs AS (SELECT s.source, g.reg, coalesce(max(rk.rank), 0) AS r
+         |         FROM srcs s CROSS JOIN regix g
+         |         LEFT JOIN rk ON rk.source = s.source AND rk.reg = g.reg
+         |         GROUP BY s.source, g.reg),
+         |hll AS (SELECT source,
+         |               CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |               round(CAST('${graft.expr.SketchAggs.hllNumerator(HllM)}' AS DOUBLE) /
+         |                     CAST(sum(CAST((CAST(1 AS BIGINT) << (${graft.expr.SketchAggs.MaxRank} - r))
+         |                                   AS DECIMAL(38,0))) AS DOUBLE), 4) AS est
+         |        FROM regs GROUP BY source),
+         |d AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS d),
+         |pos AS (SELECT h.source, d.d,
+         |               ((2*d.d + 3) * (h.h % ${graft.expr.SketchAggs.CmsPrime}) + (5*d.d + 7))
+         |                 % ${graft.expr.SketchAggs.CmsPrime} % $CmsWidth AS pos
+         |        FROM h CROSS JOIN d),
+         |counters AS (SELECT source, d, pos, count(*) AS c FROM pos GROUP BY source, d, pos),
+         |probe AS (SELECT s.source, min(coalesce(c.c, 0)) AS cms_probe
+         |          FROM srcs s
+         |          CROSS JOIN (VALUES $probeVals) AS pp(d, pos)
+         |          LEFT JOIN counters c
+         |            ON c.source = s.source AND c.d = pp.d AND c.pos = pp.pos
+         |          GROUP BY s.source)
+         |SELECT hll.source,
+         |       hll.n_hit AS n_regs_hit_merged, hll.n_hit AS n_regs_hit_direct,
+         |       hll.est AS hll_est_merged, hll.est AS hll_est_direct,
+         |       probe.cms_probe AS cms_probe_merged, probe.cms_probe AS cms_probe_direct
+         |FROM hll JOIN probe ON probe.source = hll.source
+         |ORDER BY hll.source""".stripMargin
+    },
 
     // sign-code replay: same 63-bit pack (bit j-1 = v[j] > 0, the d06b /
     // s02b integer-shift idiom) and the same Hamming rank — all integers

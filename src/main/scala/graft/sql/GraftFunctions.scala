@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{BitmapDistinct, CountMinAgg, DotProductD, DotProductI8, GeoWithinKm, GradeParser, Int8Pack, RegisterSketchAgg, SimHash63, WeatherPatternSimilarity}
+import graft.expr.{BitmapDistinct, CmsMergeAgg, CountMinAgg, DotProductD, DotProductI8, GeoWithinKm, GradeParser, Int8Pack, RegisterMergeAgg, RegisterSketchAgg, SimHash63, WeatherPatternSimilarity}
 import graft.plans.SpatialBboxRule
 
 /** SQL-surface registration for the engine's custom functions.
@@ -53,6 +53,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("register_sketch"),
       new ExpressionInfo(classOf[RegisterSketchAgg].getName, "register_sketch"),
       (exprs: Seq[Expression]) => RegisterSketchAgg(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cms_merge"),
+      new ExpressionInfo(classOf[CmsMergeAgg].getName, "cms_merge"),
+      (exprs: Seq[Expression]) => CmsMergeAgg(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("register_merge"),
+      new ExpressionInfo(classOf[RegisterMergeAgg].getName, "register_merge"),
+      (exprs: Seq[Expression]) => RegisterMergeAgg(exprs(0))))
     // parse_grade too: both deployment modes must expose the same SQL surface
     ext.injectFunction((
       FunctionIdentifier("parse_grade"),
@@ -87,6 +95,10 @@ object GraftFunctions {
       exprs => CountMinAgg(exprs(0), exprs(1), exprs(2)))
     bridge.registerFunction(spark, "register_sketch",
       exprs => RegisterSketchAgg(exprs(0), exprs(1)))
+    bridge.registerFunction(spark, "cms_merge",
+      exprs => CmsMergeAgg(exprs(0)))
+    bridge.registerFunction(spark, "register_merge",
+      exprs => RegisterMergeAgg(exprs(0)))
     // live-session twin of injectOptimizerRule (runs as the optimizer's
     // final user batch — still above the scan for the filter-on-scan shape)
     if (!spark.experimental.extraOptimizations.contains(SpatialBboxRule))

@@ -45,6 +45,28 @@ object StreamingOps {
         // value is NULL totals 0.0, not NULL
         (coalesce(col("value_cents"), lit(0L)).cast("double") / 100.0).as("total_value"))
 
+  /** Windowed mergeable sketches over watermarked event time — the
+    * streaming twin of the d28/d29 batch aggregates: per (window, group)
+    * one Count-Min counter array + one register sketch. The aggregate
+    * buffers persist in the state store between micro-batches exactly like
+    * any built-in aggregate's (TypedImperativeAggregate serializes its
+    * buffer), so state per (window × group) is the FIXED sketch size —
+    * frequency and cardinality tracking over an unbounded token stream
+    * with bounded state, no per-value dedup state. Works on batch frames
+    * too (unified-API contract), which is what the parity spec pins.
+    */
+  def windowedSketch(rows: DataFrame, tsCol: String, groupCol: String,
+                     hashCol: String, windowLen: String = "1 hour",
+                     watermark: String = "1 hour",
+                     depth: Int = 4, width: Int = 1024, m: Int = 64): DataFrame =
+    rows
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col(groupCol))
+      .agg(graft.expr.SketchAggs.cmsSketch(col(hashCol), depth, width).as("cms"),
+        graft.expr.SketchAggs.registerSketch(col(hashCol), m).as("regs"))
+      .select(unix_micros(col("w.start")).as("win_us"), col(groupCol),
+        col("cms"), col("regs"))
+
   /** Streaming sessionization: a 30-minute inactivity gap (observed via a
     * later event for the same user) closes a session and emits it. Sessions
     * awaiting evidence stay in state — gap-evidence closing keeps the

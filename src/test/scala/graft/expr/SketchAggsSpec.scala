@@ -126,6 +126,32 @@ class SketchAggsSpec extends SparkSpec {
     }
   }
 
+  test("merge aggregates: two-level (daily -> total) equals direct over the raw stream") {
+    val df = corpus(8).withColumn("day", col("key") % 7)
+    val daily = df.groupBy("day").agg(
+      cmsSketch(col("h"), 4, 512).as("cms"), registerSketch(col("h"), 64).as("regs"))
+    val merged = daily.agg(
+      cmsMerge(col("cms")).as("cms"), registerMerge(col("regs")).as("regs")).head()
+    val direct = corpus(8).agg(
+      cmsSketch(col("h"), 4, 512).as("cms"), registerSketch(col("h"), 64).as("regs")).head()
+    assert(merged.getSeq[Long](0) == direct.getSeq[Long](0),
+      "cms_merge(daily) must equal the direct sketch exactly")
+    assert(merged.getSeq[Int](1) == direct.getSeq[Int](1),
+      "register_merge(daily) must equal the direct sketch exactly")
+  }
+
+  test("merge aggregates: length mismatch throws, nulls skipped, empty group is empty") {
+    import spark.implicits._
+    val mismatched = Seq(Seq(1L, 2L), Seq(1L, 2L, 3L)).toDF("cms")
+    intercept[Exception] { mismatched.agg(cmsMerge(col("cms"))).collect() }
+    val withNull = Seq(Some(Seq(1L, 2L)), None, Some(Seq(10L, 20L))).toDF("cms")
+    assert(withNull.agg(cmsMerge(col("cms"))).head().getSeq[Long](0) == Seq(11L, 22L))
+    val empty = Seq.empty[Seq[Long]].toDF("cms")
+    assert(empty.agg(cmsMerge(col("cms"))).head().getSeq[Long](0).isEmpty)
+    val regsNull = Seq(Some(Seq(3, 1)), None, Some(Seq(2, 5))).toDF("regs")
+    assert(regsNull.agg(registerMerge(col("regs"))).head().getSeq[Int](0) == Seq(3, 5))
+  }
+
   test("cms sketch is SQL-callable through both registration modes") {
     graft.sql.GraftFunctions.register(spark)
     corpus(4).createOrReplaceTempView("sketch_input")
@@ -134,5 +160,11 @@ class SketchAggsSpec extends SparkSpec {
       .head()
     assert(viaSql.getSeq[Long](0).sum == 200000L * 2)
     assert(viaSql.getSeq[Int](1).length == 64)
+    val viaMergeSql = spark.sql(
+      """SELECT cms_merge(cms) AS cms, register_merge(regs) AS regs FROM (
+        |  SELECT key % 3 AS g, cms_sketch(h, 2, 32) AS cms, register_sketch(h, 64) AS regs
+        |  FROM sketch_input GROUP BY key % 3)""".stripMargin).head()
+    assert(viaMergeSql.getSeq[Long](0).sum == 200000L * 2)
+    assert(viaMergeSql.getSeq[Int](1) == viaSql.getSeq[Int](1))
   }
 }

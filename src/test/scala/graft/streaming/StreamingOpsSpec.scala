@@ -49,6 +49,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowedSketch merges buffers across micro-batches to the batch sketch") {
+    val mem = MemoryStream[Event]
+    val q = windowedSketch(mem.toDF(), "ts", "event_type", "user_id",
+      windowLen = "1 hour", watermark = "10 minutes", depth = 2, width = 16, m = 16)
+      .writeStream.format("memory").queryName("sketches").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      // two micro-batches into the SAME window/group: the second batch's
+      // rows must fold into the stored aggregation buffer, not replace it
+      mem.addData((1L to 40L).map(i => Event(i, ts(i.toInt % 50), i % 23, "view", 1.0)): _*)
+      q.processAllAvailable()
+      mem.addData((41L to 80L).map(i => Event(i, ts(i.toInt % 50), i % 23, "view", 1.0)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sketches").collect()
+        .map(r => (r.getAs[Long]("win_us"), r.getAs[String]("event_type")) ->
+          (r.getSeq[Long](2), r.getSeq[Int](3))).toMap
+      val batch = windowedSketch(
+        spark.createDataFrame((1L to 80L).map(i => Event(i, ts(i.toInt % 50), i % 23, "view", 1.0))),
+        "ts", "event_type", "user_id",
+        windowLen = "1 hour", watermark = "10 minutes", depth = 2, width = 16, m = 16)
+        .collect()
+        .map(r => (r.getAs[Long]("win_us"), r.getAs[String]("event_type")) ->
+          (r.getSeq[Long](2), r.getSeq[Int](3))).toMap
+      assert(streamed.keySet == batch.keySet)
+      for ((k, (cms, regs)) <- batch) {
+        assert(streamed(k)._1 == cms, s"cms drifted for $k")
+        assert(streamed(k)._2 == regs, s"registers drifted for $k")
+      }
+      // both hours' events landed: total counter mass = 80 rows x depth 2
+      assert(streamed.values.map(_._1.sum).sum == 80L * 2)
+    } finally q.stop()
+  }
+
   test("streaming sessionize closes sessions on 30-min gaps across batches") {
     val mem = MemoryStream[Event]
     val q = sessionize(mem.toDS())

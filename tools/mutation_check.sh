@@ -114,6 +114,22 @@ run_mutation neutral-weather-default \
   'accidents.withColumn("wsim", lit(NeutralWeatherSimilarity + 0.1))' \
   'k08_kernel_risk,k18_location_kernel'
 
+# M7: Count-Min probe min-over-rows flipped to max — d28's width is sized
+# below the vocabulary precisely so collisions make this arm live
+run_mutation cms-min-flip \
+  src/main/scala/graft/expr/SketchAggs.scala \
+  'if (depth == 1) ests.head else least(ests: _*)' \
+  'if (depth == 1) ests.head else greatest(ests: _*)' \
+  'd28_cms_heavy_hitters'
+
+# M8: register-sketch rank off by one — registers and the harmonic
+# estimate must move
+run_mutation hll-rank-off-by-one \
+  src/main/scala/graft/expr/SketchAggs.scala \
+  'math.min(java.lang.Long.numberOfTrailingZeros(w) + 1, MaxRank)' \
+  'math.min(java.lang.Long.numberOfTrailingZeros(w) + 2, MaxRank)' \
+  'd29_hll_distinct'
+
 echo ""
 echo "==================================================================="
 echo "mutation -> gate outcome (caught(N) = N queries failed the oracle)"
