@@ -128,4 +128,50 @@ object ScaleLayout {
       .withColumn("rank", row_number().over(w2).cast("int"))
       .where(col("rank") <= k)
   }
+
+  /** Bloom-pruned shuffle join — the shuffle-byte rescue for the regime
+    * BETWEEN broadcast and plain shuffle: the dimension side is too big to
+    * broadcast as a hash relation (10⁸ keys ≈ several GB of rows), but its
+    * KEY SET compresses into a Bloom filter a few hundred MB even at 10⁹
+    * keys (~1.2 GB at 1% fpp; `Dedup.buildBloom` sizes it honestly). The
+    * filter broadcasts once per executor ([[graft.expr.BloomMightContainBcast]]
+    * — a torrent broadcast, never a plan Literal), the FACT side probes it
+    * MAP-SIDE below its exchange, and only the sliver that can possibly
+    * match (true matches + ~fpp noise) is ever serialized, shuffled, and
+    * sorted. Spark's own runtime bloom filters do this automatically but
+    * cap the filter at 8 MB / 4M items (sized for opportunistic pruning);
+    * this op is the explicit, honestly-sized form for when pruning IS the
+    * plan.
+    *
+    * LOSSLESS for the inner equi-join it performs: Bloom filters have no
+    * false negatives, so every row with a matching key survives the probe,
+    * and the join itself erases the fpp noise — output ≡ plain inner join
+    * (d31's oracle hash-matches DuckDB's plain JOIN; the spec additionally
+    * pins the probe's Filter below the fact side's Exchange and its
+    * numOutputRows at the pruned sliver). Null fact keys never probe and
+    * never survive — they cannot match an inner equi-join anyway.
+    *
+    * The join is hinted SHUFFLE_HASH on the dim side: in this op's regime
+    * neither side broadcasts, and on tiny test data Catalyst would
+    * otherwise broadcast the dim and skip the exchange the pruning exists
+    * to feed. Key columns must share a data type (xxhash64 is
+    * type-sensitive — hashing the same value as INT and BIGINT differs).
+    */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
+                      factKey: String, dimKey: String,
+                      fpp: Double = 0.01): DataFrame = {
+    require(fact.schema(factKey).dataType == dim.schema(dimKey).dataType,
+      s"bloomPrunedJoin: key types must match, got " +
+        s"${fact.schema(factKey).dataType} vs ${dim.schema(dimKey).dataType}")
+    val dimHashes = dim.where(col(dimKey).isNotNull)
+      .select(xxhash64(col(dimKey)).as("h"))
+    // exact count is a metadata-scale job; at 10⁹+ keys swap in
+    // approx_count_distinct (only sizes the filter, never correctness)
+    val n = math.max(dimHashes.count(), 1L)
+    val bf = graft.dedup.Dedup.buildBloom(dimHashes, "h", n, fpp)
+    val bcast = fact.sparkSession.sparkContext.broadcast(bf)
+    val probe = graft.expr.BloomExprs.mightContain(bcast, xxhash64(col(factKey)))
+    val pruned = fact.where(col(factKey).isNotNull && coalesce(probe, lit(false)))
+    pruned.join(dim.hint("shuffle_hash"), pruned(factKey) === dim(dimKey), "inner")
+  }
 }

@@ -803,6 +803,25 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // --- bloom-pruned shuffle join (runtime-filter pattern, explicit) ----
+    // the dim's key set rides a broadcast Bloom filter; the fact probes it
+    // MAP-SIDE below its exchange, so only the possibly-matching sliver
+    // shuffles. No false negatives + inner join erasing fpp noise ⇒ the
+    // output is EXACTLY the plain join, which DuckDB replays directly.
+    "d31_bloom_join" -> ((s, dir) => {
+      graft.pipeline.ScaleLayout.bloomPrunedJoin(
+          Tables.lineitem(s, dir),
+          Tables.orders(s, dir).where(col("o_orderpriority") === "1-URGENT"),
+          "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum("l_quantity").as("sum_qty"),
+          (coalesce(sum(round(col("l_extendedprice") *
+              (lit(1.0) - col("l_discount")) * 10000).cast("long")), lit(0L))
+            .cast("double") / 10000.0).as("revenue"))
+        .orderBy("l_returnflag", "o_orderstatus")
+    }),
+
     // --- binary (1-bit) ANN: the far end of the quantization ladder ------
     // one BIGINT per vector (8 B vs 512 B), candidates cost XOR+popcount;
     // FULL oracle — sign bits, the Horner pack, and the Hamming ranking
@@ -1597,6 +1616,19 @@ object PipelineQueries {
          |FROM hll JOIN probe ON probe.source = hll.source
          |ORDER BY hll.source""".stripMargin
     },
+
+    // the bloom stage is a lossless optimization, so the oracle is the
+    // PLAIN inner join — any probe bug that drops a matching row (a false
+    // negative) shows up as a rows/hash mismatch here
+    "d31_bloom_join" ->
+      """SELECT l_returnflag, o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(coalesce(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)), 0) AS DOUBLE) / 10000.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag, o_orderstatus
+        |ORDER BY l_returnflag, o_orderstatus""".stripMargin,
 
     // sign-code replay: same 63-bit pack (bit j-1 = v[j] > 0, the d06b /
     // s02b integer-shift idiom) and the same Hamming rank — all integers

@@ -135,4 +135,58 @@ class ScaleLayoutSpec extends SparkSpec {
       Seq(col("v").desc, col("k").asc), k = 5, factor = 4)
     assert(top.count() == 15)
   }
+
+  test("bloom-pruned join: output equals the plain join, probe filters below the exchange") {
+    // 50K fact rows over a 20K key space; dim holds 1 in 20 keys (with
+    // nulls on both sides, which an inner equi-join must drop) — the probe
+    // should pass ~5% true matches + ~1% fpp, far below a full shuffle.
+    // Range-backed frames, not toDF: ConvertToLocalRelation would evaluate
+    // a filter over a LocalRelation eagerly on the driver, leaving no
+    // FilterExec for the plan assertions below
+    val fact = spark.range(1, 50001).select(
+      when(col("id") % 997 === 0, lit(null)).otherwise(col("id") % 20000).as("k"),
+      col("id").as("v"))
+    val dim = spark.range(1, 20001).where(col("id") % 20 === 0).select(
+      when(col("id") === 20, lit(null)).otherwise(col("id")).as("dk"),
+      concat(lit("dim_"), col("id")).as("name"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // plain (non-adaptive) physical plan so the exchange/filter ancestry
+    // below is directly traversable; the op itself runs fine under AQE
+    // (d31 goes through the ANSI+AQE gate)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = ScaleLayout.bloomPrunedJoin(fact, dim, "k", "dk", fpp = 0.01)
+      // collect the join itself (not a derived projection) so the metric
+      // reads below come from this exact executed plan
+      val got = joined.collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"), r.getAs[String]("name")))
+        .toSet
+      val want = fact.join(dim, col("k") === col("dk")).select("k", "v", "name")
+        .as[(Long, Long, String)].collect().toSet
+      assert(got == want, "bloom-pruned join output drifted from the plain join")
+      assert(got.nonEmpty && got.forall(_._1 % 20 == 0))
+      // plan guarantee: a shuffle exchange on the fact side has the bloom
+      // probe Filter BELOW it — pruning happens before rows serialize
+      import org.apache.spark.sql.execution.FilterExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val plan = joined.queryExecution.executedPlan
+      val prunedExchanges = plan.collect {
+        case e: ShuffleExchangeLike if e.collect {
+          case f: FilterExec
+            if f.condition.toString.contains("bloommightcontain") => f
+        }.nonEmpty => e
+      }
+      assert(prunedExchanges.nonEmpty,
+        s"no shuffle exchange with a bloom-probe filter below it:\n$plan")
+      // pruning guarantee: the probe's output is the sliver, not the scan
+      val probeFilter = plan.collect {
+        case f: FilterExec
+          if f.condition.toString.contains("bloommightcontain") => f
+      }.head
+      val passed = probeFilter.metrics("numOutputRows").value
+      assert(passed >= want.size, s"probe dropped matching rows: $passed")
+      assert(passed <= 50000 * 0.08,
+        s"probe passed $passed of 50000 rows — pruning is not happening")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
