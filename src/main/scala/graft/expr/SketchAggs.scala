@@ -83,6 +83,59 @@ object SketchAggs {
         org.apache.spark.sql.catalyst.expressions.Literal(width, IntegerType))
         .toAggregateExpression())
 
+  /** Column factory: `hist_sketch(value, lo, hi, bins)` → `bins + 2` long
+    * counters: index 0 = underflow (v < lo), 1..bins = equi-width bins over
+    * [lo, hi), bins+1 = overflow (v ≥ hi). Additive like Count-Min, so
+    * stored histogram rows re-aggregate through [[cmsMerge]] unchanged —
+    * the quantile member of the sketch family (frequency = cms, distinct =
+    * registers, membership = bloom).
+    */
+  def histSketch(value: Column, lo: Double, hi: Double, bins: Int): Column =
+    ColumnBridge.column(
+      HistogramAgg(ColumnBridge.expression(value),
+        org.apache.spark.sql.catalyst.expressions.Literal(lo, DoubleType),
+        org.apache.spark.sql.catalyst.expressions.Literal(hi, DoubleType),
+        org.apache.spark.sql.catalyst.expressions.Literal(bins, IntegerType))
+        .toAggregateExpression())
+
+  /** In-range mass of a histogram array (excludes under/overflow). */
+  def histTotal(hist: Column, bins: Int): Column =
+    (1 to bins).map(b => org.apache.spark.sql.functions.element_at(hist, b + 1))
+      .reduce(_ + _)
+
+  /** Interpolated quantile from a histogram array — pure Column arithmetic
+    * (no UDF), mirrored term-for-term by the d32 oracle SQL.
+    *
+    * Definition (over IN-RANGE mass only; under/overflow are reported
+    * separately, never folded into a bin): with N = in-range count and
+    * rank r = ceil(q·N), find the first bin b whose cumulative count
+    * reaches r, then linearly interpolate within it:
+    * `lo + binw·(b−1 + (r − cum_{b−1}) / h_b)`. Every term is integer
+    * counts and one IEEE division/multiply, so DuckDB replays it
+    * bit-for-bit. NULL when the histogram is empty. Expression size grows
+    * O(bins²) from the unrolled cumulative chain — fine at the ≤64 bins a
+    * quantile summary wants; shard the domain beyond that.
+    */
+  def histQuantile(hist: Column, q: Double, lo: Double, hi: Double,
+                   bins: Int): Column = {
+    require(q > 0.0 && q <= 1.0, s"quantile q must be in (0, 1], got $q")
+    import org.apache.spark.sql.functions.{ceil => sceil, coalesce, element_at, lit, when}
+    val h = (1 to bins).map(b => element_at(hist, b + 1))
+    val total = h.reduce(_ + _)
+    val r = sceil(lit(q) * total.cast("double")).cast("long")
+    val binw = (hi - lo) / bins
+    var cumPrev: Column = lit(0L)
+    val arms = (1 to bins).map { b =>
+      val before = cumPrev
+      val cum = before + h(b - 1)
+      cumPrev = cum
+      when(cum >= r && h(b - 1) > 0,
+        lit(lo) + lit(binw) * (lit((b - 1).toDouble) +
+          (r - before).cast("double") / h(b - 1).cast("double")))
+    }
+    when(total > 0, coalesce(arms: _*))
+  }
+
   /** Column factory: `register_sketch(h, m)` → m max-rank registers. */
   def registerSketch(hash: Column, m: Int): Column =
     ColumnBridge.column(
@@ -353,6 +406,106 @@ case class RegisterMergeAgg(child: Expression,
     copy(child = newChildren(0))
 
   override def prettyName: String = "register_merge"
+}
+
+/** `hist_sketch(value, lo, hi, bins)` — mergeable equi-width histogram over
+  * a numeric column: `bins + 2` long counters (underflow | bins over
+  * [lo, hi) | overflow), elementwise-add merge. The distributional member
+  * of the sketch family: one map-side pass, fixed `bins + 2`-long state per
+  * (group × partition) regardless of row count, re-aggregates through
+  * [[CmsMergeAgg]] like any additive counter array (the d30/d32 datacube
+  * pattern), and answers quantiles via [[SketchAggs.histQuantile]] with
+  * error ≤ one bin width — the honest trade a 100 TB percentile wants
+  * instead of an exact full sort.
+  *
+  * Bucketing: v < lo → underflow; v ≥ hi → overflow; else
+  * `1 + floor((v−lo)/(hi−lo)·bins)` clamped to bins (FP edge when v sits
+  * just under hi). Exactly this formula — same association order — is what
+  * the d32 oracle SQL replays. Nulls are skipped like every SQL aggregate;
+  * NaN is skipped too (it belongs to no bucket) and documented as such.
+  */
+case class HistogramAgg(child: Expression, loExpr: Expression,
+    hiExpr: Expression, binsExpr: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  private lazy val lo: Double = loExpr.eval(null).asInstanceOf[Double]
+  private lazy val hi: Double = hiExpr.eval(null).asInstanceOf[Double]
+  private lazy val bins: Int = binsExpr.eval(null).asInstanceOf[Int]
+
+  override def children: Seq[Expression] = Seq(child, loExpr, hiExpr, binsExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!Seq(DoubleType, FloatType, LongType, IntegerType).contains(child.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"hist_sketch requires a numeric (int/long/float/double) column, got ${child.dataType}")
+    else if (!Seq(loExpr, hiExpr).forall(e =>
+        e.dataType == DoubleType && e.foldable && e.eval(null) != null) ||
+      !(binsExpr.dataType == IntegerType && binsExpr.foldable && binsExpr.eval(null) != null))
+      TypeCheckResult.TypeCheckFailure(
+        "hist_sketch lo/hi must be non-null double literals and bins a non-null int literal")
+    else {
+      val (l, h, b) = (loExpr.eval(null).asInstanceOf[Double],
+        hiExpr.eval(null).asInstanceOf[Double],
+        binsExpr.eval(null).asInstanceOf[Int])
+      if (!(l < h)) TypeCheckResult.TypeCheckFailure(s"hist_sketch needs lo < hi, got [$l, $h)")
+      else if (b <= 0 || b > (1 << 22))
+        TypeCheckResult.TypeCheckFailure(s"hist_sketch bins must be in [1, 2^22], got $b")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](bins + 2)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val raw = child.eval(input)
+    if (raw != null) {
+      val v = raw match {
+        case d: java.lang.Double => d.doubleValue()
+        case f: java.lang.Float => f.doubleValue()
+        case l: java.lang.Long => l.doubleValue()
+        case i: java.lang.Integer => i.doubleValue()
+      }
+      if (!v.isNaN) {
+        val idx =
+          if (v < lo) 0
+          else if (v >= hi) bins + 1
+          else math.min(bins, 1 + math.floor((v - lo) / (hi - lo) * bins).toInt)
+        buffer(idx) += 1L
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HistogramAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HistogramAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HistogramAgg =
+    copy(child = newChildren(0), loExpr = newChildren(1),
+      hiExpr = newChildren(2), binsExpr = newChildren(3))
+
+  override def prettyName: String = "hist_sketch"
 }
 
 /** `register_sketch(hash, m)` — HyperLogLog-style max-rank register sketch

@@ -184,6 +184,16 @@ object PipelineQueries {
   }
   private[queries] val SketchProbeTok = "data"
 
+  /** d32 histogram model: [lo, hi) covers every doc length in the testdata
+    * (48–558 chars at sf0.01) so the quantile path is live in-range; the
+    * bounds and bin count are interpolated into the oracle SQL from these
+    * same constants. (hi−lo)/bins = 40.0 exactly, so the bin width literal
+    * round-trips through SQL text without FP drift.
+    */
+  private[queries] val HistLo = 0.0
+  private[queries] val HistHi = 640.0
+  private[queries] val HistBins = 16
+
   /** d25's derived "tonight's crawl": docs 0–9 re-surface with new ids
     * (+[[IncrementalIdOffset]]) and one appended token — near-dups of their
     * corpus originals, mirrored exactly in the oracle SQL.
@@ -800,6 +810,36 @@ object PipelineQueries {
           round(lit(SketchAggs.hllNumerator(HllM)) / col("sd").cast("double"), 4)
             .as("hll_est_direct"),
           col("cms_probe_merged"), col("cms_probe_direct"))
+        .orderBy("source")
+    }),
+
+    // --- histogram sketch quantiles (the distributional sketch) ----------
+    // daily (source, day) histograms re-aggregate through cms_merge (any
+    // additive counter array does) and answer P50/P95/P99 by in-bin
+    // interpolation — pure Column arithmetic the oracle replays term for
+    // term from the raw lengths; merged and direct twins must agree.
+    "d32_hist_quantiles" -> ((s, dir) => {
+      import graft.expr.SketchAggs
+      val lens = Tables.documents(s, dir).where(col("text").isNotNull)
+        .select(col("source"), (col("doc_id") % 5).as("day"),
+          length(col("text")).cast("double").as("len"))
+      val daily = lens.groupBy("source", "day")
+        .agg(SketchAggs.histSketch(col("len"), HistLo, HistHi, HistBins).as("hist"))
+      val merged = daily.groupBy("source")
+        .agg(SketchAggs.cmsMerge(col("hist")).as("hm"))
+      val direct = lens.groupBy("source")
+        .agg(SketchAggs.histSketch(col("len"), HistLo, HistHi, HistBins).as("hd"))
+      merged.join(direct, "source")
+        .select(col("source"),
+          SketchAggs.histTotal(col("hm"), HistBins).as("n"),
+          element_at(col("hm"), 1).as("n_under"),
+          element_at(col("hm"), HistBins + 2).as("n_over"),
+          SketchAggs.histQuantile(col("hm"), 0.5, HistLo, HistHi, HistBins).as("p50_merged"),
+          SketchAggs.histQuantile(col("hm"), 0.95, HistLo, HistHi, HistBins).as("p95_merged"),
+          SketchAggs.histQuantile(col("hm"), 0.99, HistLo, HistHi, HistBins).as("p99_merged"),
+          SketchAggs.histQuantile(col("hd"), 0.5, HistLo, HistHi, HistBins).as("p50_direct"),
+          SketchAggs.histQuantile(col("hd"), 0.95, HistLo, HistHi, HistBins).as("p95_direct"),
+          SketchAggs.histQuantile(col("hd"), 0.99, HistLo, HistHi, HistBins).as("p99_direct"))
         .orderBy("source")
     }),
 
@@ -1615,6 +1655,56 @@ object PipelineQueries {
          |       probe.cms_probe AS cms_probe_merged, probe.cms_probe AS cms_probe_direct
          |FROM hll JOIN probe ON probe.source = hll.source
          |ORDER BY hll.source""".stripMargin
+    },
+
+    // histogram replay: DuckDB buckets the raw lengths with the SAME
+    // formula (same association order), cumulates per source, and runs the
+    // identical rank/interpolation arithmetic — merge correctness falls
+    // out because the oracle derives ONE answer from raw data and emits it
+    // for both the merged and direct columns
+    "d32_hist_quantiles" -> {
+      val binw = (HistHi - HistLo) / HistBins
+      val qvals = Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)
+      val qRows = qvals.map { case (nm, q) => s"($q, '$nm')" }.mkString(", ")
+      val qCols = Seq("merged", "direct").flatMap(side => qvals.map { case (nm, _) =>
+        s"max(CASE WHEN est.qname = '$nm' THEN est.v END) AS ${nm}_$side"
+      }).mkString(",\n       |       ").stripMargin
+      s"""WITH lens AS (
+         |  SELECT source, CAST(length(text) AS DOUBLE) AS len
+         |  FROM documents WHERE text IS NOT NULL),
+         |bk AS (SELECT source,
+         |          CASE WHEN len < $HistLo THEN 0
+         |               WHEN len >= $HistHi THEN ${HistBins + 1}
+         |               ELSE LEAST($HistBins, 1 + CAST(floor((len - $HistLo) / ($HistHi - $HistLo) * $HistBins) AS INT)) END AS bin
+         |       FROM lens),
+         |counts AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c
+         |           FROM bk WHERE bin BETWEEN 1 AND $HistBins GROUP BY source, bin),
+         |edge AS (SELECT source,
+         |            CAST(coalesce(sum(CASE WHEN bin = 0 THEN 1 END), 0) AS BIGINT) AS n_under,
+         |            CAST(coalesce(sum(CASE WHEN bin = ${HistBins + 1} THEN 1 END), 0) AS BIGINT) AS n_over
+         |         FROM bk GROUP BY source),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY source),
+         |cum AS (SELECT source, bin, c,
+         |           CAST(sum(c) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) AS cum
+         |        FROM counts),
+         |qs AS (SELECT CAST(q AS DOUBLE) AS q, qname
+         |       FROM (VALUES $qRows) AS t(q, qname)),
+         |ranks AS (SELECT tot.source, qs.qname,
+         |             CAST(ceil(qs.q * CAST(tot.n AS DOUBLE)) AS BIGINT) AS r
+         |          FROM tot CROSS JOIN qs),
+         |pick AS (SELECT r.source, r.qname, r.r, min(cum.bin) AS bin
+         |         FROM ranks r JOIN cum ON cum.source = r.source AND cum.cum >= r.r
+         |         GROUP BY r.source, r.qname, r.r),
+         |est AS (SELECT p.source, p.qname,
+         |           $HistLo + $binw * (CAST(p.bin - 1 AS DOUBLE) + CAST(p.r - (c.cum - c.c) AS DOUBLE) / CAST(c.c AS DOUBLE)) AS v
+         |        FROM pick p JOIN cum c ON c.source = p.source AND c.bin = p.bin)
+         |SELECT tot.source, tot.n, edge.n_under, edge.n_over,
+         |       $qCols
+         |FROM tot
+         |JOIN edge ON edge.source = tot.source
+         |JOIN est ON est.source = tot.source
+         |GROUP BY tot.source, tot.n, edge.n_under, edge.n_over
+         |ORDER BY tot.source""".stripMargin
     },
 
     // the bloom stage is a lossless optimization, so the oracle is the

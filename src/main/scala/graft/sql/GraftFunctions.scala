@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{BitmapDistinct, CmsMergeAgg, CountMinAgg, DotProductD, DotProductI8, GeoWithinKm, GradeParser, Int8Pack, RegisterMergeAgg, RegisterSketchAgg, SimHash63, WeatherPatternSimilarity}
+import graft.expr.{BitmapDistinct, CmsMergeAgg, CountMinAgg, DotProductD, DotProductI8, GeoWithinKm, GradeParser, HistogramAgg, Int8Pack, RegisterMergeAgg, RegisterSketchAgg, SimHash63, WeatherPatternSimilarity}
 import graft.plans.SpatialBboxRule
 
 /** SQL-surface registration for the engine's custom functions.
@@ -61,6 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("register_merge"),
       new ExpressionInfo(classOf[RegisterMergeAgg].getName, "register_merge"),
       (exprs: Seq[Expression]) => RegisterMergeAgg(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("hist_sketch"),
+      new ExpressionInfo(classOf[HistogramAgg].getName, "hist_sketch"),
+      (exprs: Seq[Expression]) => HistogramAgg(exprs(0), exprs(1), exprs(2), exprs(3))))
     // parse_grade too: both deployment modes must expose the same SQL surface
     ext.injectFunction((
       FunctionIdentifier("parse_grade"),
@@ -99,6 +103,8 @@ object GraftFunctions {
       exprs => CmsMergeAgg(exprs(0)))
     bridge.registerFunction(spark, "register_merge",
       exprs => RegisterMergeAgg(exprs(0)))
+    bridge.registerFunction(spark, "hist_sketch",
+      exprs => HistogramAgg(exprs(0), exprs(1), exprs(2), exprs(3)))
     // live-session twin of injectOptimizerRule (runs as the optimizer's
     // final user batch — still above the scan for the filter-on-scan shape)
     if (!spark.experimental.extraOptimizations.contains(SpatialBboxRule))

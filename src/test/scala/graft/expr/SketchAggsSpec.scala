@@ -152,6 +152,47 @@ class SketchAggsSpec extends SparkSpec {
     assert(regsNull.agg(registerMerge(col("regs"))).head().getSeq[Int](0) == Seq(3, 5))
   }
 
+  test("histogram: exact bucketing incl. underflow, overflow, NaN, null, hi-edge") {
+    import spark.implicits._
+    // [0, 100) in 4 bins of 25; -5 underflows, 100 and 250 overflow
+    // (v >= hi), NaN and null are skipped entirely
+    val vals = Seq(Some(-5.0), Some(0.0), Some(24.999), Some(25.0), Some(49.0),
+      Some(75.0), Some(99.999), Some(100.0), Some(250.0),
+      Some(Double.NaN), None)
+    val got = vals.toDF("v").agg(histSketch(col("v"), 0.0, 100.0, 4).as("h"))
+      .head().getSeq[Long](0)
+    assert(got == Seq(1L, 2L, 2L, 0L, 2L, 2L),
+      s"bucket layout drifted: $got")
+  }
+
+  test("histogram: interpolated quantiles match hand arithmetic; empty is null") {
+    import spark.implicits._
+    // 10 in-range values in [0, 10): bins of width 1, one value per bin →
+    // quantile q lands at rank ceil(10q); P50 → rank 5 → bin 5 →
+    // 4 + (5-4)/1 = 5.0; P99 → rank 10 → bin 10 → 9 + 1/1 = 10.0
+    val df = (0 until 10).map(_ + 0.5).toDF("v")
+      .agg(histSketch(col("v"), 0.0, 10.0, 10).as("h"))
+    val r = df.select(
+      histQuantile(col("h"), 0.5, 0.0, 10.0, 10).as("p50"),
+      histQuantile(col("h"), 0.99, 0.0, 10.0, 10).as("p99"),
+      histTotal(col("h"), 10).as("n")).head()
+    assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 10.0 && r.getLong(2) == 10L)
+    // all-overflow histogram: in-range mass 0 → quantile is NULL, not 0/0
+    val empty = Seq(500.0, 600.0).toDF("v")
+      .agg(histSketch(col("v"), 0.0, 10.0, 10).as("h"))
+      .select(histQuantile(col("h"), 0.5, 0.0, 10.0, 10).as("p50")).head()
+    assert(empty.isNullAt(0))
+  }
+
+  test("histogram: daily arrays merged via cms_merge equal the direct histogram") {
+    val df = corpus(8).withColumn("day", col("key") % 7)
+      .withColumn("v", (col("h") % 1000L).cast("double"))
+    val merged = df.groupBy("day").agg(histSketch(col("v"), 0.0, 1000.0, 20).as("h"))
+      .agg(cmsMerge(col("h"))).head().getSeq[Long](0)
+    val direct = df.agg(histSketch(col("v"), 0.0, 1000.0, 20)).head().getSeq[Long](0)
+    assert(merged == direct, "histogram arrays are additive — merge must be exact")
+  }
+
   test("cms sketch is SQL-callable through both registration modes") {
     graft.sql.GraftFunctions.register(spark)
     corpus(4).createOrReplaceTempView("sketch_input")
@@ -166,5 +207,13 @@ class SketchAggsSpec extends SparkSpec {
         |  FROM sketch_input GROUP BY key % 3)""".stripMargin).head()
     assert(viaMergeSql.getSeq[Long](0).sum == 200000L * 2)
     assert(viaMergeSql.getSeq[Int](1) == viaSql.getSeq[Int](1))
+    // hist_sketch too (lo/hi must be DOUBLE — SQL 0.0 alone parses as
+    // DECIMAL, so the SQL surface takes explicit casts for the bounds)
+    val viaHistSql = spark.sql(
+      """SELECT hist_sketch(CAST(key AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |                   CAST(10000.0 AS DOUBLE), 10)
+        |FROM sketch_input""".stripMargin).head().getSeq[Long](0)
+    assert(viaHistSql.length == 12 && viaHistSql.head == 0L && viaHistSql.last == 0L)
+    assert(viaHistSql.slice(1, 11).forall(_ == 20000L), s"uneven: $viaHistSql")
   }
 }

@@ -130,6 +130,14 @@ run_mutation hll-rank-off-by-one \
   'math.min(java.lang.Long.numberOfTrailingZeros(w) + 2, MaxRank)' \
   'd29_hll_distinct'
 
+# M9: histogram bucket off-by-one — every in-range value lands one bin
+# high, shifting the interpolated quantiles
+run_mutation hist-bucket-off-by-one \
+  src/main/scala/graft/expr/SketchAggs.scala \
+  'else math.min(bins, 1 + math.floor((v - lo) / (hi - lo) * bins).toInt)' \
+  'else math.min(bins, 2 + math.floor((v - lo) / (hi - lo) * bins).toInt)' \
+  'd32_hist_quantiles'
+
 echo ""
 echo "==================================================================="
 echo "mutation -> gate outcome (caught(N) = N queries failed the oracle)"
