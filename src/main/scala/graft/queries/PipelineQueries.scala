@@ -194,6 +194,14 @@ object PipelineQueries {
   private[queries] val HistHi = 640.0
   private[queries] val HistBins = 16
 
+  /** d33's SQL-mirrorable uniform: Knuth multiplicative hash of doc_id,
+    * reduced mod 2^32 (odd multiplier ⇒ a permutation of the residues, so
+    * sequential ids scatter across the gate). Shared constants — the
+    * oracle interpolates exactly these.
+    */
+  private[queries] val SampleHashMul = 2654435761L
+  private[queries] val SampleHashAdd = 104729L
+
   /** d25's derived "tonight's crawl": docs 0–9 re-surface with new ids
     * (+[[IncrementalIdOffset]]) and one appended token — near-dups of their
     * corpus originals, mirrored exactly in the oracle SQL.
@@ -810,6 +818,23 @@ object PipelineQueries {
           round(lit(SketchAggs.hllNumerator(HllM)) / col("sd").cast("double"), 4)
             .as("hll_est_direct"),
           col("cms_probe_merged"), col("cms_probe_direct"))
+        .orderBy("source")
+    }),
+
+    // --- weighted Bernoulli sample (training-mix, ∝-weight inclusion) ----
+    // inclusion prob min(1, k·w/W) via an exact integer cross-multiplied
+    // gate — no division, no transcendentals, so DuckDB replays the gate
+    // bit-for-bit in HUGEINT. The uniform is the SQL-mirrorable Knuth
+    // multiplicative hash (production callers pass xxhash64 instead).
+    "d33_weighted_sample" -> ((s, dir) => {
+      import graft.pipeline.Sampling
+      val h = (col("doc_id") * SampleHashMul + SampleHashAdd) % Sampling.U32Mod
+      Sampling.weightedBernoulli(
+          Tables.documents(s, dir), "source", h, "n_chars", k = 8)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum("n_chars").as("chars_sampled"),
+          min("doc_id").as("first_doc"))
         .orderBy("source")
     }),
 
@@ -1656,6 +1681,23 @@ object PipelineQueries {
          |FROM hll JOIN probe ON probe.source = hll.source
          |ORDER BY hll.source""".stripMargin
     },
+
+    // exact-gate replay: same per-source weight totals, same Knuth
+    // uniform, same cross-multiplied inclusion test in HUGEINT
+    "d33_weighted_sample" ->
+      s"""WITH w AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS wt
+         |           FROM documents GROUP BY source),
+         |g AS (SELECT source, doc_id, n_chars,
+         |         (doc_id * $SampleHashMul + $SampleHashAdd) % ${graft.pipeline.Sampling.U32Mod} AS u32
+         |      FROM documents),
+         |s AS (SELECT g.source, g.doc_id, g.n_chars FROM g
+         |      JOIN w ON w.source = g.source
+         |      WHERE CAST(g.u32 AS HUGEINT) * w.wt <
+         |            CAST(g.n_chars AS HUGEINT) * 8 * ${graft.pipeline.Sampling.U32Mod})
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+         |       CAST(sum(n_chars) AS BIGINT) AS chars_sampled,
+         |       min(doc_id) AS first_doc
+         |FROM s GROUP BY source ORDER BY source""".stripMargin,
 
     // histogram replay: DuckDB buckets the raw lengths with the SAME
     // formula (same association order), cumulates per source, and runs the
