@@ -921,6 +921,22 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // --- residual IVFADC (Jégou §V.A): codes quantize v − centroid; the
+    // score chain seeds with the exact probe similarity then adds the
+    // raw-query ADC sum — assignment, residual encoding, code_key, and the
+    // seeded score replay term-for-term under one-hot cells ----------------
+    "s09_ann_ivfpq_res" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val oneHot: Array[(Int, Seq[Double])] = Array.tabulate(8)(j =>
+        j -> Seq.tabulate(64)(d => if (d == j) 1.0 else 0.0))
+      Similarity.ivfPqTopKResidualWithModel(
+        e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
+        "vec_id", "embedding", oneHot, PqOracleBooks, nprobe = 3, k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cell"), col("code_key"), round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // --- language-ID heuristic + quality scoring (oracle-checked: the
     // argmax tie-break is mirrored via packed score*8+langIdx encoding) ----
     "d08_lang_quality" -> ((s, dir) => {
@@ -1571,6 +1587,7 @@ object PipelineQueries {
     // s03b one-hot probe CTEs: assignment, nprobe cut, encoding, code_key,
     // and the probed-cell ADC chain all replayed
     "s08_ann_ivfpq" -> Similarity.ivfPqOracleSql(PqOracleBooks, nprobe = 3, k = 3),
+    "s09_ann_ivfpq_res" -> Similarity.ivfPqResidualOracleSql(PqOracleBooks, nprobe = 3, k = 3),
 
     // the bloom stage is transparent (no false negatives + exact confirm),
     // so the oracle is the plain membership predicate

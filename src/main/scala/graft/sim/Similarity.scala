@@ -744,6 +744,194 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cell", "code_key", "score")
   }
 
+  /** Residual IVFADC — the composition as Jégou et al. actually publish
+    * it (TPAMI 2011 §V.A): the PQ codes quantize the RESIDUAL v − c(v)
+    * rather than the raw vector. Residuals concentrate around the origin
+    * (the coarse quantizer has already absorbed the between-cell
+    * variance), so the same codebook budget spends its codewords on a
+    * much smaller ball — higher recall at identical bytes/vector
+    * (IvfPqAnnSpec measures the win on the clustered corpus).
+    *
+    * Scoring stays LUT-shaped with no extra per-pair work: for v = c + r,
+    * dot(q, v) = dot(q, c) + dot(q, r) — the first term is the probe
+    * similarity the query already computed for cell ranking (exact, per
+    * probed cell), the second is the ordinary ADC sum of the RAW query's
+    * LUT over the residual codes. The Spark fold seeds the ADC
+    * accumulation with `sim`, so the s09 oracle replays the whole chain
+    * left-associated term for term. Same plan shape as the non-residual
+    * form; the only additions are a broadcast centroid join (map-side)
+    * before encoding and one zip_with subtraction.
+    */
+  def ivfPqTopKResidualWithModel(queries: DataFrame, corpus: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 centroids: Array[(Int, Seq[Double])],
+                                 cb: PqCodebooks, nprobe: Int, k: Int): DataFrame = {
+    require(centroids.zipWithIndex.forall { case ((id, _), i) => id == i },
+      "centroid labels must equal their array positions (0..n-1)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(centroids.toSeq.toDF("cell", "c_vec"))
+
+    // one corpus scan: assignment, centroid fetch (broadcast), residual,
+    // encode — codes-only output, the doubles never leave the map side
+    val assigned = graft.Partitioning.balanced(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+      .select(nearestCell(col("v"), centroids).as("cell"), col("neighbor_id"), col("v"))
+      .join(cdf, "cell")
+      .select(col("cell"), col("neighbor_id"),
+        pqEncode(zip_with(col("v"), col("c_vec"), (a, b) => a - b), cb).as("codes"))
+
+    val wProbe = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .where(col("qv").isNotNull)
+      .crossJoin(cdf)
+      .withColumn("sim", VectorExprs.dot(col("qv"), col("c_vec")))
+      .withColumn("rk", row_number().over(wProbe)).where(col("rk") <= nprobe)
+      // RAW-query LUT (not the residual's): dot(q, r̂) is what the ADC sum
+      // reconstructs; dot(q, c) arrives exactly via `sim`
+      .withColumn("lut", pqAdcLut(col("qv"), cb))
+      .select("query_id", "lut", "cell", "sim")
+
+    // seed the fold with sim: ((sim + t0) + t1) + … — the association the
+    // generated oracle SQL replays
+    val score = aggregate(sequence(lit(0), lit(cb.numSub - 1)), col("sim"), (acc, m) =>
+      acc + element_at(col("lut"),
+        m.cast("int") * cb.ksub + element_at(col("codes"), m + 1) + 1))
+    val codeKey = (0 until cb.numSub).map(m =>
+      element_at(col("codes"), m + 1).cast("long") *
+        lit(math.pow(cb.ksub.toDouble, m.toDouble).toLong))
+      .reduce(_ + _)
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    broadcast(probes).join(assigned, "cell")
+      .withColumn("score", score)
+      .withColumn("code_key", codeKey)
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cell", "code_key", "score")
+  }
+
+  /** Residual IVFADC behind the trainers. The coarse stage trains the
+    * usual spherical (unit-normalized) centroids, but the model the
+    * residual form receives is the per-cell MEAN of the assigned vectors:
+    * residuals against a unit centroid keep the whole radial component
+    * (‖v‖ ≫ 1 ⇒ v − ĉ is still far from the origin) and the encoding
+    * advantage evaporates, while residuals against the cell mean center on
+    * the origin — the property the tighter codeword budget spends on
+    * (Jégou's L2 formulation has this for free; the dot-scoring world has
+    * to subtract the mean explicitly). Assignment, probing, and the score
+    * seed then all use the means, which keeps the
+    * dot(q,v) = dot(q,µ) + dot(q,r) decomposition exact. Codebooks are
+    * trained on the residual frame — the model must fit what it encodes.
+    * The cell-mean pass is one relational aggregate (nlist·dim partial
+    * rows, decimal means for run-to-run determinism).
+    */
+  def ivfPqTopKResidual(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String,
+                        nlist: Int, nprobe: Int, numSub: Int, ksub: Int, k: Int,
+                        iters: Int = 3): DataFrame = {
+    val unitCentroids = ivfTrainCentroids(corpus, idCol, vecCol, nlist, iters)
+    if (unitCentroids.isEmpty) {
+      val cb = pqTrainCodebooks(corpus, idCol, vecCol, numSub, ksub, iters)
+      return ivfPqTopKResidualWithModel(queries.limit(0), corpus.limit(0), idCol, vecCol,
+        Array(0 -> Seq.fill(cb.numSub * cb.ds)(0.0)), cb, nprobe, k)
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .where(col("__v").isNotNull)
+    val meanRows = vecs
+      .select(nearestCell(col("__v"), unitCentroids).as("cell"),
+        posexplode(col("__v")))
+      .groupBy("cell", "pos")
+      .agg(avg(col("col").cast("decimal(38,18)")).cast("double").as("m"))
+      .groupBy("cell")
+      .agg(map_from_arrays(collect_list("pos"), collect_list("m")).as("byPos"))
+      .collect()
+    // empty cells drop; re-number so ids equal array positions (the
+    // WithModel contract)
+    val means: Array[(Int, Seq[Double])] = meanRows.map { r =>
+      val byPos = r.getMap[Int, Double](1)
+      r.getInt(0) -> Seq.tabulate(byPos.size)(byPos(_))
+    }.sortBy(_._1).zipWithIndex.map { case ((_, v), i) => i -> v }
+    val cdf = broadcast(means.toSeq.toDF("cell", "c_vec"))
+    val residuals = vecs
+      .select(col(idCol), nearestCell(col("__v"), means).as("cell"), col("__v"))
+      .join(cdf, "cell")
+      .select(col(idCol),
+        zip_with(col("__v"), col("c_vec"), (a, b) => a - b).as(vecCol))
+    val cb = pqTrainCodebooks(residuals, idCol, vecCol, numSub, ksub, iters)
+    ivfPqTopKResidualWithModel(queries, corpus, idCol, vecCol, means, cb, nprobe, k)
+  }
+
+  /** DuckDB twin of [[ivfPqTopKResidualWithModel]] under 8 one-hot
+    * centroids — the [[ivfPqOracleSql]] machinery with two changes that
+    * mirror the Spark form exactly: encoding subtracts the one-hot
+    * centroid coordinate before the codeword (same subtraction order as
+    * the zip_with), and the score chain is seeded with the probe
+    * similarity `v[cell + 1]` (one-hot dot = a coordinate read) before
+    * the ADC terms.
+    */
+  def ivfPqResidualOracleSql(cb: PqCodebooks, nprobe: Int, k: Int): String = {
+    val M = cb.numSub; val K = cb.ksub; val ds = cb.ds
+    def sq(m: Int, j: Int): String =
+      (0 until ds).map { d =>
+        val c = cb.cb(m)(j)(d)
+        val coord = m * ds + d
+        val rv = s"(v[${coord + 1}] - (CASE WHEN cell = $coord THEN 1.0 ELSE 0.0 END))"
+        s"($rv - $c) * ($rv - $c)"
+      }.mkString(" + ")
+    def code(m: Int): String = {
+      val lst = (0 until K).map(j => s"(${sq(m, j)})").mkString("[", ", ", "]")
+      s"(list_position($lst, list_min($lst)) - 1)"
+    }
+    def dot(m: Int, j: Int): String =
+      (0 until ds).map { d =>
+        s"p.v[${m * ds + d + 1}] * ${cb.cb(m)(j)(d)}"
+      }.mkString(" + ")
+    def scoreTerm(m: Int): String =
+      s"(CASE enc.c$m " +
+        (0 until K).map(j => s"WHEN $j THEN ${dot(m, j)}").mkString(" ") +
+        " END)"
+    val encCols = (0 until M).map(m => s"${code(m)} AS c$m").mkString(",\n         ")
+    val keyExpr = (0 until M).map(m =>
+      s"CAST(enc.c$m AS BIGINT) * ${math.pow(K.toDouble, m.toDouble).toLong}")
+      .mkString(" + ")
+    val scoreExpr = "p.v[p.cell + 1] + " + (0 until M).map(scoreTerm).mkString(" + ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+       |enc0 AS (
+       |  SELECT neighbor_id,
+       |         CAST(list_indexof(v[1:8], list_max(v[1:8])) - 1 AS INT) AS cell,
+       |         v
+       |  FROM c),
+       |enc AS (
+       |  SELECT neighbor_id, cell,
+       |         $encCols
+       |  FROM enc0),
+       |qp AS (SELECT query_id, v, CAST(j AS INT) AS cell,
+       |              row_number() OVER (PARTITION BY query_id
+       |                ORDER BY v[j+1] DESC, j ASC) AS rk
+       |       FROM q, range(8) t(j)),
+       |probes AS (SELECT query_id, v, cell FROM qp WHERE rk <= $nprobe),
+       |pairs AS (
+       |  SELECT p.query_id, enc.neighbor_id, enc.cell,
+       |         $keyExpr AS code_key,
+       |         $scoreExpr AS score
+       |  FROM probes p JOIN enc USING (cell)),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cell, code_key, score,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, cell, code_key, round(score, 4) AS score
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** IVFADC behind the deterministic trainers — the production entry:
     * spherical-kmeans coarse cells ([[ivfTrainCentroids]]) + per-subvector
     * Lloyd's codebooks ([[pqTrainCodebooks]]), both O(sample) per

@@ -93,6 +93,53 @@ class IvfPqAnnSpec extends SparkSpec {
     assert(ivf == adc, "full-probe trained IVFADC must equal trained ADC")
   }
 
+  test("residual IVFADC: zero centroid reduces it to the non-residual form exactly") {
+    // one all-zero centroid: residual = v − 0 = v and the score seed
+    // sim = dot(q, 0) = 0, so every output column (codes, code_key, score)
+    // must be bit-identical to the raw-vector composition
+    val zero: Array[(Int, Seq[Double])] = Array(0 -> Seq.fill(64)(0.0))
+    val res = Similarity.ivfPqTopKResidualWithModel(q, c, "vec_id", "embedding",
+      zero, cb, nprobe = 1, k = 5)
+      .select("query_id", "rank", "neighbor_id", "code_key", "score")
+      .as[(Long, Int, Long, Long, Double)].collect().toSet
+    val plain = Similarity.ivfPqTopKWithModel(q, c, "vec_id", "embedding",
+      zero, cb, nprobe = 1, k = 5)
+      .select("query_id", "rank", "neighbor_id", "code_key", "score")
+      .as[(Long, Int, Long, Long, Double)].collect().toSet
+    assert(res == plain, "zero-centroid residual IVFADC must equal the raw form")
+  }
+
+  test("residual IVFADC: recall beats raw-vector codes on a clustered corpus") {
+    // 8 well-separated centers (5·e_j) + small deterministic noise: the
+    // regime residual encoding exists for — raw-vector PQ must spend its
+    // tiny ksub=4 budget spanning the BETWEEN-center spread, while
+    // residuals only model the noise ball around the origin
+    def noise(i: Long, d: Int): Double =
+      (((i * 2654435761L + d * 40503L) % 1000L) / 1000.0 - 0.5) * 0.6
+    def vec(i: Long): Seq[Double] =
+      Seq.tabulate(64)(d => (if (d == (i % 8).toInt) 5.0 else 0.0) + noise(i, d))
+    val corpus = (100L until 500L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val queries = (0L until 10L).map(i => (i, vec(i * 41 + 7))).toDF("vec_id", "embedding")
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
+    val exact = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")))
+      .withColumn("dot", graft.expr.VectorExprs.dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val plain = Similarity.ivfPqTopK(queries, corpus, "vec_id", "embedding",
+      nlist = 8, nprobe = 8, numSub = 8, ksub = 4, k = 5, iters = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val res = Similarity.ivfPqTopKResidual(queries, corpus, "vec_id", "embedding",
+      nlist = 8, nprobe = 8, numSub = 8, ksub = 4, k = 5, iters = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val plainRecall = (exact intersect plain).size.toDouble / exact.size
+    val resRecall = (exact intersect res).size.toDouble / exact.size
+    info(s"raw-code recall@5=$plainRecall, residual recall@5=$resRecall")
+    assert(resRecall >= plainRecall,
+      s"residual encoding lost to raw codes: $resRecall < $plainRecall")
+    assert(resRecall >= 0.6, s"residual recall $resRecall below floor")
+  }
+
   test("IVFADC+R: exact re-ranking within probed cells beats raw ADC order") {
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
     val exact = q.select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qv"))
