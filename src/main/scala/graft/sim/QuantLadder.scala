@@ -68,6 +68,10 @@ object QuantLadder {
       numSub = 8, ksub = 16, iters = 3)
     val oneHot = Array.tabulate(16)(j =>
       j -> Seq.tabulate(64)(d => if (d == j) 1.0 else 0.0))
+    // residual model (cell means + residual-trained books), trained once
+    // like the other tiers' models — walls time the query path only
+    val (resMeans, resCb) = Similarity.ivfPqResidualModel(c, "vec_id", "embedding",
+      nlist = 16, numSub = 8, ksub = 16, iters = 3)
 
     def pairs(df: DataFrame): Set[(Long, Long)] = {
       import spark.implicits._
@@ -99,6 +103,9 @@ object QuantLadder {
       Tier("IVFADC 16c/4p (codes only)", "4", 0.70,
         () => Similarity.ivfPqTopKWithModel(q, c, "vec_id", "embedding", oneHot, cb,
           nprobe = 4, k = k)),
+      Tier("IVFADC residual 16c/4p (codes only)", "4", 0.70,
+        () => Similarity.ivfPqTopKResidualWithModel(q, c, "vec_id", "embedding",
+          resMeans, resCb, nprobe = 4, k = k)),
       Tier("binary sign-code (1 bit/dim)", "8", 0.70,
         () => Similarity.binaryTopK(q, c, "vec_id", "embedding", k)))
 

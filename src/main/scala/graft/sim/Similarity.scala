@@ -779,8 +779,15 @@ object Similarity {
       .where(col("v").isNotNull)
       .select(nearestCell(col("v"), centroids).as("cell"), col("neighbor_id"), col("v"))
       .join(cdf, "cell")
+      // residual as its OWN projection before encoding: authored inline,
+      // the zip_with would be re-evaluated by every one of pqEncode's
+      // numSub·ksub·ds element_at terms (the HOF re-evaluation trap —
+      // measured 12× on the quantization-ladder corpus). As a separate
+      // non-cheap multi-referenced column, CollapseProject keeps it
+      // materialized once per row.
       .select(col("cell"), col("neighbor_id"),
-        pqEncode(zip_with(col("v"), col("c_vec"), (a, b) => a - b), cb).as("codes"))
+        zip_with(col("v"), col("c_vec"), (a, b) => a - b).as("rv"))
+      .select(col("cell"), col("neighbor_id"), pqEncode(col("rv"), cb).as("codes"))
 
     val wProbe = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell").asc)
     val probes = queries
@@ -832,12 +839,25 @@ object Similarity {
                         idCol: String, vecCol: String,
                         nlist: Int, nprobe: Int, numSub: Int, ksub: Int, k: Int,
                         iters: Int = 3): DataFrame = {
-    val unitCentroids = ivfTrainCentroids(corpus, idCol, vecCol, nlist, iters)
-    if (unitCentroids.isEmpty) {
-      val cb = pqTrainCodebooks(corpus, idCol, vecCol, numSub, ksub, iters)
-      return ivfPqTopKResidualWithModel(queries.limit(0), corpus.limit(0), idCol, vecCol,
+    val (means, cb) = ivfPqResidualModel(corpus, idCol, vecCol, nlist, numSub, ksub, iters)
+    if (means.isEmpty)
+      ivfPqTopKResidualWithModel(queries.limit(0), corpus.limit(0), idCol, vecCol,
         Array(0 -> Seq.fill(cb.numSub * cb.ds)(0.0)), cb, nprobe, k)
-    }
+    else
+      ivfPqTopKResidualWithModel(queries, corpus, idCol, vecCol, means, cb, nprobe, k)
+  }
+
+  /** Trains the residual model: (cell means, residual-trained codebooks).
+    * Exposed separately so benches/pipelines can train once and reuse the
+    * model across query batches (training collects O(nlist·dim) means and
+    * an O(sample) codebook fit — never the corpus).
+    */
+  def ivfPqResidualModel(corpus: DataFrame, idCol: String, vecCol: String,
+                         nlist: Int, numSub: Int, ksub: Int,
+                         iters: Int = 3): (Array[(Int, Seq[Double])], PqCodebooks) = {
+    val unitCentroids = ivfTrainCentroids(corpus, idCol, vecCol, nlist, iters)
+    if (unitCentroids.isEmpty)
+      return (Array.empty, pqTrainCodebooks(corpus, idCol, vecCol, numSub, ksub, iters))
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecs = corpus
@@ -863,8 +883,7 @@ object Similarity {
       .join(cdf, "cell")
       .select(col(idCol),
         zip_with(col("__v"), col("c_vec"), (a, b) => a - b).as(vecCol))
-    val cb = pqTrainCodebooks(residuals, idCol, vecCol, numSub, ksub, iters)
-    ivfPqTopKResidualWithModel(queries, corpus, idCol, vecCol, means, cb, nprobe, k)
+    (means, pqTrainCodebooks(residuals, idCol, vecCol, numSub, ksub, iters))
   }
 
   /** DuckDB twin of [[ivfPqTopKResidualWithModel]] under 8 one-hot
