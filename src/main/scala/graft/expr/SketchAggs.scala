@@ -136,6 +136,41 @@ object SketchAggs {
     when(total > 0, coalesce(arms: _*))
   }
 
+  /** Distribution drift between two histogram arrays (same lo/hi/bins
+    * model) — the monitoring op a rolling corpus needs: "did today's crawl
+    * shift the length/quality distribution?" answered from two stored
+    * sketch rows, never the raw data.
+    *
+    * Total-variation distance over the IN-RANGE bins,
+    * TV = ½·Σ|h0ᵢ/N0 − h1ᵢ/N1|, computed with an EXACT integer core:
+    * |h0ᵢ/N0 − h1ᵢ/N1| = |h0ᵢ·N1 − h1ᵢ·N0| / (N0·N1), so the sum runs in
+    * decimal (order-independent — SQL `SUM` needs no ordering guarantee)
+    * and ONE double division at the end produces tv. `drift_bin` is the
+    * 1-based bin with the largest absolute cross-multiplied diff, ties to
+    * the LOWEST bin (array_position-of-max = SQL first-of-max). NULL when
+    * either side has no in-range mass. Under/overflow counters are
+    * deliberately outside the distance — report them separately.
+    *
+    * Returns struct(tv double, drift_bin int, n0 long, n1 long,
+    * l1_num decimal(38,0)).
+    */
+  def histDrift(h0: Column, h1: Column, bins: Int): Column = {
+    import org.apache.spark.sql.functions.{abs => sabs, array, array_max, array_position, element_at, lit, struct, when}
+    val n0 = histTotal(h0, bins)
+    val n1 = histTotal(h1, bins)
+    val absDiffs = (1 to bins).map { b =>
+      sabs(element_at(h0, b + 1).cast("decimal(38,0)") * n1 -
+        element_at(h1, b + 1).cast("decimal(38,0)") * n0)
+    }
+    val l1 = absDiffs.reduce(_ + _).cast("decimal(38,0)")
+    val tv = lit(0.5) * (l1.cast("double") / (n0.cast("double") * n1.cast("double")))
+    val diffArr = array(absDiffs: _*)
+    val driftBin = array_position(diffArr, array_max(diffArr)).cast("int")
+    when(n0 > 0 && n1 > 0,
+      struct(tv.as("tv"), driftBin.as("drift_bin"),
+        n0.as("n0"), n1.as("n1"), l1.as("l1_num")))
+  }
+
   /** Column factory: `register_sketch(h, m)` → m max-rank registers. */
   def registerSketch(hash: Column, m: Int): Column =
     ColumnBridge.column(

@@ -783,7 +783,7 @@ object PipelineQueries {
     "d30_sketch_merge" -> ((s, dir) => {
       import graft.expr.SketchAggs
       val tok = Tables.documents(s, dir)
-        .select(col("source"), (col("doc_id") % 5).as("day"),
+        .select(col("source"), expr("(doc_id DIV 20) % 5").as("day"),
           explode(TextExprs.tokens(col("text"))).as("tok"))
         .select(col("source"), col("day"), mirrorTokenHash(col("tok")).as("h"))
       val daily = tok.groupBy("source", "day").agg(
@@ -821,6 +821,32 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // --- corpus drift from stored sketches (monitoring) ------------------
+    // day-0 histogram vs the cms_merge of days 1–4: total-variation
+    // distance with an exact integer cross-multiplied core (one double
+    // division at the end), plus the argmax drift bin — all from sketch
+    // rows, never the raw lengths. DuckDB re-derives from raw data.
+    "d34_hist_drift" -> ((s, dir) => {
+      import graft.expr.SketchAggs
+      val lens = Tables.documents(s, dir).where(col("text").isNotNull)
+        .select(col("source"), expr("(doc_id DIV 20) % 5").as("day"),
+          length(col("text")).cast("double").as("len"))
+      val daily = lens.groupBy("source", "day")
+        .agg(SketchAggs.histSketch(col("len"), HistLo, HistHi, HistBins).as("hist"))
+      val h0 = daily.where(col("day") === 0)
+        .select(col("source"), col("hist").as("h0"))
+      val hr = daily.where(col("day") =!= 0).groupBy("source")
+        .agg(SketchAggs.cmsMerge(col("hist")).as("hr"))
+      h0.join(hr, "source")
+        .select(col("source"),
+          SketchAggs.histDrift(col("h0"), col("hr"), HistBins).as("d"))
+        .where(col("d").isNotNull) // a side with zero in-range mass: no distance
+        .select(col("source"), col("d.n0").as("n0"), col("d.n1").as("n1"),
+          col("d.l1_num").as("l1_num"), col("d.tv").as("tv"),
+          col("d.drift_bin").as("drift_bin"))
+        .orderBy("source")
+    }),
+
     // --- weighted Bernoulli sample (training-mix, ∝-weight inclusion) ----
     // inclusion prob min(1, k·w/W) via an exact integer cross-multiplied
     // gate — no division, no transcendentals, so DuckDB replays the gate
@@ -846,7 +872,7 @@ object PipelineQueries {
     "d32_hist_quantiles" -> ((s, dir) => {
       import graft.expr.SketchAggs
       val lens = Tables.documents(s, dir).where(col("text").isNotNull)
-        .select(col("source"), (col("doc_id") % 5).as("day"),
+        .select(col("source"), expr("(doc_id DIV 20) % 5").as("day"),
           length(col("text")).cast("double").as("len"))
       val daily = lens.groupBy("source", "day")
         .agg(SketchAggs.histSketch(col("len"), HistLo, HistHi, HistBins).as("hist"))
@@ -1698,6 +1724,47 @@ object PipelineQueries {
          |FROM hll JOIN probe ON probe.source = hll.source
          |ORDER BY hll.source""".stripMargin
     },
+
+    // drift replay from raw lengths: the TV core is exact integers
+    // (|c0·n1 − c1·n0| summed in HUGEINT — order-free), one double
+    // division at the end; argmax with the same DESC/bin-ASC tie rule
+    "d34_hist_drift" ->
+      s"""WITH lens AS (
+         |  SELECT source, ((doc_id // 20) % 5) AS day, CAST(length(text) AS DOUBLE) AS len
+         |  FROM documents WHERE text IS NOT NULL),
+         |bk AS (SELECT source, day,
+         |          CASE WHEN len < $HistLo THEN 0
+         |               WHEN len >= $HistHi THEN ${HistBins + 1}
+         |               ELSE LEAST($HistBins, 1 + CAST(floor((len - $HistLo) / ($HistHi - $HistLo) * $HistBins) AS INT)) END AS bin
+         |       FROM lens),
+         |binix AS (SELECT unnest(generate_series(1, $HistBins)) AS bin),
+         |srcs AS (SELECT DISTINCT source FROM bk),
+         |c AS (SELECT s.source, b.bin,
+         |         CAST(coalesce(sum(CASE WHEN bk.day = 0 THEN 1 END), 0) AS HUGEINT) AS c0,
+         |         CAST(coalesce(sum(CASE WHEN bk.day <> 0 THEN 1 END), 0) AS HUGEINT) AS c1
+         |      FROM srcs s CROSS JOIN binix b
+         |      LEFT JOIN bk ON bk.source = s.source AND bk.bin = b.bin
+         |      GROUP BY s.source, b.bin),
+         |tot AS (SELECT source, CAST(sum(c0) AS HUGEINT) AS n0,
+         |               CAST(sum(c1) AS HUGEINT) AS n1
+         |        FROM c GROUP BY source),
+         |d AS (SELECT c.source, c.bin, abs(c.c0 * t.n1 - c.c1 * t.n0) AS ad
+         |      FROM c JOIN tot t ON t.source = c.source),
+         |agg AS (SELECT source, sum(ad) AS l1 FROM d GROUP BY source),
+         |pick AS (SELECT source, bin AS drift_bin FROM (
+         |           SELECT source, bin,
+         |                  row_number() OVER (PARTITION BY source
+         |                    ORDER BY ad DESC, bin ASC) AS rn
+         |           FROM d) WHERE rn = 1)
+         |SELECT t.source, CAST(t.n0 AS BIGINT) AS n0, CAST(t.n1 AS BIGINT) AS n1,
+         |       CAST(agg.l1 AS DECIMAL(38,0)) AS l1_num,
+         |       0.5 * (CAST(agg.l1 AS DOUBLE) / (CAST(t.n0 AS DOUBLE) * CAST(t.n1 AS DOUBLE))) AS tv,
+         |       CAST(pick.drift_bin AS INT) AS drift_bin
+         |FROM tot t
+         |JOIN agg ON agg.source = t.source
+         |JOIN pick ON pick.source = t.source
+         |WHERE t.n0 > 0 AND t.n1 > 0
+         |ORDER BY t.source""".stripMargin,
 
     // exact-gate replay: same per-source weight totals, same Knuth
     // uniform, same cross-multiplied inclusion test in HUGEINT

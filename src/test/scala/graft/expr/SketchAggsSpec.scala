@@ -193,6 +193,28 @@ class SketchAggsSpec extends SparkSpec {
     assert(merged == direct, "histogram arrays are additive — merge must be exact")
   }
 
+  test("histDrift: hand-computed TV, first-of-max drift bin, null on empty side") {
+    import spark.implicits._
+    // bins=4 (arrays carry under/overflow slots): h0 in-range (3,1,0,0)
+    // n0=4; h1 (1,3,4,0) n1=8. Cross diffs |h0·n1 − h1·n0| = 20, 4, 16, 0
+    // → l1=40, tv = 0.5·40/(4·8) = 0.625, drift bin 1
+    val df = Seq((Seq(0L, 3L, 1L, 0L, 0L, 9L), Seq(2L, 1L, 3L, 4L, 0L, 0L)))
+      .toDF("h0", "h1")
+    val r = df.select(histDrift(col("h0"), col("h1"), 4).as("d")).select("d.*").head()
+    assert(r.getAs[Long]("n0") == 4L && r.getAs[Long]("n1") == 8L)
+    assert(r.getAs[java.math.BigDecimal]("l1_num").longValueExact() == 40L)
+    assert(r.getAs[Double]("tv") == 0.625)
+    assert(r.getAs[Int]("drift_bin") == 1)
+    // identical distributions: zero distance, ties resolve to bin 1
+    val same = df.select(histDrift(col("h1"), col("h1"), 4).as("d")).select("d.*").head()
+    assert(same.getAs[Double]("tv") == 0.0 && same.getAs[Int]("drift_bin") == 1)
+    // a side with no in-range mass has no distribution to compare
+    val empty = Seq((Seq(5L, 0L, 0L, 0L, 0L, 7L), Seq(0L, 1L, 3L, 4L, 0L, 0L)))
+      .toDF("h0", "h1")
+      .select(histDrift(col("h0"), col("h1"), 4).as("d")).head()
+    assert(empty.isNullAt(0))
+  }
+
   test("cms sketch is SQL-callable through both registration modes") {
     graft.sql.GraftFunctions.register(spark)
     corpus(4).createOrReplaceTempView("sketch_input")
