@@ -422,4 +422,25 @@ object Dedup {
       .select(col(idCol), coalesce(col("is_dup"), lit(false)).as("is_dup"),
         col("bloom_hit"))
   }
+
+  /** Keeper selection over near-dup clusters — the policy step AFTER
+    * [[connectedComponents]]: a cluster of near-duplicates keeps exactly
+    * one representative, and WHICH one is a quality decision (longest
+    * text, best quality score), not an id accident. `order` must be a
+    * TOTAL order (append the id as tiebreak) so the keeper is
+    * deterministic across partitionings and retries. Emits every input
+    * row plus `keeper_id` (the cluster's rank-1 row under `order`) and
+    * `is_keeper` — callers filter `is_keeper` to dedup, or keep the full
+    * mapping to rewrite references. One window over the cluster key, no
+    * extra shuffle beyond it; skewed giant clusters are bounded by the
+    * same maxBucketSize caps that bounded the pair generation upstream.
+    */
+  def keeperSelection(docs: DataFrame, idCol: String, clusterCol: String,
+                      order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(clusterCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    docs
+      .withColumn("keeper_id", first(col(idCol)).over(w))
+      .withColumn("is_keeper", col(idCol) === col("keeper_id"))
+  }
 }

@@ -395,6 +395,23 @@ object PipelineQueries {
 
     // (oracle for d10 lives in `oracles` — recursive transitive closure)
 
+    // --- keeper policy over near-dup clusters: WHICH duplicate survives
+    // is a quality decision (longest text, id tiebreak), not an id
+    // accident — one window over d10's cluster assignment ------------------
+    "d35_cluster_keepers" -> ((s, dir) => {
+      val pairs = tokenJaccardPairs(s, dir)
+        .where(col("jaccard") >= 0.8).select("id_a", "id_b")
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val docs = Tables.documents(s, dir).where(col("doc_id") < 40)
+        .select(col("doc_id"), col("n_chars"))
+        .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+      Dedup.keeperSelection(docs, "doc_id", "cluster_id",
+          Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("cluster_id"), col("keeper_id"), col("is_keeper"))
+        .orderBy("doc_id")
+    }),
+
     // --- MinHash + LSH near-dup candidates (rows-only; spec-validated) ----
     "d05_minhash_lsh" -> ((s, dir) => {
       val sigs = Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text", 16, 3)
@@ -1540,6 +1557,46 @@ object PipelineQueries {
         |SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
         |FROM (SELECT doc_id FROM documents WHERE doc_id < 40) d
         |LEFT JOIN comp c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // d10's closure + the keeper window: first_value under the same
+    // (n_chars DESC, doc_id ASC) total order both engines rank
+    "d35_cluster_keepers" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents WHERE doc_id < 40)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |         FROM reach GROUP BY src),
+        |docs AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |         CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+        |  FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 40) d
+        |  LEFT JOIN comp c USING (doc_id))
+        |SELECT doc_id, cluster_id,
+        |       first_value(doc_id) OVER (PARTITION BY cluster_id
+        |         ORDER BY n_chars DESC, doc_id ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keeper_id,
+        |       doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
+        |         ORDER BY n_chars DESC, doc_id ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS is_keeper
+        |FROM docs
         |ORDER BY doc_id""".stripMargin,
 
     "d07_embedding_neardup" ->

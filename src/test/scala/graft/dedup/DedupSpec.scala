@@ -271,4 +271,30 @@ class DedupSpec extends SparkSpec {
     assert(sigs(2L) && sigs(3L), "null text must yield a NULL signature")
     assert(!sigs(1L) && !sigs(4L))
   }
+
+  test("keeperSelection: rank-1 under a total order, deterministic, singletons keep themselves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // cluster 1: lengths 10, 30, 30 — the length tie breaks to the LOWER id
+    // (5 beats 9); cluster 2: one member; cluster 3: descending ids
+    val docs = Seq(
+      (1L, 1L, 10L), (5L, 1L, 30L), (9L, 1L, 30L),
+      (7L, 2L, 99L),
+      (12L, 3L, 4L), (11L, 3L, 8L), (10L, 3L, 6L)
+    ).toDF("doc_id", "cluster_id", "n_chars")
+    val got = Dedup.keeperSelection(docs, "doc_id", "cluster_id",
+        Seq(col("n_chars").desc, col("doc_id").asc))
+      .select("doc_id", "keeper_id", "is_keeper")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val expected = Set(
+      (1L, 5L, false), (5L, 5L, true), (9L, 5L, false),
+      (7L, 7L, true),
+      (12L, 11L, false), (11L, 11L, true), (10L, 11L, false))
+    assert(got == expected)
+    val again = Dedup.keeperSelection(docs.repartition(7), "doc_id", "cluster_id",
+        Seq(col("n_chars").desc, col("doc_id").asc))
+      .select("doc_id", "keeper_id", "is_keeper")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(again == expected, "keeper must be partition-invariant")
+  }
 }
