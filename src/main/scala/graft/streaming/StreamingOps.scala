@@ -67,6 +67,26 @@ object StreamingOps {
       .select(unix_micros(col("w.start")).as("win_us"), col(groupCol),
         col("cms"), col("regs"))
 
+  /** Windowed histogram sketch — the distributional member of
+    * [[windowedSketch]]'s family over the same watermarked state-store
+    * mechanics: per (event-time window × group) one `bins + 2` counter
+    * array, fixed state per key regardless of stream volume. Downstream
+    * consumers answer windowed P50/P95/P99 via `SketchAggs.histQuantile`
+    * and drift-between-windows via `SketchAggs.histDrift` — both pure
+    * Column reads over the emitted arrays. Batch frames run the same
+    * plan (unified-API contract; the parity spec pins stream ≡ batch).
+    */
+  def windowedHistogram(rows: DataFrame, tsCol: String, groupCol: String,
+                        valueCol: String, lo: Double, hi: Double, bins: Int,
+                        windowLen: String = "1 hour",
+                        watermark: String = "1 hour"): DataFrame =
+    rows
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col(groupCol))
+      .agg(graft.expr.SketchAggs.histSketch(
+        col(valueCol).cast("double"), lo, hi, bins).as("hist"))
+      .select(unix_micros(col("w.start")).as("win_us"), col(groupCol), col("hist"))
+
   /** Streaming sessionization: a 30-minute inactivity gap (observed via a
     * later event for the same user) closes a session and emits it. Sessions
     * awaiting evidence stay in state — gap-evidence closing keeps the

@@ -82,6 +82,34 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowedHistogram folds micro-batches to the batch histogram") {
+    val mem = MemoryStream[Event]
+    val q = windowedHistogram(mem.toDF(), "ts", "event_type", "value",
+      lo = 0.0, hi = 10.0, bins = 5, windowLen = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("whist").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      def ev(i: Long) = Event(i, ts(i.toInt % 50), i % 23, "view", (i % 12).toDouble)
+      mem.addData((1L to 40L).map(ev): _*)
+      q.processAllAvailable()
+      mem.addData((41L to 80L).map(ev): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("whist").collect()
+        .map(r => (r.getAs[Long]("win_us"), r.getAs[String]("event_type")) ->
+          r.getSeq[Long](2)).toMap
+      val batch = windowedHistogram(
+        spark.createDataFrame((1L to 80L).map(ev)), "ts", "event_type", "value",
+        lo = 0.0, hi = 10.0, bins = 5, windowLen = "1 hour", watermark = "10 minutes")
+        .collect()
+        .map(r => (r.getAs[Long]("win_us"), r.getAs[String]("event_type")) ->
+          r.getSeq[Long](2)).toMap
+      assert(streamed == batch, "stream histogram must equal the batch histogram")
+      // values 10, 11 overflow the [0, 10) domain; everything landed somewhere
+      assert(streamed.values.map(_.sum).sum == 80L)
+      assert(streamed.values.map(_.last).sum > 0, "overflow arm never exercised")
+    } finally q.stop()
+  }
+
   test("streaming sessionize closes sessions on 30-min gaps across batches") {
     val mem = MemoryStream[Event]
     val q = sessionize(mem.toDS())
