@@ -138,6 +138,37 @@ run_mutation hist-bucket-off-by-one \
   'else math.min(bins, 2 + math.floor((v - lo) / (hi - lo) * bins).toInt)' \
   'd32_hist_quantiles'
 
+# M10: sampling uniform collapsed — u32 range shrinks 2^16x, nearly every
+# row passes the Bernoulli gate
+run_mutation sample-uniform-collapse \
+  src/main/scala/graft/pipeline/Sampling.scala \
+  '.withColumn("__u32", hash % lit(U32Mod))' \
+  '.withColumn("__u32", hash % lit(65536L))' \
+  'd33_weighted_sample'
+
+# M11: drift scale factor off — TV reported 10% high
+run_mutation drift-tv-scale \
+  src/main/scala/graft/expr/SketchAggs.scala \
+  'val tv = lit(0.5) * (l1.cast("double")' \
+  'val tv = lit(0.55) * (l1.cast("double")' \
+  'd34_hist_drift'
+
+# M12: keeper rank flipped — last row under the order survives instead of
+# first
+run_mutation keeper-rank-flip \
+  src/main/scala/graft/dedup/Dedup.scala \
+  '.withColumn("keeper_id", first(col(idCol)).over(w))' \
+  '.withColumn("keeper_id", last(col(idCol)).over(w))' \
+  'd35_cluster_keepers'
+
+# M13: bloom probe hashes the wrong key stream — matching fact rows miss
+# the filter (a manufactured false negative) and vanish from the join
+run_mutation bloom-probe-wrong-hash \
+  src/main/scala/graft/pipeline/ScaleLayout.scala \
+  'BloomExprs.mightContain(bcast, xxhash64(col(factKey)))' \
+  'BloomExprs.mightContain(bcast, xxhash64(col(factKey), lit(1)))' \
+  'd31_bloom_join'
+
 echo ""
 echo "==================================================================="
 echo "mutation -> gate outcome (caught(N) = N queries failed the oracle)"
