@@ -395,6 +395,52 @@ object PipelineQueries {
 
     // (oracle for d10 lives in `oracles` — recursive transitive closure)
 
+    // --- the whole dedup lifecycle as ONE staged funnel: exact dedup →
+    // near-dup pairs among survivors → components → keeper policy → kept
+    // corpus, a counted row per stage (the d23 funnel idiom applied to
+    // dedup). Every stage is individually oracle'd elsewhere (d01, d04,
+    // d10, d35); this pins their COMPOSITION — survivors of one stage
+    // really are the input of the next ---------------------------------
+    "d36_dedup_funnel" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).where(col("doc_id") < 40)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      // the corpus has no byte-identical texts, so the exact stage would
+      // be inert — plant three re-crawled copies (higher ids, same text;
+      // the d25 derived-crawl idiom, mirrored in the oracle) so stage 2
+      // demonstrably drops them and keeps the min-id originals
+      val docs = base.unionAll(base.where(col("doc_id") < 3)
+        .select((col("doc_id") + 1000).as("doc_id"), col("text"), col("n_chars")))
+      val exact = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+      val tok = exact.select(col("doc_id"),
+        explode(TextExprs.tokens(col("text"))).as("tok")).distinct()
+      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = tok.as("a").join(tok.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+        .where(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double") >= 0.8)
+        .select("id_a", "id_b")
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val clustered = exact
+        .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+      val kept = Dedup.keeperSelection(clustered, "doc_id", "cluster_id",
+          Seq(col("n_chars").desc, col("doc_id").asc))
+        .where(col("is_keeper"))
+      def stage(name: String, df: DataFrame, checksum: Column): DataFrame =
+        df.agg(count(lit(1)).as("n"),
+          coalesce(checksum, lit(0L)).cast("long").as("checksum"))
+          .select(lit(name).as("stage"), col("n"), col("checksum"))
+      stage("1_input", docs, sum("doc_id"))
+        .unionAll(stage("2_exact", exact, sum("doc_id")))
+        .unionAll(stage("3_pairs", pairs, sum(col("id_a") + col("id_b"))))
+        .unionAll(stage("4_kept", kept, sum("doc_id")))
+        .orderBy("stage")
+    }),
+
     // --- keeper policy over near-dup clusters: WHICH duplicate survives
     // is a quality decision (longest text, id tiebreak), not an id
     // accident — one window over d10's cluster assignment ------------------
@@ -1558,6 +1604,58 @@ object PipelineQueries {
         |FROM (SELECT doc_id FROM documents WHERE doc_id < 40) d
         |LEFT JOIN comp c USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // lifecycle replay: every stage CTE feeds the next, mirroring the
+    // Spark composition — exact keeper key (md5 | per-row null key),
+    // distinct-token jaccard, recursive closure, keeper window
+    "d36_dedup_funnel" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text, n_chars FROM documents WHERE doc_id < 3),
+        |exact AS (SELECT doc_id, text, n_chars FROM (
+        |    SELECT d.*, row_number() OVER (
+        |      PARTITION BY coalesce(md5(text), 'n:' || CAST(doc_id AS VARCHAR))
+        |      ORDER BY doc_id ASC) AS rn FROM docs d) WHERE rn = 1),
+        |tok AS (SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM exact)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |         FROM reach GROUP BY src),
+        |clustered AS (
+        |  SELECT e.doc_id, e.n_chars,
+        |         CAST(coalesce(c.cluster_id, e.doc_id) AS BIGINT) AS cluster_id
+        |  FROM exact e LEFT JOIN comp c USING (doc_id)),
+        |kept AS (SELECT doc_id FROM (
+        |    SELECT doc_id, doc_id = first_value(doc_id) OVER (
+        |      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS is_keeper
+        |    FROM clustered) WHERE is_keeper)
+        |SELECT stage, n, checksum FROM (
+        |  SELECT '1_input' AS stage, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS checksum FROM docs
+        |  UNION ALL SELECT '2_exact', CAST(count(*) AS BIGINT),
+        |         CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM exact
+        |  UNION ALL SELECT '3_pairs', CAST(count(*) AS BIGINT),
+        |         CAST(coalesce(sum(id_a + id_b), 0) AS BIGINT) FROM p
+        |  UNION ALL SELECT '4_kept', CAST(count(*) AS BIGINT),
+        |         CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM kept)
+        |ORDER BY stage""".stripMargin,
 
     // d10's closure + the keeper window: first_value under the same
     // (n_chars DESC, doc_id ASC) total order both engines rank
