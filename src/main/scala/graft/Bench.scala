@@ -336,9 +336,14 @@ object Bench {
     val df = spark.range(10000000L).select(
       (col("id") % 8).as("domain"),
       xxhash64(col("id") % 2000000L).bitwiseAND(lit(Long.MaxValue)).as("h"))
+    // all three mergeable sketch families in ONE pass over 10M rows —
+    // the per-partition state is (4·4096 longs + 4096 registers + 66
+    // counters) per domain regardless of row count
     df.groupBy("domain").agg(
       graft.expr.SketchAggs.cmsSketch(col("h"), 4, 4096).as("cms"),
-      graft.expr.SketchAggs.registerSketch(col("h"), 4096).as("regs"))
+      graft.expr.SketchAggs.registerSketch(col("h"), 4096).as("regs"),
+      graft.expr.SketchAggs.histSketch((col("h") % 100000L).cast("double"),
+        0.0, 100000.0, 64).as("hist"))
   }
 
   def exactDistinct10m(spark: SparkSession): DataFrame =

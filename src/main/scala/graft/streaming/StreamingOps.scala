@@ -87,6 +87,26 @@ object StreamingOps {
         col(valueCol).cast("double"), lo, hi, bins).as("hist"))
       .select(unix_micros(col("w.start")).as("win_us"), col(groupCol), col("hist"))
 
+  /** Drift between CONSECUTIVE windows of a [[windowedHistogram]] output —
+    * the monitoring read that closes the loop: "did this hour's value
+    * distribution shift from last hour's?" answered per group from the
+    * emitted sketch rows (the standard pattern of a batch monitoring query
+    * over a streaming sink table; the windows being compared never need
+    * the raw stream again). Emits one row per (group, window) that HAS a
+    * predecessor: window start, previous window start, and the
+    * [[graft.expr.SketchAggs.histDrift]] struct (tv, drift_bin, masses).
+    */
+  def windowDrift(hists: DataFrame, groupCol: String, bins: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("win_us").asc)
+    hists
+      .withColumn("prev_hist", lag(col("hist"), 1).over(w))
+      .withColumn("prev_win_us", lag(col("win_us"), 1).over(w))
+      .where(col("prev_hist").isNotNull)
+      .select(col(groupCol), col("win_us"), col("prev_win_us"),
+        graft.expr.SketchAggs.histDrift(col("prev_hist"), col("hist"), bins).as("drift"))
+  }
+
   /** Streaming sessionization: a 30-minute inactivity gap (observed via a
     * later event for the same user) closes a session and emits it. Sessions
     * awaiting evidence stay in state — gap-evidence closing keeps the

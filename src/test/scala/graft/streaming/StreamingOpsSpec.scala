@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, min}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
@@ -108,6 +109,39 @@ class StreamingOpsSpec extends SparkSpec {
       assert(streamed.values.map(_.sum).sum == 80L)
       assert(streamed.values.map(_.last).sum > 0, "overflow arm never exercised")
     } finally q.stop()
+  }
+
+  test("windowDrift compares consecutive windows' histograms per group") {
+    // two 1-hour windows per group with DIFFERENT value distributions:
+    // window 0 values land in bin 1, window 1 values in bin 5 → TV = 1.0
+    // and the drift bin is where the mass left (bin 1, the lowest max)
+    def ev(i: Long) = {
+      val minute = if (i <= 40) i % 50 else 60 + i % 50
+      Event(i, ts(minute.toInt), i % 23, if (i % 2 == 0) "view" else "buy",
+        if (i <= 40) 1.0 else 9.0)
+    }
+    val hists = windowedHistogram(
+      spark.createDataFrame((1L to 80L).map(ev)), "ts", "event_type", "value",
+      lo = 0.0, hi = 10.0, bins = 5, windowLen = "1 hour", watermark = "10 minutes")
+    val drift = windowDrift(hists, "event_type", bins = 5)
+      .select(col("event_type"), col("drift.tv"), col("drift.drift_bin"),
+        col("drift.n0"), col("drift.n1"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    assert(drift.keySet == Set("view", "buy"))
+    drift.foreach { case (g, (tv, bin, n0, n1)) =>
+      assert(tv == 1.0, s"$g: disjoint distributions must have TV 1, got $tv")
+      assert(bin == 1, s"$g: drift bin should tie to the lowest max, got $bin")
+      assert(n0 == 20L && n1 == 20L, s"$g: masses $n0/$n1")
+    }
+    // identical consecutive windows → zero drift
+    val firstWin = hists.agg(min("win_us")).head().getLong(0)
+    val w0 = hists.where(col("win_us") === firstWin)
+    val dup = w0.unionAll(w0.withColumn("win_us", col("win_us") + 3600000000L))
+    val same = windowDrift(dup, "event_type", 5)
+      .select(col("drift.tv")).collect().map(_.getDouble(0))
+    assert(same.length == 2 && same.forall(_ == 0.0),
+      "re-played identical window must show zero drift")
   }
 
   test("streaming sessionize closes sessions on 30-min gaps across batches") {
