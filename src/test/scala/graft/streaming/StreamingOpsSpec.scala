@@ -111,6 +111,42 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedSketch state survives a query RESTART through the checkpoint") {
+    // the custom TypedImperativeAggregate buffers live in the state store
+    // between micro-batches — a restart must rehydrate them through
+    // serialize/deserialize, not restart the fold from zero
+    val ckpt = java.nio.file.Files.createTempDirectory("sketch-ckpt").toString
+    val mem = MemoryStream[Event]
+    def start(name: String) =
+      windowedSketch(mem.toDF(), "ts", "event_type", "user_id",
+        windowLen = "1 hour", watermark = "10 minutes", depth = 2, width = 16, m = 16)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt).start()
+    def ev(i: Long) = Event(i, ts(i.toInt % 50), i % 23, "view", 1.0)
+    val q1 = start("ws_phase1")
+    try { mem.addData((1L to 40L).map(ev): _*); q1.processAllAvailable() }
+    finally q1.stop()
+    // restart from the SAME checkpoint, then feed the second half
+    val q2 = start("ws_phase2")
+    try {
+      mem.addData((41L to 80L).map(ev): _*)
+      q2.processAllAvailable()
+      val streamed = spark.table("ws_phase2").collect()
+        .map(r => (r.getAs[Long]("win_us"), r.getAs[String]("event_type")) ->
+          (r.getSeq[Long](2), r.getSeq[Int](3))).toMap
+      val batch = windowedSketch(
+        spark.createDataFrame((1L to 80L).map(ev)), "ts", "event_type", "user_id",
+        windowLen = "1 hour", watermark = "10 minutes", depth = 2, width = 16, m = 16)
+        .collect()
+        .map(r => (r.getAs[Long]("win_us"), r.getAs[String]("event_type")) ->
+          (r.getSeq[Long](2), r.getSeq[Int](3))).toMap
+      assert(streamed == batch,
+        "post-restart sketches must equal the batch fold over ALL rows — " +
+          "state was not rehydrated from the checkpoint")
+    } finally q2.stop()
+  }
+
   test("windowDrift compares consecutive windows' histograms per group") {
     // two 1-hour windows per group with DIFFERENT value distributions:
     // window 0 values land in bin 1, window 1 values in bin 5 → TV = 1.0
