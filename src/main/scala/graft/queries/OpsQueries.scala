@@ -55,6 +55,38 @@ object OpsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // --- J7+P3+P4+S3 through the REAL serving entry: mapWithSafety over
+    // derived routes/locations/scores. Winter season keeps ice|mixed
+    // (P3 live), two planted blacklist names drop rows (P4 live, null
+    // names pass), %9 rows inherit coordinates from the parent location
+    // (S3 coalesce live), and the left score join counts per type --------
+    "k23_map_serving" -> ((s, dir) => {
+      val routes = Derived.routes(s, dir).select(
+        col("route_id").as("mp_route_id"),
+        when(col("route_id") % 9 === 0, lit(null).cast("double"))
+          .otherwise(col("lat")).as("latitude"),
+        when(col("route_id") % 9 === 0, lit(null).cast("double"))
+          .otherwise(col("lon")).as("longitude"),
+        col("route_type").as("type"),
+        when(col("route_id") % 11 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("route-"), (col("route_id") % 50).cast("string")))
+          .as("name"),
+        (col("route_id") % 150 + 1).as("location_id"))
+      val locations = Derived.locations(s, dir)
+        .select(col("location_id").as("mp_id"), col("loc_lat"), col("loc_lon"))
+      val scores = Derived.routes(s, dir).where(col("route_id") % 3 === 0)
+        .select(col("route_id").as("mp_route_id"),
+          ((col("route_id") % 100) / 10.0).as("risk_score"))
+      graft.analytics.Analytics.mapWithSafety(
+          routes, locations, scores, "winter", Seq("route-7", "route-13"))
+        .groupBy("type")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("risk_score").isNotNull, 1L)), lit(0L)).as("n_scored"),
+          (coalesce(sum(round(col("eff_lat") * 100).cast("long")), lit(0L))
+            .cast("double") / 100.0).as("sum_lat"))
+        .orderBy("type")
+    }),
+
     // F13: route-type inference rule cascade over derived free text.
     "k15_type_inference" -> ((s, dir) => {
       inferenceInputs(s, dir)
@@ -239,6 +271,35 @@ object OpsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "k23_map_serving" ->
+      s"""WITH ${Sql.LocationsCte},
+         |r0 AS (
+         |  SELECT p_partkey AS mp_route_id,
+         |         CASE WHEN p_partkey % 9 = 0 THEN NULL
+         |              ELSE 35.0 + (p_partkey % 1000) / 100.0 END AS latitude,
+         |         CASE WHEN p_partkey % 9 = 0 THEN NULL
+         |              ELSE -120.0 + (p_partkey % 700) / 70.0 END AS longitude,
+         |         ${Sql.typeCase("p_partkey % 8")} AS type,
+         |         CASE WHEN p_partkey % 11 = 0 THEN NULL
+         |              ELSE 'route-' || CAST(p_partkey % 50 AS VARCHAR) END AS name,
+         |         p_partkey % 150 + 1 AS location_id
+         |  FROM part),
+         |scores AS (SELECT p_partkey AS mp_route_id, (p_partkey % 100) / 10.0 AS risk_score
+         |           FROM part WHERE p_partkey % 3 = 0),
+         |j AS (SELECT r0.*, coalesce(r0.latitude, l.loc_lat) AS eff_lat,
+         |             coalesce(r0.longitude, l.loc_lon) AS eff_lon
+         |      FROM r0 JOIN locations l ON r0.location_id = l.location_id),
+         |f AS (SELECT * FROM j
+         |      WHERE eff_lat IS NOT NULL AND eff_lon IS NOT NULL
+         |        AND (contains(lower(coalesce(type, '')), 'ice')
+         |             OR contains(lower(coalesce(type, '')), 'mixed'))
+         |        AND lower(coalesce(name, '')) NOT IN ('route-7', 'route-13')),
+         |g AS (SELECT f.type, f.eff_lat, s.risk_score
+         |      FROM f LEFT JOIN scores s ON s.mp_route_id = f.mp_route_id)
+         |SELECT type, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(coalesce(sum(CASE WHEN risk_score IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_scored,
+         |       CAST(coalesce(sum(CAST(round(eff_lat * 100) AS BIGINT)), 0) AS DOUBLE) / 100.0 AS sum_lat
+         |FROM g GROUP BY type ORDER BY type""".stripMargin,
     "k15_type_inference" -> inferenceOracle,
     "k17_type_confidence" -> confidenceOracle,
     "k11_distance_gate" -> {
