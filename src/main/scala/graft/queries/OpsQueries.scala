@@ -55,6 +55,83 @@ object OpsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // --- W2+F22+J5 through the proximity listing: spherical-law-of-cosines
+    // distance gate, exp impact score, fuzzy same-route containment with
+    // the null/empty guards, dist-asc/date-desc-nulls-last order, and a
+    // BINDING limit. Coordinates depend on s_suppkey % 40, so keys 40
+    // apart tie on distance and the date-desc-nulls-last tiebreak decides
+    // who crosses the LIMIT boundary (within a tie group dates are
+    // distinct with at most one null — the order is total) -------------
+    "k25_accident_proximity" -> ((s, dir) => {
+      import graft.analytics.Analytics
+      val acc = Tables.supplier(s, dir).select(
+        col("s_suppkey").as("accident_id"),
+        when(col("s_suppkey") % 13 === 0, lit(null).cast("double"))
+          .otherwise(lit(40.0) + ((col("s_suppkey") % 40) * 7 % 200) / 100.0).as("latitude"),
+        when(col("s_suppkey") % 17 === 0, lit(null).cast("double"))
+          .otherwise(lit(-105.5) + ((col("s_suppkey") % 40) * 11 % 300) / 100.0).as("longitude"),
+        when(col("s_suppkey") % 6 === 0, lit(null).cast("date"))
+          .otherwise(date_add(to_date(lit("2023-01-01")),
+            ((col("s_suppkey") * 3) % 700).cast("int"))).as("date"),
+        when(col("s_suppkey") % 10 === 0, lit(null).cast("string"))
+          .when(col("s_suppkey") % 10 === 1, "")
+          .when(col("s_suppkey") % 10 === 2, "The Great Route")
+          .when(col("s_suppkey") % 10 === 3, "great route")
+          .when(col("s_suppkey") % 10 === 4, "  GREAT ROUTE  ")
+          .otherwise(concat(lit("route "), (col("s_suppkey") % 37).cast("string")))
+          .as("route"))
+      Analytics.accidentProximity(acc, lit(40.5), lit(-105.0), lit("Great Route"),
+          limit = 15)
+        .select(col("accident_id"), round(col("distance_km"), 6).as("dist_km"),
+          col("impact_score"), col("same_route"),
+          date_format(col("date"), "yyyy-MM-dd").as("acc_date"))
+    }),
+
+    // --- F23+F24+F14+P10 through the serving helpers: 50 suppliers x 24
+    // derived forecast hours exercising every adjustment arm (temp bands,
+    // precip tiers, wind/gust, visibility, clamp), the named-parts /
+    // fallback summary, the full normalization mapping incl. trim/case/
+    // null/empty/unknown, and the boulder-exclusion predicate ------------
+    "k24_hourly_serving" -> ((s, dir) => {
+      import graft.analytics.Analytics
+      val rawTypeArms = Seq("YDS", "Traditional", "sport climb", "Bouldering",
+        "ICE CLIMB", "ice climbing", "Alpine Climb", "mountaineering",
+        "aid climb", "big wall", "snow", "rock", "toprope", "  Sport  ",
+        null, "", "weird thing")
+      val base = Tables.supplier(s, dir).where(col("s_suppkey") <= 50)
+        .select(col("s_suppkey").as("ak"))
+        .select(col("ak"), explode(sequence(lit(0), lit(23))).as("hour"))
+        .withColumn("temp",
+          when(col("ak") % 9 === 0 && col("hour") % 5 === 0, lit(null).cast("double"))
+            .otherwise(((col("ak") * 13 + col("hour") * 7) % 56 - 20).cast("double")))
+        .withColumn("precip",
+          when(col("ak") % 7 === 0 && col("hour") % 3 === 0, lit(null).cast("double"))
+            .otherwise(((col("ak") * 11 + col("hour")) % 12).cast("double") * 0.6))
+        .withColumn("wind",
+          when(col("ak") % 8 === 3, lit(null).cast("double"))
+            .otherwise(((col("ak") * 5 + col("hour") * 3) % 22).cast("double")))
+        .withColumn("gust",
+          when(col("hour") % 4 === 0 && col("wind").isNotNull, col("wind") + 6.0)
+            .otherwise(lit(null).cast("double")))
+        .withColumn("visibility",
+          when(col("hour") % 6 === 0, 400.0).when(col("hour") % 6 === 1, 3000.0)
+            .when(col("hour") % 6 === 2, lit(null).cast("double")).otherwise(9000.0))
+        .withColumn("base_risk", (col("ak") % 80).cast("double"))
+        .withColumn("raw_type",
+          rawTypeArms.zipWithIndex.foldLeft(when(lit(false), lit(""))) {
+            case (acc, (t, i)) =>
+              acc.when((col("ak") + col("hour")) % 17 === i,
+                Option(t).map(lit).getOrElse(lit(null).cast("string")))
+          })
+      Analytics.conditionsSummary(Analytics.hourlyRisk(base, col("base_risk")))
+        .select(col("ak"), col("hour"), col("risk_score"), col("is_daylight"),
+          col("is_climbable"), col("conditions_summary"),
+          Analytics.normalizeRouteType(col("raw_type")).as("canon_type"),
+          (!lower(coalesce(col("raw_type"), lit("")))
+            .isin("boulder", "bouldering")).as("kept_p10"))
+        .orderBy("ak", "hour")
+    }),
+
     // --- J7+P3+P4+S3 through the REAL serving entry: mapWithSafety over
     // derived routes/locations/scores. Winter season keeps ice|mixed
     // (P3 live), two planted blacklist names drop rows (P4 live, null
@@ -271,6 +348,124 @@ object OpsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "k25_accident_proximity" -> {
+      val c = "cos(radians(40.5)) * cos(radians(latitude)) * " +
+        "cos(radians(longitude) - radians(-105.0)) + " +
+        "sin(radians(40.5)) * sin(radians(latitude))"
+      s"""WITH acc AS (
+         |  SELECT s_suppkey AS accident_id,
+         |    CASE WHEN s_suppkey % 13 = 0 THEN NULL
+         |         ELSE 40.0 + (((s_suppkey % 40) * 7) % 200) / 100.0 END AS latitude,
+         |    CASE WHEN s_suppkey % 17 = 0 THEN NULL
+         |         ELSE -105.5 + (((s_suppkey % 40) * 11) % 300) / 100.0 END AS longitude,
+         |    CASE WHEN s_suppkey % 6 = 0 THEN NULL
+         |         ELSE DATE '2023-01-01' + CAST((s_suppkey * 3) % 700 AS INT) END AS dt,
+         |    CASE (s_suppkey % 10) WHEN 0 THEN NULL WHEN 1 THEN ''
+         |         WHEN 2 THEN 'The Great Route' WHEN 3 THEN 'great route'
+         |         WHEN 4 THEN '  GREAT ROUTE  '
+         |         ELSE 'route ' || CAST(s_suppkey % 37 AS VARCHAR) END AS route
+         |  FROM supplier),
+         |d AS (
+         |  SELECT acc.*, 6371.0 * acos(least(greatest($c, -1.0), 1.0)) AS distance_km
+         |  FROM acc WHERE latitude IS NOT NULL AND longitude IS NOT NULL),
+         |f AS (
+         |  SELECT d.*, lower(trim(route)) AS a FROM d WHERE distance_km < 50),
+         |scored AS (
+         |  SELECT accident_id, distance_km,
+         |    round(100.0 * exp(-distance_km / 10), 1) AS impact_score,
+         |    CASE WHEN route IS NULL OR a = '' THEN FALSE
+         |         ELSE a = 'great route' OR contains(a, 'great route')
+         |              OR contains('great route', a) END AS same_route,
+         |    dt
+         |  FROM f
+         |  ORDER BY distance_km ASC, dt DESC NULLS LAST
+         |  LIMIT 15)
+         |SELECT accident_id, round(distance_km, 6) AS dist_km, impact_score,
+         |       same_route, strftime(dt, '%Y-%m-%d') AS acc_date
+         |FROM scored
+         |ORDER BY dist_km""".stripMargin
+    },
+    "k24_hourly_serving" -> {
+      val rawCase = Seq("YDS", "Traditional", "sport climb", "Bouldering",
+        "ICE CLIMB", "ice climbing", "Alpine Climb", "mountaineering",
+        "aid climb", "big wall", "snow", "rock", "toprope", "  Sport  ",
+        null, "", "weird thing").zipWithIndex.map { case (t, i) =>
+          if (t == null) s"WHEN $i THEN NULL" else s"WHEN $i THEN '$t'"
+        }.mkString(" ")
+      val canon = Seq("alpine", "ice", "mixed", "trad", "sport", "aid", "boulder")
+        .map(t => s"'$t'").mkString(", ")
+      val mapCase = Seq(
+        "yds" -> "trad", "traditional" -> "trad", "trad climb" -> "trad",
+        "sport climb" -> "sport", "bouldering" -> "boulder",
+        "ice climb" -> "ice", "ice climbing" -> "ice",
+        "alpine climb" -> "alpine", "mountaineering" -> "alpine",
+        "aid climb" -> "aid", "big wall" -> "aid", "snow" -> "alpine",
+        "rock" -> "trad", "toprope" -> "sport")
+        .map { case (k, v) => s"WHEN t = '$k' THEN '$v'" }.mkString(" ")
+      s"""WITH h0 AS (
+         |  SELECT s_suppkey AS ak, CAST(t.h AS INT) AS hour
+         |  FROM supplier CROSS JOIN range(24) t(h) WHERE s_suppkey <= 50),
+         |f AS (
+         |  SELECT ak, hour,
+         |    CASE WHEN ak % 9 = 0 AND hour % 5 = 0 THEN NULL
+         |         ELSE CAST(((ak * 13 + hour * 7) % 56) - 20 AS DOUBLE) END AS temp,
+         |    CASE WHEN ak % 7 = 0 AND hour % 3 = 0 THEN NULL
+         |         ELSE CAST((ak * 11 + hour) % 12 AS DOUBLE) * 0.6 END AS precip,
+         |    CASE WHEN ak % 8 = 3 THEN NULL
+         |         ELSE CAST((ak * 5 + hour * 3) % 22 AS DOUBLE) END AS wind,
+         |    CAST(ak % 80 AS DOUBLE) AS base_risk,
+         |    CASE ((ak + hour) % 17) $rawCase END AS raw_type,
+         |    CASE WHEN hour % 6 = 0 THEN 400.0 WHEN hour % 6 = 1 THEN 3000.0
+         |         WHEN hour % 6 = 2 THEN NULL ELSE 9000.0 END AS visibility
+         |  FROM h0),
+         |g AS (SELECT f.*,
+         |        CASE WHEN hour % 4 = 0 AND wind IS NOT NULL THEN wind + 6.0 END AS gust
+         |      FROM f),
+         |adj AS (
+         |  SELECT g.*,
+         |    (CASE WHEN temp IS NULL THEN 0.0 WHEN temp < -15 THEN 15.0
+         |          WHEN temp < -5 THEN 8.0 WHEN temp > 30 THEN 5.0 ELSE 0.0 END) +
+         |    (CASE WHEN precip IS NULL THEN 0.0 WHEN precip > 5 THEN 20.0
+         |          WHEN precip > 1 THEN 10.0 WHEN precip > 0.2 THEN 3.0 ELSE 0.0 END) +
+         |    (CASE WHEN gust IS NOT NULL AND gust > 20 THEN 15.0
+         |          WHEN wind IS NULL THEN 0.0 WHEN wind > 15 THEN 10.0
+         |          WHEN wind > 10 THEN 5.0 ELSE 0.0 END) +
+         |    (CASE WHEN visibility IS NOT NULL AND visibility < 1000 THEN 10.0
+         |          WHEN visibility IS NOT NULL AND visibility < 5000 THEN 5.0
+         |          ELSE 0.0 END) AS total_adj
+         |  FROM g),
+         |scored AS (
+         |  SELECT adj.*,
+         |    round(least(greatest(base_risk + total_adj, 0.0), 100.0), 1) AS risk_score,
+         |    hour BETWEEN 6 AND 18 AS is_daylight
+         |  FROM adj),
+         |parts AS (
+         |  SELECT scored.*,
+         |    CASE WHEN temp IS NOT NULL AND temp < -10 THEN 'Very Cold' END AS p1,
+         |    CASE WHEN temp IS NOT NULL AND temp > 25 THEN 'Hot' END AS p2,
+         |    CASE WHEN precip IS NOT NULL AND precip > 1 THEN 'Rain/Snow' END AS p3,
+         |    CASE WHEN wind IS NOT NULL AND wind > 10 THEN 'Windy' END AS p4,
+         |    CASE WHEN visibility IS NOT NULL AND visibility < 5000 THEN 'Low Visibility' END AS p5
+         |  FROM scored),
+         |norm AS (
+         |  SELECT parts.*, lower(trim(raw_type)) AS t FROM parts)
+         |SELECT ak, hour, risk_score, is_daylight,
+         |  (risk_score < 70 AND (precip IS NULL OR precip < 5)
+         |    AND (wind IS NULL OR wind < 20) AND (gust IS NULL OR gust < 20)
+         |    AND is_daylight) AS is_climbable,
+         |  CASE WHEN coalesce(p1, p2, p3, p4, p5) IS NOT NULL
+         |       THEN concat_ws(', ', p1, p2, p3, p4, p5)
+         |       WHEN risk_score < 30 THEN 'Good Conditions'
+         |       WHEN risk_score < 50 THEN 'Moderate'
+         |       ELSE 'Cautious' END AS conditions_summary,
+         |  CASE WHEN raw_type IS NULL OR t = '' THEN 'trad'
+         |       WHEN t IN ($canon) THEN t
+         |       $mapCase
+         |       ELSE 'trad' END AS canon_type,
+         |  lower(coalesce(raw_type, '')) NOT IN ('boulder', 'bouldering') AS kept_p10
+         |FROM norm
+         |ORDER BY ak, hour""".stripMargin
+    },
     "k23_map_serving" ->
       s"""WITH ${Sql.LocationsCte},
          |r0 AS (
