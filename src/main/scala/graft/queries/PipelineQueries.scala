@@ -884,6 +884,32 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // --- sketch-driven quality gate: the per-source P25 length threshold
+    // comes from the MERGED daily histogram sketches (never the raw data),
+    // then gates the raw docs — the sketch-as-decision pattern a rolling
+    // pipeline runs nightly ------------------------------------------------
+    "d37_quality_gate" -> ((s, dir) => {
+      import graft.expr.SketchAggs
+      val lens = Tables.documents(s, dir).where(col("text").isNotNull)
+        .select(col("source"), expr("(doc_id DIV 20) % 5").as("day"),
+          length(col("text")).cast("double").as("len"))
+      val thr = lens.groupBy("source", "day")
+        .agg(SketchAggs.histSketch(col("len"), HistLo, HistHi, HistBins).as("hist"))
+        .groupBy("source").agg(SketchAggs.cmsMerge(col("hist")).as("hm"))
+        .select(col("source"),
+          SketchAggs.histQuantile(col("hm"), 0.25, HistLo, HistHi, HistBins).as("thr"))
+      Tables.documents(s, dir).where(col("text").isNotNull)
+        .join(broadcast(thr), "source")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(length(col("text")).cast("double") >= col("thr"), 1L)
+            .otherwise(0L)).as("n_kept"),
+          coalesce(sum(when(length(col("text")).cast("double") >= col("thr"),
+            col("n_chars"))), lit(0L)).as("kept_chars"),
+          first(col("thr")).as("thr"))
+        .orderBy("source")
+    }),
+
     // --- corpus drift from stored sketches (monitoring) ------------------
     // day-0 histogram vs the cms_merge of days 1–4: total-variation
     // distance with an exact integer cross-multiplied core (one double
@@ -1878,6 +1904,42 @@ object PipelineQueries {
          |       probe.cms_probe AS cms_probe_merged, probe.cms_probe AS cms_probe_direct
          |FROM hll JOIN probe ON probe.source = hll.source
          |ORDER BY hll.source""".stripMargin
+    },
+
+    // gate replay: the P25 rank pick + interpolation (the d32 machinery at
+    // one q), then the same >= threshold filter over the raw lengths
+    "d37_quality_gate" -> {
+      val binw = (HistHi - HistLo) / HistBins
+      s"""WITH lens AS (
+         |  SELECT source, doc_id, n_chars, CAST(length(text) AS DOUBLE) AS len
+         |  FROM documents WHERE text IS NOT NULL),
+         |bk AS (SELECT source, len,
+         |          CASE WHEN len < $HistLo THEN 0
+         |               WHEN len >= $HistHi THEN ${HistBins + 1}
+         |               ELSE LEAST($HistBins, 1 + CAST(floor((len - $HistLo) / ($HistHi - $HistLo) * $HistBins) AS INT)) END AS bin
+         |       FROM lens),
+         |counts AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c
+         |           FROM bk WHERE bin BETWEEN 1 AND $HistBins GROUP BY source, bin),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY source),
+         |cum AS (SELECT source, bin, c,
+         |           CAST(sum(c) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) AS cum
+         |        FROM counts),
+         |ranks AS (SELECT tot.source,
+         |             CAST(ceil(CAST(0.25 AS DOUBLE) * CAST(tot.n AS DOUBLE)) AS BIGINT) AS r
+         |          FROM tot),
+         |pick AS (SELECT r.source, r.r, min(cum.bin) AS bin
+         |         FROM ranks r JOIN cum ON cum.source = r.source AND cum.cum >= r.r
+         |         GROUP BY r.source, r.r),
+         |thr AS (SELECT p.source,
+         |           $HistLo + $binw * (CAST(p.bin - 1 AS DOUBLE) + CAST(p.r - (c.cum - c.c) AS DOUBLE) / CAST(c.c AS DOUBLE)) AS thr
+         |        FROM pick p JOIN cum c ON c.source = p.source AND c.bin = p.bin)
+         |SELECT l.source, CAST(count(*) AS BIGINT) AS n_total,
+         |       CAST(coalesce(sum(CASE WHEN l.len >= thr.thr THEN 1 END), 0) AS BIGINT) AS n_kept,
+         |       CAST(coalesce(sum(CASE WHEN l.len >= thr.thr THEN l.n_chars END), 0) AS BIGINT) AS kept_chars,
+         |       thr.thr AS thr
+         |FROM lens l JOIN thr ON thr.source = l.source
+         |GROUP BY l.source, thr.thr
+         |ORDER BY l.source""".stripMargin
     },
 
     // drift replay from raw lengths: the TV core is exact integers

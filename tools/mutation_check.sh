@@ -169,6 +169,22 @@ run_mutation bloom-probe-wrong-hash \
   'BloomExprs.mightContain(bcast, xxhash64(col(factKey), lit(1)))' \
   'd31_bloom_join'
 
+# M14: deep-cold risk adjustment drifts one point — the hourly risk and
+# everything derived from it (climbable flag, summary fallback) move
+run_mutation hourly-temp-band \
+  src/main/scala/graft/analytics/Analytics.scala \
+  '.when(col("temp") < -15, 15.0).when(col("temp") < -5, 8.0)' \
+  '.when(col("temp") < -15, 16.0).when(col("temp") < -5, 8.0)' \
+  'k24_hourly_serving'
+
+# M15: proximity tiebreak sends null dates FIRST — the tie group
+# straddling the LIMIT boundary admits the null-date member instead
+run_mutation proximity-nulls-first \
+  src/main/scala/graft/analytics/Analytics.scala \
+  '.orderBy(col("distance_km").asc, col("date").desc_nulls_last)' \
+  '.orderBy(col("distance_km").asc, col("date").desc_nulls_first)' \
+  'k25_accident_proximity'
+
 echo ""
 echo "==================================================================="
 echo "mutation -> gate outcome (caught(N) = N queries failed the oracle)"
