@@ -67,14 +67,35 @@ object Sampling {
   def weightedTopK(df: DataFrame, groupCol: String, hash: Column,
                    weightCol: String, idCol: String, k: Int): DataFrame = {
     require(k > 0, s"sample size k must be positive, got $k")
-    val u = (hash % lit(U32Mod) + lit(1L)).cast("double") / U32Mod.toDouble
-    val key = log(u) / col(weightCol).cast("double")
     val w = Window.partitionBy(groupCol)
       .orderBy(col("__aes_key").desc, col(idCol).asc)
-    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
-      .withColumn("__aes_key", key)
+    withAesKey(df, hash, weightCol)
       .withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)
       .drop("__aes_key")
+  }
+
+  /** Skew-proof [[weightedTopK]]: identical A-ES keys and rank semantics,
+    * ranked through [[ScaleLayout.saltedTopK]] — when one group holds most
+    * of the corpus (the d21 quota shape), the plain window sorts that
+    * whole group in ONE task; the salted form takes partial top-ks per
+    * (group, salt) and re-ranks only ≤ k·factor survivors. Lossless for
+    * the same reason saltedTopK is (a true top-k row's rank within its
+    * salt slice can only be ≤ its global rank); the spec pins equality
+    * with the window form on a 95%-hot pool.
+    */
+  def weightedTopKSalted(df: DataFrame, groupCol: String, hash: Column,
+                         weightCol: String, idCol: String, k: Int,
+                         factor: Int): DataFrame = {
+    require(k > 0, s"sample size k must be positive, got $k")
+    ScaleLayout.saltedTopK(withAesKey(df, hash, weightCol), groupCol,
+        Seq(col("__aes_key").desc, col(idCol).asc), k, factor)
+      .drop("__aes_key")
+  }
+
+  private def withAesKey(df: DataFrame, hash: Column, weightCol: String): DataFrame = {
+    val u = (hash % lit(U32Mod) + lit(1L)).cast("double") / U32Mod.toDouble
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__aes_key", log(u) / col(weightCol).cast("double"))
   }
 }

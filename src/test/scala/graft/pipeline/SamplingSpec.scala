@@ -76,4 +76,22 @@ class SamplingSpec extends SparkSpec {
       .select("doc").as[Long].collect().toSeq
     assert(kept == Seq(1L))
   }
+
+  test("weightedTopKSalted equals the window form on a hot-group pool") {
+    // one group holds 95% of the pool — the shape where the plain window
+    // serializes; the salted form must return the identical sample
+    val rows = spark.range(1, 20001).select(
+      when(col("id") % 20 === 0, concat(lit("cold_"), (col("id") % 13).cast("string")))
+        .otherwise(lit("hot")).as("grp"),
+      col("id").as("doc"),
+      (col("id") % 7 + 1).as("w"),
+      (xxhash64(col("id")).bitwiseAND(lit(Long.MaxValue))).as("h"))
+    val window = Sampling.weightedTopK(rows, "grp", col("h"), "w", "doc", k = 25)
+      .select("grp", "doc", "rank").as[(String, Long, Int)].collect().toSet
+    val salted = Sampling.weightedTopKSalted(rows, "grp", col("h"), "w", "doc",
+        k = 25, factor = 16)
+      .select("grp", "doc", "rank").as[(String, Long, Int)].collect().toSet
+    assert(salted == window, "salted exactly-k must equal the window form")
+    assert(salted.count(_._1 == "hot") == 25)
+  }
 }
