@@ -29,6 +29,11 @@ object GradeParser {
     plain ++ lettered
   }
 
+  /** The lookup table, exposed for the k26 oracle generator: the DuckDB
+    * twin's VALUES list is emitted from THIS map, so the two cannot drift.
+    */
+  private[graft] def ydsTable: Seq[(String, Double)] = YdsGrades.toSeq.sortBy(_._1)
+
   private val VScaleOffset = 10.0
   private val VScaleMultiplier = 0.4
 

@@ -55,6 +55,24 @@ object OpsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // --- F11 through the REAL UDF: the full grade-parse cascade (YDS
+    // lookup, +/- modifiers, slash averaging, V/VB, WI/AI/M, A/C, bare
+    // fallback, whitespace/case/null/garbage) over planted inputs; the
+    // oracle SQL is GENERATED — its lookup VALUES come from the same
+    // YdsGrades map the UDF reads ---------------------------------------
+    "k26_grade_parse" -> ((s, dir) => {
+      val arms = GradeArms
+      Tables.supplier(s, dir).select(col("s_suppkey").as("id"),
+          arms.zipWithIndex.foldLeft(when(lit(false), lit(""))) {
+            case (acc, (t, i)) =>
+              acc.when(col("s_suppkey") % arms.size === i,
+                Option(t).map(lit).getOrElse(lit(null).cast("string")))
+          }.as("grade"))
+        .select(col("id"), col("grade"),
+          round(graft.expr.GradeParser.parseGrade(col("grade")), 4).as("difficulty"))
+        .orderBy("id")
+    }),
+
     // --- W2+F22+J5 through the proximity listing: spherical-law-of-cosines
     // distance gate, exp impact score, fuzzy same-route containment with
     // the null/empty guards, dist-asc/date-desc-nulls-last order, and a
@@ -347,7 +365,76 @@ object OpsQueries {
        |ORDER BY accident_id""".stripMargin
   }
 
+
+  /** k26's planted grade strings — every cascade arm live. */
+  private val GradeArms: Seq[String] = Seq(null, "", "   ", "5.9", "5.10a",
+    "5.11D", "5.12b+", "5.10c-", "5.10a/b", "5.9/10a", "5.15d", "V5", "vb",
+    "V12+", "WI4", "AI2", "M8", "A3", "C2", "10a", "9", "garbage", "5.8+",
+    " 5.7 ")
+
+  /** GENERATED DuckDB twin of GradeParser.parse: the YDS VALUES list is
+    * emitted from GradeParser.ydsTable, the regex arms mirror the Scala
+    * cascade order, and every multiplier is CAST AS DOUBLE with the same
+    * association as the Scala arithmetic; output rounded at 4 on both
+    * sides to absorb ulp dust in the 0.4/1.2/1.4/0.6 products.
+    */
+  private def gradeParseOracle: String = {
+    val ydsVals = graft.expr.GradeParser.ydsTable
+      .map { case (k, v) => s"('$k', CAST($v AS DOUBLE))" }.mkString(", ")
+    val armsCase = GradeArms.zipWithIndex.map { case (t, i) =>
+      if (t == null) s"WHEN $i THEN NULL" else s"WHEN $i THEN '$t'"
+    }.mkString(" ")
+    def lk(x: String) = s"(SELECT v FROM ydsmap WHERE k = ($x))"
+    // direct | '+'+0.25 | '-'-0.25 | slash-average — parseYds's order
+    def parseYds(x: String): String = {
+      val direct = lk(x)
+      val plus = s"CASE WHEN ($x) LIKE '%+' THEN ${lk(s"substr($x, 1, length($x) - 1)")} + 0.25 END"
+      val minus = s"CASE WHEN ($x) LIKE '%-' THEN ${lk(s"substr($x, 1, length($x) - 1)")} - 0.25 END"
+      val first = s"split_part($x, '/', 1)"
+      val suffix = s"split_part($x, '/', 2)"
+      val fSimple = s"coalesce(${lk(first)}, " +
+        s"CASE WHEN ($first) LIKE '%+' THEN ${lk(s"substr($first, 1, length($first) - 1)")} + 0.25 END, " +
+        s"CASE WHEN ($first) LIKE '%-' THEN ${lk(s"substr($first, 1, length($first) - 1)")} - 0.25 END)"
+      val sLk = lk(s"regexp_extract($first, '^(5\\.\\d+)', 1) || ($suffix)")
+      val slash = s"CASE WHEN length($x) - length(replace($x, '/', '')) = 1 " +
+        s"THEN (($fSimple) + ($sLk)) / 2 END"
+      s"coalesce($direct, $plus, $minus, $slash)"
+    }
+    val yds = s"CASE WHEN lg LIKE '5.%' THEN ${parseYds("lg")} END"
+    val v = "CASE WHEN ug LIKE 'V%' THEN coalesce(" +
+      "CASE WHEN regexp_matches(ug, '^V\\d') THEN CAST(10.0 AS DOUBLE) + " +
+      "CAST(regexp_extract(ug, '^V(\\d+)', 1) AS INT) * CAST(0.4 AS DOUBLE) END, " +
+      "CASE WHEN ug = 'VB' THEN CAST(10.0 AS DOUBLE) - 0.5 END) END"
+    val ice = "CASE WHEN ug LIKE 'WI%' OR ug LIKE 'AI%' OR ug LIKE 'M%' THEN coalesce(" +
+      "CASE WHEN regexp_matches(ug, '^WI\\d') THEN CAST(6.0 AS DOUBLE) + " +
+      "(CAST(regexp_extract(ug, '^WI(\\d+)', 1) AS INT) - 1) * CAST(1.2 AS DOUBLE) END, " +
+      "CASE WHEN regexp_matches(ug, '^AI\\d') THEN CAST(7.0 AS DOUBLE) + " +
+      "(CAST(regexp_extract(ug, '^AI(\\d+)', 1) AS INT) - 1) * CAST(1.4 AS DOUBLE) END, " +
+      "CASE WHEN regexp_matches(ug, '^M\\d') THEN CAST(7.0 AS DOUBLE) + " +
+      "(CAST(regexp_extract(ug, '^M(\\d+)', 1) AS INT) - 1) * CAST(0.6 AS DOUBLE) END) END"
+    val aid = "CASE WHEN (ug LIKE 'A%' OR ug LIKE 'C%') AND length(t) >= 2 " +
+      "AND substr(t, 2, 1) BETWEEN '0' AND '9' THEN coalesce(" +
+      "CASE WHEN regexp_matches(ug, '^A\\d') THEN CAST(8.0 AS DOUBLE) + " +
+      "CAST(regexp_extract(ug, '^A(\\d+)', 1) AS INT) * CAST(1.2 AS DOUBLE) END, " +
+      "CASE WHEN regexp_matches(ug, '^C\\d') THEN CAST(8.0 AS DOUBLE) + " +
+      "CAST(regexp_extract(ug, '^C(\\d+)', 1) AS INT) * CAST(1.2 AS DOUBLE) END) END"
+    val fallback = parseYds("'5.' || lg")
+    s"""WITH ydsmap(k, v) AS (VALUES $ydsVals),
+       |inputs AS (SELECT s_suppkey AS id,
+       |             CASE (s_suppkey % ${GradeArms.size}) $armsCase END AS grade
+       |           FROM supplier),
+       |t1 AS (SELECT id, grade, trim(grade) AS t,
+       |              lower(trim(grade)) AS lg, upper(trim(grade)) AS ug
+       |       FROM inputs)
+       |SELECT id, grade,
+       |  round(CASE WHEN t IS NULL OR t = '' THEN NULL
+       |        ELSE coalesce($yds, $v, $ice, $aid, $fallback) END, 4) AS difficulty
+       |FROM t1
+       |ORDER BY id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "k26_grade_parse" -> gradeParseOracle,
     "k25_accident_proximity" -> {
       val c = "cos(radians(40.5)) * cos(radians(latitude)) * " +
         "cos(radians(longitude) - radians(-105.0)) + " +
