@@ -930,8 +930,18 @@ object PipelineQueries {
         .select(col("source"),
           SketchAggs.histDrift(col("h0"), col("hr"), HistBins).as("d"))
         .where(col("d").isNotNull) // a side with zero in-range mass: no distance
+        // Output contract keeps the VALUE representation boring for the
+        // cross-engine hasher: the exact L1 numerator rides as BIGINT (the
+        // decimal(38,0) stays internal to the sum only — cross-products at
+        // any test SF are ≪ 2^63). tv stays a RAW double: one IEEE
+        // division of exact integers is correctly rounded, hence
+        // bit-identical across engines — round()ing it would reintroduce
+        // the Spark-vs-DuckDB half-way disagreement (see the verify-skill
+        // gotcha). n0/n1/l1_num are the exact integer triple; tv is
+        // redundant evidence derived from them.
         .select(col("source"), col("d.n0").as("n0"), col("d.n1").as("n1"),
-          col("d.l1_num").as("l1_num"), col("d.tv").as("tv"),
+          col("d.l1_num").cast("long").as("l1_num"),
+          col("d.tv").as("tv"),
           col("d.drift_bin").as("drift_bin"))
         .orderBy("source")
     }),
@@ -1974,7 +1984,7 @@ object PipelineQueries {
          |                    ORDER BY ad DESC, bin ASC) AS rn
          |           FROM d) WHERE rn = 1)
          |SELECT t.source, CAST(t.n0 AS BIGINT) AS n0, CAST(t.n1 AS BIGINT) AS n1,
-         |       CAST(agg.l1 AS DECIMAL(38,0)) AS l1_num,
+         |       CAST(agg.l1 AS BIGINT) AS l1_num,
          |       0.5 * (CAST(agg.l1 AS DOUBLE) / (CAST(t.n0 AS DOUBLE) * CAST(t.n1 AS DOUBLE))) AS tv,
          |       CAST(pick.drift_bin AS INT) AS drift_bin
          |FROM tot t

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Fail the round when prose claims drift from the correctness artifact.
+
+Round 8 shipped "116 oracle + 6 rows-only — every oracle query
+hash-matches" in COVERAGE.md while CORRECTNESS_r08.json recorded a
+hash_match:false row. This gate makes that structurally impossible: every
+"<N> oracle + <M> rows-only" count claim in COVERAGE.md / README.md must
+match the artifact, and any "every oracle query hash-matches" style claim
+must coexist with zero failing rows.
+
+Usage: python3 tools/claims_check.py [CORRECTNESS_json]
+  (default: the newest CORRECTNESS_r*.json in the repo root — or a local
+   check_oracle.py-compatible replay summary passed explicitly)
+
+Exit 0 iff all claims are consistent with the artifact.
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def artifact_counts(path):
+    d = json.load(open(path))
+    n_pass = n_rows_only = n_fail = 0
+    fails = []
+    for name, row in d.items():
+        if row.get("err") == "no_oracle":
+            if (row.get("spark_rows") or 0) > 0:
+                n_rows_only += 1
+            else:
+                n_fail += 1
+                fails.append(f"{name}: no_oracle with 0 rows")
+        elif row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+            n_pass += 1
+        else:
+            n_fail += 1
+            fails.append(
+                f"{name}: rows={row.get('rows_match')} schema={row.get('schema_match')} "
+                f"hash={row.get('hash_match')} err={row.get('err')}")
+    return len(d), n_pass, n_rows_only, n_fail, fails
+
+
+# Count-claim shapes this repo's prose uses. Each must match the artifact.
+CLAIM_RE = re.compile(r"(\d+)\s+oracle(?:-match(?:ed)?)?\s*\+\s*(\d+)\s+rows-only")
+PERFECTION_RE = re.compile(r"[Ee]very oracle query hash-matches")
+
+
+def check_doc(doc, total, n_pass, n_rows_only, n_fail):
+    errs = []
+    path = os.path.join(ROOT, doc)
+    if not os.path.exists(path):
+        return errs
+    text = open(path).read()
+    for lineno, line in enumerate(text.splitlines(), 1):
+        for m in CLAIM_RE.finditer(line):
+            c_oracle, c_rows_only = int(m.group(1)), int(m.group(2))
+            if (c_oracle, c_rows_only) != (n_pass, n_rows_only):
+                errs.append(
+                    f"{doc}:{lineno} claims '{m.group(0)}' but artifact has "
+                    f"{n_pass} oracle + {n_rows_only} rows-only")
+        if PERFECTION_RE.search(line) and n_fail > 0:
+            errs.append(
+                f"{doc}:{lineno} claims every oracle query hash-matches but "
+                f"artifact has {n_fail} failing row(s)")
+    return errs
+
+
+def main():
+    if len(sys.argv) > 1:
+        art = sys.argv[1]
+    else:
+        arts = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
+        if not arts:
+            print("claims_check: no CORRECTNESS_r*.json found", file=sys.stderr)
+            sys.exit(2)
+        art = arts[-1]
+    total, n_pass, n_rows_only, n_fail, fails = artifact_counts(art)
+    print(f"artifact {os.path.basename(art)}: total={total} oracle-pass={n_pass} "
+          f"rows-only={n_rows_only} fail={n_fail}")
+    for f in fails:
+        print(f"  FAILING ROW  {f}")
+    errs = []
+    for doc in ("COVERAGE.md", "README.md"):
+        errs.extend(check_doc(doc, total, n_pass, n_rows_only, n_fail))
+    if errs:
+        for e in errs:
+            print(f"CLAIM-MISMATCH  {e}")
+        sys.exit(1)
+    print("claims_check: all prose count claims consistent with the artifact")
+    sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()
