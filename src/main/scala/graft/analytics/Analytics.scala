@@ -115,6 +115,40 @@ object Analytics {
       .orderBy("month_num")
   }
 
+  /** A9 summary companion: totals + best/worst/peak month over the monthly
+    * ascent/accident table (`mp_routes.py:1744-1770`). The reference picks
+    * best = lowest accident rate, worst = highest rate, peak = most
+    * ascents with Python `min`/`max` over the month-ordered list — FIRST
+    * of ties, i.e. the lowest month_num — mirrored here as a min over
+    * (key, month_num) structs, an all-reduce with no shuffle beyond the
+    * 12-row monthly input. Totals are date-unfiltered like the reference's
+    * bare COUNT(*) queries (`mp_routes.py:1663-1699`), with the same
+    * boulder exclusion the monthly path applies (P10).
+    */
+  def ascentSummary(ticks: DataFrame, accidents: DataFrame): DataFrame = {
+    val monthly = ascentAnalytics(ticks, accidents)
+    val totals = ticks
+      .where(!lower(coalesce(col("type"), lit(""))).isin("boulder", "bouldering"))
+      .agg(count(lit(1)).as("total_ascents"))
+      .crossJoin(accidents.agg(count(lit(1)).as("total_accidents")))
+    monthly.agg(
+        min(struct(col("accidents_per_1k_ascents"), col("month_num")))
+          .as("best"),
+        min(struct(-col("accidents_per_1k_ascents"), col("month_num")))
+          .as("worst"),
+        min(struct(-col("n_ascents"), col("month_num"))).as("peak"))
+      .select(col("best.month_num").as("best_month"),
+        col("worst.month_num").as("worst_month"),
+        col("peak.month_num").as("peak_month"))
+      .crossJoin(totals)
+      .select(col("total_ascents"), col("total_accidents"),
+        when(col("total_ascents") > 0,
+          round(col("total_accidents") * 1000.0 / col("total_ascents"), 2))
+          .otherwise(0.0).as("overall_rate"),
+        col("best_month"), col("worst_month"), col("peak_month"),
+        (col("total_ascents") > 0).as("has_data"))
+  }
+
   /** A10/W5: historical risk trend — avg/min/max over a stored series plus
     * first-7 vs last-7 trend label ±5 (`mp_routes.py:1581-1598`).
     */

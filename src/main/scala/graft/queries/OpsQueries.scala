@@ -53,7 +53,111 @@ object OpsQueries {
         .when(col("s_suppkey") % 6 === 4, lit(null).cast("string"))
         .otherwise("rappel").as("accident_type"))
 
+  /** SF-independent planted index 0..n-1: one supplier row × an exploded
+    * sequence, so the k27–k29 fixtures are bit-identical at every test SF
+    * (the DuckDB twin is `range(n)`). Every test dir has supplier row 1.
+    */
+  private def plantedK(s: SparkSession, dir: String, n: Int): DataFrame =
+    Tables.supplier(s, dir).where(col("s_suppkey") === 1)
+      .select(explode(sequence(lit(0), lit(n - 1))).as("k"))
+
+  /** k27's planted accidents: every severity arm of the A8 case (fatal/
+    * death/serious/severe/moderate/minor/light/other/null), near/far
+    * coordinates around (40.5, -105.0) so the <50 km SLC gate is live,
+    * and null date/lat/lon arms that the entry must drop.
+    */
+  private def seasonalAccidents(s: SparkSession, dir: String): DataFrame = {
+    val sevArms = Seq("Fatal fall", "death on descent", "SERIOUS injury",
+      "severe trauma", "Moderate bruising", "minor scrape", "light sprain",
+      "rockfall", null)
+    plantedK(s, dir, 240).select(
+      col("k"),
+      sevArms.zipWithIndex.foldLeft(when(lit(false), lit(""))) {
+        case (acc, (t, i)) => acc.when(col("k") % sevArms.size === i,
+          Option(t).map(lit).getOrElse(lit(null).cast("string")))
+      }.as("injury_severity"),
+      when(col("k") % 40 === 37, lit(null).cast("date"))
+        .otherwise(make_date(lit(2023), (col("k") % 12) + 1, (col("k") * 7) % 28 + 1))
+        .as("date"),
+      when(col("k") % 29 === 5, lit(null).cast("double"))
+        .when(col("k") % 5 === 0, 47.0) // ~720 km out: the far arm
+        .otherwise(lit(40.5) + (((col("k") * 3) % 40) - 20) / 100.0).as("latitude"),
+      when(col("k") % 31 === 8, lit(null).cast("double"))
+        .otherwise(lit(-105.0) + (((col("k") * 11) % 50) - 25) / 100.0).as("longitude"))
+  }
+
+  /** k28's planted ticks/accidents: boulder arms the P10 exclusion drops,
+    * null type (kept), null dates (dropped from monthly, kept in totals),
+    * and accident months 1..8 only — months 9..12 exercise the 0-accident
+    * left-join arm and the rate ties the first-of-ties rule must break.
+    */
+  private def ascentTicks(s: SparkSession, dir: String): DataFrame = {
+    val typeArms = Seq("Sport", "Trad", "boulder", "Bouldering", null, "Ice", "Alpine")
+    plantedK(s, dir, 300).select(
+      when(col("k") % 50 === 49, lit(null).cast("date"))
+        .otherwise(make_date(lit(2023), (col("k") % 12) + 1, (col("k") % 27) + 1))
+        .as("tick_date"),
+      typeArms.zipWithIndex.foldLeft(when(lit(false), lit(""))) {
+        case (acc, (t, i)) => acc.when(col("k") % typeArms.size === i,
+          Option(t).map(lit).getOrElse(lit(null).cast("string")))
+      }.as("type"))
+  }
+
+  private def ascentAccidents(s: SparkSession, dir: String): DataFrame =
+    plantedK(s, dir, 60).select(
+      when(col("k") % 20 === 19, lit(null).cast("date"))
+        .otherwise(make_date(lit(2023), (col("k") % 8) + 1, (col("k") % 25) + 1))
+        .as("date"))
+
+  /** k29's planted kernel pairs: influence takes only three dyadic values
+    * (1.5/1.0/0.5) so the tie group straddles the top-10 boundary and the
+    * accident_id tiebreak decides membership; the six factor weights are
+    * exact 64ths, so every partial sum is an exactly-representable dyadic
+    * and the averages are order-independent across engines.
+    */
+  private def breakdownPairs(s: SparkSession, dir: String): DataFrame =
+    plantedK(s, dir, 120).select(
+      expr("CAST(k DIV 20 + 1 AS BIGINT)").as("route_id"),
+      (col("k") % 20 + 1).cast("long").as("accident_id"),
+      ((lit(3) - col("k") % 3).cast("double") / 2.0).as("influence"),
+      ((((col("k") * 3) % 32) + 2).cast("double") / 64.0).as("spatial_w"),
+      ((((col("k") * 5) % 16) + 4).cast("double") / 64.0).as("temporal_w"),
+      ((((col("k") * 7) % 32) + 1).cast("double") / 64.0).as("elevation_w"),
+      ((((col("k") * 9) % 16) + 8).cast("double") / 64.0).as("route_type_w"),
+      ((((col("k") * 11) % 32) + 3).cast("double") / 64.0).as("severity_w"),
+      ((((col("k") * 13) % 16) + 6).cast("double") / 64.0).as("grade_w"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- A8 through the REAL entry: severity-cased scoring, strict <50 km
+    // SLC gate, month grouping over planted accidents hitting every arm ---
+    "k27_seasonal_patterns" -> ((s, dir) => {
+      graft.analytics.Analytics.seasonalPatterns(
+        seasonalAccidents(s, dir), lit(40.5), lit(-105.0))
+    }),
+
+    // --- A9 monthly through the REAL entry: boulder exclusion, phantom-
+    // null-month drop, 0-accident months, rate per 1000 ------------------
+    "k28_ascent_analytics" -> ((s, dir) => {
+      graft.analytics.Analytics.ascentAnalytics(
+        ascentTicks(s, dir), ascentAccidents(s, dir))
+    }),
+
+    // --- A9 summary: totals (date-unfiltered), overall rate, best/worst/
+    // peak month under the reference's first-of-ties rule (months 9-12
+    // tie at rate 0.0 — best_month must be 9, not an arbitrary winner) ---
+    "k28b_ascent_summary" -> ((s, dir) => {
+      graft.analytics.Analytics.ascentSummary(
+        ascentTicks(s, dir), ascentAccidents(s, dir))
+    }),
+
+    // --- A13 through the REAL entry: top-10 by influence with the
+    // accident_id tiebreak straddling the boundary, per-factor averages,
+    // shares normalized to 100% ------------------------------------------
+    "k29_risk_breakdown" -> ((s, dir) => {
+      graft.analytics.Analytics.riskBreakdown(breakdownPairs(s, dir), topN = 10)
+        .orderBy("route_id")
+    }),
 
     // --- F11 through the REAL UDF: the full grade-parse cascade (YDS
     // lookup, +/- modifiers, slash averaging, V/VB, WI/AI/M, A/C, bare
@@ -433,7 +537,132 @@ object OpsQueries {
        |ORDER BY id""".stripMargin
   }
 
+  /** Shared DuckDB CTEs for the k28 fixtures — emitted once so monthly and
+    * summary cannot drift.
+    */
+  private val ascentFixtureCtes: String =
+    s"""tk AS (SELECT CAST(t.k AS INT) AS k FROM range(300) t(k)),
+       |ticks AS (
+       |  SELECT CASE WHEN k % 50 = 49 THEN NULL
+       |              ELSE make_date(2023, (k % 12) + 1, (k % 27) + 1) END AS tick_date,
+       |         CASE (k % 7) WHEN 0 THEN 'Sport' WHEN 1 THEN 'Trad'
+       |              WHEN 2 THEN 'boulder' WHEN 3 THEN 'Bouldering'
+       |              WHEN 4 THEN NULL WHEN 5 THEN 'Ice' ELSE 'Alpine' END AS type
+       |  FROM tk),
+       |ka AS (SELECT CAST(t.k AS INT) AS k FROM range(60) t(k)),
+       |acc AS (
+       |  SELECT CASE WHEN k % 20 = 19 THEN NULL
+       |              ELSE make_date(2023, (k % 8) + 1, (k % 25) + 1) END AS dt
+       |  FROM ka),
+       |mt AS (SELECT CAST(EXTRACT(MONTH FROM tick_date) AS INT) AS month_num,
+       |              CAST(count(*) AS BIGINT) AS n_ascents
+       |       FROM ticks WHERE tick_date IS NOT NULL
+       |         AND lower(coalesce(type, '')) NOT IN ('boulder', 'bouldering')
+       |       GROUP BY 1),
+       |ma AS (SELECT CAST(EXTRACT(MONTH FROM dt) AS INT) AS month_num,
+       |              CAST(count(*) AS BIGINT) AS n_accidents
+       |       FROM acc WHERE dt IS NOT NULL GROUP BY 1),
+       |monthly AS (
+       |  SELECT mt.month_num, mt.n_ascents,
+       |         CAST(coalesce(ma.n_accidents, 0) AS BIGINT) AS n_accidents,
+       |         round(coalesce(ma.n_accidents, 0) * 1000.0 / mt.n_ascents, 2)
+       |           AS accidents_per_1k_ascents
+       |  FROM mt LEFT JOIN ma USING (month_num))""".stripMargin
+
+  /** k29's six factor formulas, shared between the fixture CTE emitters. */
+  private val breakdownFactors: Seq[(String, String)] = Seq(
+    "spatial_w" -> "CAST(((k * 3) % 32) + 2 AS DOUBLE) / 64.0",
+    "temporal_w" -> "CAST(((k * 5) % 16) + 4 AS DOUBLE) / 64.0",
+    "elevation_w" -> "CAST(((k * 7) % 32) + 1 AS DOUBLE) / 64.0",
+    "route_type_w" -> "CAST(((k * 9) % 16) + 8 AS DOUBLE) / 64.0",
+    "severity_w" -> "CAST(((k * 11) % 32) + 3 AS DOUBLE) / 64.0",
+    "grade_w" -> "CAST(((k * 13) % 16) + 6 AS DOUBLE) / 64.0")
+
   val oracles: Map[String, String] = Map(
+    "k27_seasonal_patterns" -> {
+      val c = "cos(radians(40.5)) * cos(radians(latitude)) * " +
+        "cos(radians(longitude) - radians(-105.0)) + " +
+        "sin(radians(40.5)) * sin(radians(latitude))"
+      s"""WITH t AS (SELECT CAST(t.k AS INT) AS k FROM range(240) t(k)),
+         |a0 AS (
+         |  SELECT k,
+         |    CASE (k % 9) WHEN 0 THEN 'Fatal fall' WHEN 1 THEN 'death on descent'
+         |         WHEN 2 THEN 'SERIOUS injury' WHEN 3 THEN 'severe trauma'
+         |         WHEN 4 THEN 'Moderate bruising' WHEN 5 THEN 'minor scrape'
+         |         WHEN 6 THEN 'light sprain' WHEN 7 THEN 'rockfall'
+         |         ELSE NULL END AS injury_severity,
+         |    CASE WHEN k % 40 = 37 THEN NULL
+         |         ELSE make_date(2023, (k % 12) + 1, ((k * 7) % 28) + 1) END AS dt,
+         |    CASE WHEN k % 29 = 5 THEN NULL
+         |         WHEN k % 5 = 0 THEN 47.0
+         |         ELSE 40.5 + (((k * 3) % 40) - 20) / 100.0 END AS latitude,
+         |    CASE WHEN k % 31 = 8 THEN NULL
+         |         ELSE -105.0 + (((k * 11) % 50) - 25) / 100.0 END AS longitude
+         |  FROM t),
+         |f AS (
+         |  SELECT *,
+         |    CASE WHEN contains(lower(injury_severity), 'fatal')
+         |              OR contains(lower(injury_severity), 'death') THEN 100
+         |         WHEN contains(lower(injury_severity), 'serious')
+         |              OR contains(lower(injury_severity), 'severe') THEN 80
+         |         WHEN contains(lower(injury_severity), 'moderate') THEN 60
+         |         WHEN contains(lower(injury_severity), 'minor')
+         |              OR contains(lower(injury_severity), 'light') THEN 40
+         |         ELSE 30 END AS score
+         |  FROM a0
+         |  WHERE dt IS NOT NULL AND latitude IS NOT NULL AND longitude IS NOT NULL
+         |    AND 6371.0 * acos(least(greatest($c, -1.0), 1.0)) < 50)
+         |SELECT CAST(EXTRACT(MONTH FROM dt) AS INT) AS month_num,
+         |       CAST(count(*) AS BIGINT) AS accident_count,
+         |       round(avg(score), 1) AS avg_risk_score
+         |FROM f GROUP BY 1 ORDER BY month_num""".stripMargin
+    },
+    "k28_ascent_analytics" ->
+      s"""WITH $ascentFixtureCtes
+         |SELECT month_num, n_ascents, n_accidents, accidents_per_1k_ascents
+         |FROM monthly ORDER BY month_num""".stripMargin,
+    "k28b_ascent_summary" ->
+      s"""WITH $ascentFixtureCtes,
+         |best AS (SELECT month_num FROM monthly
+         |         ORDER BY accidents_per_1k_ascents ASC, month_num ASC LIMIT 1),
+         |worst AS (SELECT month_num FROM monthly
+         |          ORDER BY accidents_per_1k_ascents DESC, month_num ASC LIMIT 1),
+         |peak AS (SELECT month_num FROM monthly
+         |         ORDER BY n_ascents DESC, month_num ASC LIMIT 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_ascents FROM ticks
+         |        WHERE lower(coalesce(type, '')) NOT IN ('boulder', 'bouldering')),
+         |ta AS (SELECT CAST(count(*) AS BIGINT) AS total_accidents FROM acc)
+         |SELECT tot.total_ascents, ta.total_accidents,
+         |  CASE WHEN tot.total_ascents > 0
+         |       THEN round(ta.total_accidents * 1000.0 / tot.total_ascents, 2)
+         |       ELSE 0.0 END AS overall_rate,
+         |  best.month_num AS best_month, worst.month_num AS worst_month,
+         |  peak.month_num AS peak_month,
+         |  tot.total_ascents > 0 AS has_data
+         |FROM tot, ta, best, worst, peak""".stripMargin,
+    "k29_risk_breakdown" -> {
+      val factorCols = breakdownFactors
+        .map { case (n, f) => s"    $f AS $n" }.mkString(",\n")
+      val avgCols = breakdownFactors
+        .map { case (n, _) => s"avg($n) AS avg_$n" }.mkString(", ")
+      val total = breakdownFactors.map { case (n, _) => s"avg_$n" }.mkString(" + ")
+      val shareCols = breakdownFactors
+        .map { case (n, _) => s"  round(avg_$n / ($total) * 100, 1) AS share_$n" }
+        .mkString(",\n")
+      s"""WITH t AS (SELECT CAST(t.k AS INT) AS k FROM range(120) t(k)),
+         |p AS (
+         |  SELECT CAST(k // 20 + 1 AS BIGINT) AS route_id,
+         |    CAST(k % 20 + 1 AS BIGINT) AS accident_id,
+         |    CAST(3 - (k % 3) AS DOUBLE) / 2.0 AS influence,
+         |$factorCols
+         |  FROM t),
+         |r AS (SELECT p.*, row_number() OVER (PARTITION BY route_id
+         |        ORDER BY influence DESC, accident_id ASC) AS rn FROM p),
+         |a AS (SELECT route_id, $avgCols FROM r WHERE rn <= 10 GROUP BY route_id)
+         |SELECT route_id, ${breakdownFactors.map { case (n, _) => s"avg_$n" }.mkString(", ")},
+         |$shareCols
+         |FROM a ORDER BY route_id""".stripMargin
+    },
     "k26_grade_parse" -> gradeParseOracle,
     "k25_accident_proximity" -> {
       val c = "cos(radians(40.5)) * cos(radians(latitude)) * " +

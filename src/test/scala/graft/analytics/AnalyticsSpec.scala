@@ -85,6 +85,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(july.getAs[Long]("n_ascents") == 2)
   }
 
+  test("ascentSummary: first-of-ties best/worst/peak, date-unfiltered totals") {
+    def d(s: String) = Some(java.sql.Date.valueOf(s))
+    // months 5 and 6: one tick each, no accidents → rate 0.0 TIE → best=5.
+    // months 7 and 8: 2 ticks / 1 accident each → rate 500.0 TIE → worst=7.
+    // peak ascents: months 7 and 8 tie at 2 → peak=7. A null-date tick and
+    // a boulder tick exist only in the totals arm (boulder excluded there
+    // too; null date counted — the reference's bare COUNT(*)).
+    val ticks = Seq(
+      (1L, d("2023-05-01"), "sport"), (2L, d("2023-06-01"), "trad"),
+      (3L, d("2023-07-01"), "sport"), (4L, d("2023-07-02"), "sport"),
+      (5L, d("2023-08-01"), "trad"), (6L, d("2023-08-02"), "trad"),
+      (7L, Option.empty[java.sql.Date], "sport"), // null date: totals only
+      (8L, d("2023-07-03"), "Bouldering")) // excluded everywhere
+      .toDF("tick_id", "tick_date", "type")
+    val accs = Seq(
+      (1, d("2023-07-10")), (2, d("2023-08-10")),
+      (3, Option.empty[java.sql.Date])) // null date still in total_accidents
+      .toDF("accident_id", "date")
+    val row = Analytics.ascentSummary(ticks, accs).head()
+    assert(row.getAs[Long]("total_ascents") == 7) // 8 minus the boulder
+    assert(row.getAs[Long]("total_accidents") == 3)
+    assert(row.getAs[Double]("overall_rate") == math.rint(3000.0 / 7 * 100) / 100)
+    assert(row.getAs[Int]("best_month") == 5)
+    assert(row.getAs[Int]("worst_month") == 7)
+    assert(row.getAs[Int]("peak_month") == 7)
+    assert(row.getAs[Boolean]("has_data"))
+
+    // no ticks at all → null months, zero totals, has_data false
+    val empty = Analytics.ascentSummary(
+      ticks.where(lit(false)), accs.where(lit(false))).head()
+    assert(empty.getAs[Long]("total_ascents") == 0)
+    assert(empty.getAs[Double]("overall_rate") == 0.0)
+    assert(empty.isNullAt(empty.fieldIndex("best_month")))
+    assert(!empty.getAs[Boolean]("has_data"))
+  }
+
   test("riskBreakdown: influence ties break by accident_id, deterministically") {
     // two accidents at IDENTICAL coordinates/type/severity/date → identical
     // influence; topN=1 must pick accident 1 (lowest id), so the breakdown
