@@ -121,6 +121,11 @@ object QuantLadder {
       s"""<!-- generated by `sbt "runMain graft.sim.QuantLadder"` — do not hand-edit -->
          |Corpus: ${corpusN - nQueries} synthetic 64-dim unit vectors, $nQueries queries,
          |recall@$k vs exact cosine ranking, local[$cpus], wall = min of 2 noop-sink runs.
+         |Walls INCLUDE each tier's one-time index build (encode/train); in the
+         |serving regime only the scan recurs. The measured build/scan split lives
+         |in Bench (`ann_pq_encode_1m` vs `ann_pq_1m`/`ann_ivfpq_1m`): at equal
+         |query counts the IVFADC SCAN is ~nlist/nprobe (≈4×) cheaper than plain
+         |ADC, exactly the work model — encode dominates these small-corpus walls.
          |
          || tier | bytes/vector | recall@$k | wall (s) | floor |
          ||---|---|---|---|---|""".stripMargin
