@@ -357,6 +357,125 @@ object Bench {
       nprobe = 4, k = 10)
   }
 
+  /** Streaming volume gate: 1M events through the two stateful streaming
+    * families, with the STATE-STORE metrics recorded — the evidence the
+    * parity/eviction specs can't give, that state stays bounded at volume.
+    *
+    *  - `windowedSketch`: 10 event-time-ordered micro-batches of 100K
+    *    events spanning 120 one-hour windows × 8 groups under a 1-hour
+    *    watermark. Peak state rows must stay ≈ (in-horizon windows ×
+    *    groups) — independent of the 1M total — or the entry FAILS (-1):
+    *    watermark eviction is the bounded-state mechanism under test.
+    *  - `streamingLshCandidates`: 1M docs (200K distinct bodies × 5
+    *    re-arrivals + a ~10K-doc boilerplate bucket that must latch at
+    *    maxBucketSize) with TTL armed. Bucket COUNT grows with the
+    *    distinct corpus by design (that's what the TTL bounds over time);
+    *    the recorded peak pins the per-corpus footprint and the cap
+    *    keeps every bucket ≤ maxBucketSize.
+    *
+    * Emits: wall (streaming_1m), peak state rows for each operator, and
+    * peak state bytes across both (streaming_1m_state_mb).
+    */
+  def streaming1m(spark: SparkSession): Map[String, Double] = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = System.nanoTime()
+    var peakBytes = 0L
+
+    def drainPeaks(q: org.apache.spark.sql.streaming.StreamingQuery): Long = {
+      var rows = 0L
+      q.recentProgress.foreach(_.stateOperators.foreach { so =>
+        rows = math.max(rows, so.numRowsTotal)
+        peakBytes = math.max(peakBytes, so.memoryUsedBytes)
+      })
+      rows
+    }
+
+    try {
+      // --- windowedSketch: watermark-evicted window state ---------------
+      val mem = MemoryStream[StreamingOps.Event]
+      val ckpt1 = java.nio.file.Files.createTempDirectory("bench_stream_sk").toString
+      val q1 = StreamingOps.windowedSketch(mem.toDF(), "ts", "event_type",
+          "user_id", windowLen = "1 hour", watermark = "1 hour")
+        .writeStream.format("noop").option("checkpointLocation", ckpt1)
+        .outputMode(OutputMode.Append()).start()
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val types = Array("view", "click", "purchase", "scroll",
+        "share", "like", "save", "open")
+      var peakSketchRows = 0L
+      try {
+        (0 until 10).foreach { b =>
+          val events = (0 until 100000).map { i =>
+            val k = b * 100000L + i
+            StreamingOps.Event(k,
+              new java.sql.Timestamp(base + b * 43200000L + i.toLong * 432),
+              k % 9973, types((k % 8).toInt), (k % 100).toDouble)
+          }
+          mem.addData(events: _*)
+          q1.processAllAvailable()
+          peakSketchRows = math.max(peakSketchRows, drainPeaks(q1))
+        }
+      } finally q1.stop()
+      // 12 in-flight windows + ≤1 h of watermark lag behind, × 8 groups,
+      // with 2× slack: anything past this means eviction is NOT working
+      // and state grows with the stream — fail the entry loudly
+      val sketchBound = 2L * 14 * 8
+      if (peakSketchRows > sketchBound) {
+        System.err.println(
+          s"[bench] streaming_1m: sketch state $peakSketchRows > bound $sketchBound")
+        return Map("streaming_1m" -> -1.0)
+      }
+
+      // --- streamingLshCandidates: capped buckets + TTL armed -----------
+      // All four blocks are added BEFORE the query starts and the query
+      // runs Trigger.AvailableNow: with ProcessingTimeTimeout armed, a
+      // continuously-running query schedules EMPTY micro-batches between
+      // arrivals purely to fire timeouts, and each one re-commits the
+      // ~800K-entry state store — measured >100 such batches in minutes,
+      // all maintenance, no data. AvailableNow drains the pending blocks
+      // and stops, which is the honest volume measurement (TTL eviction
+      // CORRECTNESS is spec'd in StreamingOpsSpec; here TTL is armed so
+      // the timeout-registration path runs at volume).
+      val mem2 = MemoryStream[(Long, String)]
+      val ckpt2 = java.nio.file.Files.createTempDirectory("bench_stream_lsh").toString
+      (0 until 4).foreach { b =>
+        val docs = (0 until 250000).map { i =>
+          val k = b * 250000L + i
+          val text =
+            if (k % 97 == 0) "the boilerplate legal disclaimer body shared verbatim"
+            else s"synthetic document body number ${k % 200000L} with shared content"
+          (k, text)
+        }
+        mem2.addData(docs: _*)
+      }
+      val q2 = StreamingOps.streamingLshCandidates(
+          mem2.toDF().toDF("id", "text"), "id", "text",
+          stateTtl = Some(java.time.Duration.ofMinutes(10)))
+        .writeStream.format("noop").option("checkpointLocation", ckpt2)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      var peakLshRows = 0L
+      try {
+        q2.awaitTermination()
+        peakLshRows = math.max(peakLshRows, drainPeaks(q2))
+      } finally q2.stop()
+
+      Map(
+        "streaming_1m" -> (System.nanoTime() - t0) / 1e9,
+        "streaming_1m_sketch_rows" -> peakSketchRows.toDouble,
+        "streaming_1m_lsh_rows" -> peakLshRows.toDouble,
+        "streaming_1m_state_mb" -> peakBytes / 1e6)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] streaming_1m: ${e.getMessage}")
+        Map("streaming_1m" -> -1.0)
+    }
+  }
+
   /** Bloom corpus-snapshot dedup at volume: the filter is built over 10M
     * synthetic content digests (~12 MB at 1% fpp — the analytic
     * −n·ln(fpp)/ln²2 bits; BloomDedupSpec pins the 1.3× bound), torrent-
@@ -622,7 +741,9 @@ object Bench {
       "tfidf_10x", "funnel_10x", "cluster_10x", "ann_int8_1m", "ann_pq_200k",
       "ann_ivfpq_200k", "ann_pq_encode_200k", "ann_pq_encode_1m",
       "ann_pq_1m", "ann_ivfpq_1m",
-      "bloom_10m", "sketch_10m", "distinct_exact_10m")
+      "bloom_10m", "sketch_10m", "distinct_exact_10m",
+      "streaming_1m", "streaming_1m_sketch_rows", "streaming_1m_lsh_rows",
+      "streaming_1m_state_mb")
     if (only.isEmpty) {
       spark.stop() // free the parent's executor pool + heap for the child
       results ++= runIsolated(scaleKeys, sfDir, cpus)
@@ -666,6 +787,8 @@ object Bench {
         results("sketch_10m") = time(sketch10m(spark))
       if (want("distinct_exact_10m"))
         results("distinct_exact_10m") = time(exactDistinct10m(spark))
+      if (want("streaming_1m"))
+        results ++= streaming1m(spark)
       // linearity evidence, opt-in by explicit name only (~30 min)
       if (only.exists(_.contains("kernel_batch_100x")))
         results("kernel_batch_100x") = time(kernelBatch100x(spark))
@@ -685,7 +808,9 @@ object Bench {
       "tfidf_10x", "funnel_10x", "cluster_10x", "ann_int8_1m", "ann_pq_200k",
       "ann_ivfpq_200k", "ann_pq_encode_200k", "ann_pq_encode_1m",
       "ann_pq_1m", "ann_ivfpq_1m",
-      "bloom_10m", "sketch_10m", "distinct_exact_10m")
+      "bloom_10m", "sketch_10m", "distinct_exact_10m",
+      "streaming_1m", "streaming_1m_sketch_rows", "streaming_1m_lsh_rows",
+      "streaming_1m_state_mb")
     def fmt(v: Double) = // Locale.ROOT: a comma-decimal default locale would break the JSON
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

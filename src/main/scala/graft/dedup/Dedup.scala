@@ -437,7 +437,15 @@ object Dedup {
     */
   def keeperSelection(docs: DataFrame, idCol: String, clusterCol: String,
                       order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(col(clusterCol)).orderBy(order: _*)
+    // NULL cluster keys would all land in ONE window partition (SQL
+    // window grouping treats NULLs as equal), silently collapsing every
+    // unclustered row — a common state after a left join against the
+    // component table — to a single keeper. Coalescing the cluster key to
+    // the row's own id makes each unclustered row its own singleton
+    // cluster (trivially its own keeper), which is the only semantics a
+    // caller can mean.
+    val clusterKey = coalesce(col(clusterCol), col(idCol))
+    val w = Window.partitionBy(clusterKey).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     docs
       .withColumn("keeper_id", first(col(idCol)).over(w))

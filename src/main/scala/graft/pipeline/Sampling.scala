@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
   *    no shuffle of the data itself, the 100 TB shape. The gate is exact
   *    integer arithmetic (decimal cross-multiplication, no division, no
   *    transcendentals), which is what lets d33 hash-match DuckDB.
+  *    INTEGRAL weights only (enforced): fractional quality scores must be
+  *    pre-scaled (`round(score * 1000)`) — or use [[weightedTopK]].
   *  - [[weightedTopK]]: EXACTLY k rows per group — the Efraimidis–Spirakis
   *    A-ES weighted reservoir (IPL 2006): rank by ln(u)/w descending
   *    (monotone-equivalent to the paper's u^(1/w) keys) and keep the top
@@ -49,6 +51,20 @@ object Sampling {
   def weightedBernoulli(df: DataFrame, groupCol: String, hash: Column,
                         weightCol: String, k: Int): DataFrame = {
     require(k > 0, s"expected sample size k must be positive, got $k")
+    // INTEGER-WEIGHT CONTRACT: the exact gate totals weights with a long
+    // cast (truncating) but cross-multiplies the per-row weight in
+    // decimal (rounding half-up) — for fractional weights the two
+    // disagree (a group of quality scores in (0,1) would total W=0 while
+    // every row with w ≥ 0.5 passed the gate, ignoring k entirely), so
+    // fractional types are rejected here rather than silently mis-sampled.
+    // Callers with score weights pre-scale: `round(score * 1000)` as the
+    // weight column, or use [[weightedTopK]] (double-keyed) instead.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val wt = df.schema(weightCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(wt),
+      s"weightedBernoulli requires an integral weight column, got $wt for " +
+        s"'$weightCol' - pre-scale fractional scores (e.g. round(score*1000)) " +
+        "or use weightedTopK")
     val totals = df.groupBy(groupCol)
       .agg(sum(col(weightCol).cast("long")).as("__w_total"))
     df.withColumn("__u32", hash % lit(U32Mod))

@@ -156,6 +156,14 @@ object ScaleLayout {
     * otherwise broadcast the dim and skip the exchange the pruning exists
     * to feed. Key columns must share a data type (xxhash64 is
     * type-sensitive — hashing the same value as INT and BIGINT differs).
+    *
+    * COST NOTE: the dim side is evaluated THREE times per invocation —
+    * the sizing `count()`, the filter build (treeAggregate), and the join
+    * itself. This op's regime is exactly the one where dim is large, so
+    * callers with a non-trivial dim lineage should `.persist()` it first
+    * (or pre-compute the count and filter once and inline the probe) —
+    * otherwise an expensive dim pipeline runs three jobs before the
+    * pruned join starts.
     */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
                       factKey: String, dimKey: String,

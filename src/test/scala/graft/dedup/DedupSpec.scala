@@ -296,5 +296,20 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "keeper_id", "is_keeper")
       .as[(Long, Long, Boolean)].collect().toSet
     assert(again == expected, "keeper must be partition-invariant")
+
+    // NULL cluster keys (the left-join-miss state before a caller's
+    // coalesce) must NOT collapse into one shared window partition — each
+    // unclustered row is its own singleton cluster and keeps itself
+    val withNulls = Seq(
+      (1L, Some(1L), 10L), (5L, Some(1L), 30L),
+      (20L, None, 50L), (21L, None, 40L)
+    ).toDF("doc_id", "cluster_id", "n_chars")
+    val nulled = Dedup.keeperSelection(withNulls, "doc_id", "cluster_id",
+        Seq(col("n_chars").desc, col("doc_id").asc))
+      .select("doc_id", "keeper_id", "is_keeper")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(nulled == Set(
+      (1L, 5L, false), (5L, 5L, true),
+      (20L, 20L, true), (21L, 21L, true)))
   }
 }

@@ -49,6 +49,17 @@ class SamplingSpec extends SparkSpec {
     assert(a == b, "sample must be a pure function of (hash, weights)")
   }
 
+  test("bernoulli: fractional weight columns are rejected, not mis-sampled") {
+    // the exact gate truncates in the total (0.6 → 0) but rounds half-up
+    // per row (0.6 → 1) — quality scores in (0,1) would yield W=0 and a
+    // sample that ignores k entirely, so the double column must throw
+    val scored = pool.withColumn("score", col("w") / 10.0)
+    val e = intercept[IllegalArgumentException] {
+      Sampling.weightedBernoulli(scored, "grp", col("h"), "score", k = 10)
+    }
+    assert(e.getMessage.contains("integral weight column"))
+  }
+
   test("weightedTopK: exactly k per group, deterministic, weight-biased") {
     val sampled = Sampling.weightedTopK(pool, "grp", col("h"), "w", "doc", k = 200)
     val perGroup = sampled.groupBy("grp").agg(

@@ -70,6 +70,49 @@ PYEOF
 | $name | \`$old\` → \`$new\` | $queries | $verdict |"
 }
 
+# Spec-checked variant: for operators whose contract is pinned by
+# ScalaTest rather than a relational oracle (transcendental keys etc.),
+# the mutation must make the named suite FAIL.
+run_mutation_spec() {
+  local name="$1" file="$2" old="$3" new="$4" specs="$5"
+  echo ""
+  echo "=== mutation (spec-checked): $name"
+  echo "    file:     $file"
+  echo "    change:   '$old' -> '$new'"
+  echo "    specs:    $specs"
+  if ! git diff --quiet -- "$file"; then
+    echo "FATAL: $file has uncommitted changes; refusing to mutate" >&2
+    exit 2
+  fi
+  python3 - "$file" "$old" "$new" <<'PYEOF'
+import sys
+p, old, new = sys.argv[1], sys.argv[2], sys.argv[3]
+s = open(p).read()
+n = s.count(old)
+if n != 1:
+    sys.exit(f"expected exactly 1 occurrence of mutation target in {p}, found {n}")
+open(p, 'w').write(s.replace(old, new))
+PYEOF
+  local verdict="NOT-CAUGHT"
+  if sbt -batch compile > "$OUT/$name.build.log" 2>&1; then
+    if sbt -batch "testOnly $specs" > "$OUT/$name.log" 2>&1; then
+      verdict="NOT-CAUGHT"
+      echo "!! specs PASSED under mutation — coverage hole (see $OUT/$name.log)"
+    else
+      verdict="caught(spec)"
+      echo "caught: $specs failed under the mutation"
+      grep -E "\*\*\* FAILED" "$OUT/$name.log" | head -3
+    fi
+  else
+    verdict="caught(build)"
+    echo "caught: mutated source does not compile"
+  fi
+  git checkout -- "$file"
+  if [ "$verdict" = "NOT-CAUGHT" ]; then HOLES=$((HOLES + 1)); fi
+  SUMMARY="$SUMMARY
+| $name | \`$old\` → \`$new\` | $specs | $verdict |"
+}
+
 # M1: silence-threshold arm — weather similarity below the exclusion
 # threshold must contribute EXACTLY zero, not epsilon
 run_mutation weather-threshold-arm \
@@ -184,6 +227,33 @@ run_mutation proximity-nulls-first \
   '.orderBy(col("distance_km").asc, col("date").desc_nulls_last)' \
   '.orderBy(col("distance_km").asc, col("date").desc_nulls_first)' \
   'k25_accident_proximity'
+
+# M16: A-ES key flipped from ln(u)/w to u/w — inclusion bias REVERSES
+# (heavy rows become the least likely); the weight-bias spec must fail.
+# Spec-checked: the transcendental key has no relational oracle.
+run_mutation_spec aes-key-no-log \
+  src/main/scala/graft/pipeline/Sampling.scala \
+  '.withColumn("__aes_key", log(u) / col(weightCol).cast("double"))' \
+  '.withColumn("__aes_key", u / col(weightCol).cast("double"))' \
+  'graft.pipeline.SamplingSpec'
+
+# M17: drift-bin argmax tie rule flipped to LAST-of-max — the documents
+# fixture has multi-bin max ties at every test SF (verified sf0.001: 4
+# sources; sf0.01: 5 sources), so the d34 oracle must fire
+run_mutation drift-bin-tie-flip \
+  src/main/scala/graft/expr/SketchAggs.scala \
+  'val driftBin = array_position(diffArr, array_max(diffArr)).cast("int")' \
+  'val driftBin = (lit(bins + 1) - array_position(org.apache.spark.sql.functions.reverse(diffArr), array_max(diffArr))).cast("int")' \
+  'd34_hist_drift'
+
+# M18: residual IVFADC drops the dot(q, centroid) seed from the score
+# fold — the decomposition dot(q,v) = dot(q,µ) + dot(q,r) loses its
+# first term and every score (and cross-cell ranking) shifts
+run_mutation residual-seed-dropped \
+  src/main/scala/graft/sim/Similarity.scala \
+  'val score = aggregate(sequence(lit(0), lit(cb.numSub - 1)), col("sim"), (acc, m) =>' \
+  'val score = aggregate(sequence(lit(0), lit(cb.numSub - 1)), lit(0.0), (acc, m) =>' \
+  's09_ann_ivfpq_res'
 
 echo ""
 echo "==================================================================="
