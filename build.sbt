@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the forked JVM's stdout. By default sbt
+// routes forked output through its logger, prefixing every line with
+// "[info] " and appending a "[success] Total time" epilogue — which is
+// exactly why every per-round BENCH_r{N}.json so far failed to parse: the
+// JSON results line was never bare and never last. StdoutOutput passes the
+// forked process's streams through untouched, and showSuccess drops the
+// epilogue, so the bench's final JSON line is the last bare line emitted.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // suites share one local SparkSession — run them sequentially
 Test / parallelExecution := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -185,14 +185,22 @@ object Bench {
   }
 
   /** Re-run Bench in a fresh JVM restricted to `keys` and harvest their
-    * timings from the child's JSON line. Works because `run / fork := true`
+    * timings from the child's JSON lines. Works because `run / fork := true`
     * gives this JVM a real `java.class.path` and its input arguments are
     * the resolved `javaOptions` (add-opens, heap, codegen JIT flags) — the
     * child replays them verbatim, so it measures under identical JVM
     * settings, minus the suite's accumulated garbage. Any failure costs
     * the affected entries their -1 sentinel, never the round's JSON line.
+    *
+    * The child emits its full cumulative JSON line after EVERY completed
+    * entry (round 9's single end-of-main line lost the whole round to a
+    * driver timeout); this parent streams those lines as they arrive and
+    * invokes `onUpdate` with the keys harvested so far, so the round's
+    * artifact always reflects everything measured up to the moment a
+    * timeout strikes.
     */
-  private def runIsolated(keys: Seq[String], sfDir: String, cpus: String): Map[String, Double] =
+  private def runIsolated(keys: Seq[String], sfDir: String, cpus: String,
+      onUpdate: Map[String, Double] => Unit): Map[String, Double] =
     try {
       val javaBin = java.nio.file.Paths.get(
         System.getProperty("java.home"), "bin", "java").toString
@@ -207,15 +215,29 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val p = pb.start()
-      // drain stdout BEFORE waitFor — the child blocks on a full pipe
-      val out = new String(p.getInputStream.readAllBytes,
-        java.nio.charset.StandardCharsets.UTF_8)
+      val harvested = scala.collection.mutable.LinkedHashMap[String, Double]()
+      def harvest(line: String): Unit = {
+        var changed = false
+        keys.foreach { k =>
+          val re = ("\"" + java.util.regex.Pattern.quote(k) + "\":(-?[0-9.]+)").r
+          re.findFirstMatchIn(line).map(_.group(1).toDouble).foreach { v =>
+            if (!harvested.get(k).contains(v)) { harvested(k) = v; changed = true }
+          }
+        }
+        if (changed) onUpdate(harvested.toMap)
+      }
+      // stream stdout line-by-line BEFORE waitFor — the child blocks on a
+      // full pipe, and line-wise reads are what make partial harvest work
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+        p.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.startsWith("{\"queries\"")) harvest(line)
+        line = reader.readLine()
+      }
       val rc = p.waitFor()
       if (rc != 0) System.err.println(s"[bench] isolated gate JVM exited rc=$rc")
-      keys.map { k =>
-        val re = ("\"" + java.util.regex.Pattern.quote(k) + "\":(-?[0-9.]+)").r
-        k -> re.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
-      }.toMap
+      keys.map(k => k -> harvested.getOrElse(k, -1.0)).toMap
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] gate isolation failed: ${e.getMessage}")
@@ -601,13 +623,48 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the collecting harness keeps only a ~2000-char tail
+    // of the combined output, and round 9's tail was 100% repeated WARN
+    // lag-report lines — WARN chatter can push the results line out of the
+    // only window the driver reads.
+    spark.sparkContext.setLogLevel("ERROR")
 
     def time(fn: => DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn.write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${e.getMessage}"); return -1.0 }
       (System.nanoTime() - t0) / 1e9
+    }
+
+    /** Hard per-entry wall cap (round 9's streaming gate overran the whole
+      * driver budget and lost every number): `body` runs on a watchdogged
+      * thread inside its own job group; on timeout the group is cancelled
+      * (interrupting task threads AND the submitting thread, so blocking
+      * collect()/processAllAvailable() unwind through their own
+      * try/finally) and the entry records its failure sentinel instead of
+      * hanging the run.
+      */
+    def capped[T](name: String, capSec: Int, onTimeout: T)(body: => T): T = {
+      val sc = spark.sparkContext
+      val done = new java.util.concurrent.CountDownLatch(1)
+      @volatile var res: T = onTimeout
+      val t = new Thread(() => {
+        sc.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
+        try res = body
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name: ${e.getMessage}") }
+        finally { sc.clearJobGroup(); done.countDown() }
+      }, s"bench-cap-$name")
+      t.setDaemon(true)
+      t.start()
+      if (done.await(capSec.toLong, java.util.concurrent.TimeUnit.SECONDS)) res
+      else {
+        System.err.println(s"[bench] $name exceeded ${capSec}s cap — cancelling")
+        sc.cancelJobGroup(s"bench-$name")
+        t.interrupt()
+        done.await(60L, java.util.concurrent.TimeUnit.SECONDS)
+        onTimeout
+      }
     }
     // hand-timed blocks (collect()-shaped paths) get the SAME sentinel
     // containment as time(): one throwing headline must cost one -1 entry,
@@ -637,17 +694,110 @@ object Bench {
     def want(name: String): Boolean = only.forall(_.contains(name))
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // ---- result emission, defined BEFORE any measuring so every entry can
+    // flush as it lands. Round 9 printed ONE line at the very end of main;
+    // the driver's timeout (rc 124) therefore produced zero numbers even
+    // though the suite portion had finished minutes earlier. Now the
+    // cumulative artifact (stdout line + BENCH_LOCAL.json) is rewritten
+    // after every completed entry, so a timeout keeps everything measured
+    // so far.
+    val headlineKeys = Seq(
+      "predict_single_route", "predict_10_concurrent", "kernel_batch_168k",
+      "kernel_batch_168k_pruned", "kernel_batch_incremental_100new",
+      "kernel_batch_168k_factorized", "map_with_safety_168k",
+      "kernel_batch_10x", "kernel_batch_100x", "lsh_skew", "quota_skew",
+      "tfidf_10x", "funnel_10x", "cluster_10x", "ann_int8_1m", "ann_pq_200k",
+      "ann_ivfpq_200k", "ann_pq_encode_200k", "ann_pq_encode_1m",
+      "ann_pq_1m", "ann_ivfpq_1m",
+      "bloom_10m", "sketch_10m", "distinct_exact_10m",
+      "streaming_1m", "streaming_1m_sketch_rows", "streaming_1m_lsh_rows",
+      "streaming_1m_state_mb")
+    def fmt(v: Double) = // Locale.ROOT: a comma-decimal default locale would break the JSON
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // De-noise: min-merge timings with BENCH_LOCAL's, iff that file was
+    // written against the SAME src/main content stamp — same code, so any
+    // wall difference is host weather, and the min is the engine truth.
+    // Changed code → stamp differs → fresh slate, so real regressions
+    // always surface. State GAUGES (peak rows / MB) are not walls: for
+    // them the MAX is the honest recorded peak, and a -1 on either side
+    // stays a failure.
+    def isGauge(k: String) = k.endsWith("_rows") || k.endsWith("_state_mb")
+    val (prevQ, prevRuns) =
+      if (only.isEmpty) previousLocal(stamp) else (Map.empty[String, Double], 0)
+    val runsMerged = prevRuns + 1
+    def merged(k: String, v: Double): Double = prevQ.get(k) match {
+      case Some(pv) if pv >= 0 && v >= 0 =>
+        if (isGauge(k)) math.max(pv, v) else math.min(pv, v)
+      case Some(pv) if pv >= 0 && v < 0 => v // current FAILURE wins: never mask
+      case _ => v
+    }
+    def snapshot(): (Seq[(String, Double)], Seq[(String, Double)], Double) = {
+      val m = results.map { case (k, v) => k -> merged(k, v) }
+      // -1 sentinels sort as SLOWEST, not first: ascending order would push
+      // a failed query to the front of the line — precisely the region the
+      // judge's 2000-char tail window truncates away
+      val suite = m.toSeq.filterNot(kv => headlineKeys.contains(kv._1))
+        .sortBy(kv => if (kv._2 < 0) Double.MaxValue else kv._2)
+      val headline = headlineKeys.flatMap(k => m.get(k).map(k -> _))
+      (suite, headline, m.values.filter(_ >= 0).sum)
+    }
+    def fullLine(): String = {
+      val (suite, headline, total) = snapshot()
+      val qs = (suite ++ headline)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      s"""{"queries":$qs,"src_stamp":"$stamp","canary_sec":${fmt(canarySec)},"runs_merged":$runsMerged,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
+    }
+    def compactLine(): String = {
+      val (suite, headline, total) = snapshot()
+      val hqs = headline.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val suiteTotal = suite.map(_._2).filter(_ >= 0).sum
+      val nFailed = (suite ++ headline).count(_._2 < 0)
+      s"""{"queries":$hqs,"suite_n":${suite.size},"suite_sec":${fmt(suiteTotal)},"n_failed":$nFailed,"canary_sec":${fmt(canarySec)},"runs_merged":$runsMerged,"full":"BENCH_LOCAL.json","sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
+    }
+    def persistLocal(): Unit =
+      try {
+        val tmp = java.nio.file.Paths.get("BENCH_LOCAL.json.tmp")
+        java.nio.file.Files.writeString(tmp, fullLine() + "\n")
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get("BENCH_LOCAL.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_LOCAL write: ${e.getMessage}") }
+    // FULL runs print the compact line (fits the tail window) and persist
+    // the complete line to BENCH_LOCAL.json; subset runs (dev re-timing
+    // and the forked gate child) print the full cumulative line after
+    // every entry — runIsolated streams exactly those lines — and never
+    // clobber BENCH_LOCAL.
+    def emit(): Unit =
+      if (only.isEmpty) { println(compactLine()); persistLocal() }
+      else println(fullLine())
+
     // two timed executions per query, min reported: the first run often
     // pays codegen + JIT of that query's generated classes (measured up to
     // 3-4× on shared hosts), which is session bring-up, not operator
     // throughput — the min is the steady-state number a long-running
-    // cluster job sees. Errors keep the -1.0 sentinel.
+    // cluster job sees. Errors keep the -1.0 sentinel. Queries whose FIRST
+    // run already took ≥ 2 s skip the repeat: at that wall the JIT share
+    // is small, and the skipped repeats buy back ~1-2 min of the driver
+    // budget the round-9 run overran.
+    var sinceEmit = 0
     SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => want(kv._1))
       .foreach { case (name, fn) =>
         val a = time(fn(spark, sfDir))
-        val b = time(fn(spark, sfDir))
-        results(name) = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+        results(name) =
+          if (a < 0) -1.0
+          else if (a >= 2.0) a
+          else {
+            val b = time(fn(spark, sfDir))
+            if (b < 0) -1.0 else math.min(a, b)
+          }
+        sinceEmit += 1
+        if (sinceEmit >= 10) { sinceEmit = 0; emit() }
       }
+    emit()
 
     // the suite above leaves dead broadcasts + generated classes behind;
     // give ContextCleaner/GC a chance to reclaim them so the headline
@@ -655,18 +805,23 @@ object Bench {
     spark.catalog.clearCache()
     System.gc()
 
+    // every entry from here on flushes the cumulative artifact the moment
+    // it lands — a driver timeout mid-gate keeps all earlier numbers
+    def record(name: String)(v: => Double): Unit =
+      if (want(name)) { results(name) = v; emit() }
+
     // interactive predict: collect, like the API would (top-50 included)
-    if (want("predict_single_route")) results("predict_single_route") = timedBlock {
+    record("predict_single_route") { timedBlock {
       val route = syntheticRoutes(spark, 1)
       val pairs = SafetyKernel.pairInfluence(route, syntheticAccidents(spark, 6900), planDate)
       SafetyKernel.scoreRoutes(pairs).collect()
       SafetyKernel.topContributors(pairs, 50).collect()
-    }
+    } }
     // 10 concurrent interactive predicts (BASELINE.md: asyncio 10-way
     // concurrency < 15-16 s, current ~13 s) — independent single-route
     // kernels submitted in parallel; Spark's FIFO scheduler interleaves
     // their stages across the same executor pool
-    if (want("predict_10_concurrent")) results("predict_10_concurrent") = timedBlock {
+    record("predict_10_concurrent") { timedBlock {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
       // a DEDICATED 10-thread pool: the global pool sizes to host cores, so
@@ -692,7 +847,7 @@ object Bench {
         }
         Await.result(Future.sequence(reqs), 600.seconds)
       } finally pool.shutdown()
-    }
+    } }
     // min-of-2 like the suite: the pruned plan is a 3-branch union whose
     // first execution pays JIT for every branch's codegen — session
     // bring-up, not kernel throughput (the once-only 10× entry amortizes
@@ -701,13 +856,11 @@ object Bench {
       val a = time(fn); val b = time(fn)
       if (a < 0 || b < 0) -1.0 else math.min(a, b)
     }
-    if (want("kernel_batch_168k"))
-      results("kernel_batch_168k") = time2(kernelBatch168k(spark))
-    if (want("kernel_batch_168k_pruned"))
-      results("kernel_batch_168k_pruned") = time2(kernelBatch168kPruned(spark))
+    record("kernel_batch_168k") { time2(kernelBatch168k(spark)) }
+    record("kernel_batch_168k_pruned") { time2(kernelBatch168kPruned(spark)) }
     // incremental nightly: 100 new accidents arrive → delta-kernel only
     // (exact decomposition; the reference rebuilds all 1.16B pairs instead)
-    if (want("kernel_batch_incremental_100new")) results("kernel_batch_incremental_100new") = {
+    record("kernel_batch_incremental_100new") {
       // setup (the full old-scores batch) stays OUTSIDE the timed block but
       // inside its own containment: a setup failure is this entry's -1, not
       // the whole round's
@@ -724,10 +877,8 @@ object Bench {
         }
       } catch { case e: Throwable => System.err.println(s"[bench] ${e.getMessage}"); -1.0 }
     }
-    if (want("kernel_batch_168k_factorized"))
-      results("kernel_batch_168k_factorized") = time2(kernelBatch168kFactorized(spark))
-    if (want("map_with_safety_168k"))
-      results("map_with_safety_168k") = time2(mapWithSafety168k(spark))
+    record("kernel_batch_168k_factorized") { time2(kernelBatch168kFactorized(spark)) }
+    record("map_with_safety_168k") { time2(mapWithSafety168k(spark)) }
     // scale-stress gate: 10× blow-up + planted skew (see the factory docs);
     // the 10× batch runs ONCE — it is minutes long and self-amortizing.
     // On a FULL run the gate executes in a freshly forked JVM: the 10×
@@ -737,130 +888,67 @@ object Bench {
     // itself without the suite's garbage. Subset runs
     // (SPARK_GRAFT_BENCH_ONLY) time inline — they ARE the child, and the
     // recursion guard below is what stops a fork bomb.
-    val scaleKeys = Seq("kernel_batch_10x", "lsh_skew", "quota_skew",
-      "tfidf_10x", "funnel_10x", "cluster_10x", "ann_int8_1m", "ann_pq_200k",
-      "ann_ivfpq_200k", "ann_pq_encode_200k", "ann_pq_encode_1m",
-      "ann_pq_1m", "ann_ivfpq_1m",
-      "bloom_10m", "sketch_10m", "distinct_exact_10m",
+    // CHEAPEST-FIRST: the child runs entries in this order and flushes
+    // after each, so a driver timeout amputates only the most expensive
+    // tail entries, never the broad evidence base.
+    val scaleKeys = Seq("quota_skew", "lsh_skew", "sketch_10m",
+      "ann_pq_encode_200k", "ann_ivfpq_200k", "ann_int8_1m", "tfidf_10x",
+      "distinct_exact_10m", "ann_pq_200k", "ann_pq_encode_1m", "funnel_10x",
+      "ann_ivfpq_1m", "ann_pq_1m", "cluster_10x",
       "streaming_1m", "streaming_1m_sketch_rows", "streaming_1m_lsh_rows",
-      "streaming_1m_state_mb")
+      "streaming_1m_state_mb", "kernel_batch_10x", "bloom_10m")
     if (only.isEmpty) {
       spark.stop() // free the parent's executor pool + heap for the child
-      results ++= runIsolated(scaleKeys, sfDir, cpus)
+      runIsolated(scaleKeys, sfDir, cpus, partial => {
+        results ++= partial
+        // reprint + persist on every child update: the parent's compact
+        // line (the one the driver's tail window sees) always carries the
+        // freshest gate numbers
+        println(compactLine()); persistLocal()
+      })
+      emit()
     } else {
-      if (want("kernel_batch_10x"))
-        results("kernel_batch_10x") = time(kernelBatch10x(spark))
-      if (want("lsh_skew"))
-        results("lsh_skew") = time2(lshSkew(spark, sfDir))
-      if (want("quota_skew"))
-        results("quota_skew") = time2(quotaSkew(spark, sfDir))
+      // per-entry wall caps (≈2-3× the round-8 measured walls): a wedged
+      // entry records -1 and the run moves on — round 9's unbounded
+      // streaming gate is what blew the driver budget
+      record("quota_skew") { capped("quota_skew", 90, -1.0)(time2(quotaSkew(spark, sfDir))) }
+      record("lsh_skew") { capped("lsh_skew", 90, -1.0)(time2(lshSkew(spark, sfDir))) }
+      record("sketch_10m") { capped("sketch_10m", 90, -1.0)(time(sketch10m(spark))) }
+      // ANN volume gates: the quantized codes paths at 2000× the bench
+      // embeddings table (1M / 200K synthetic vectors)
+      record("ann_pq_encode_200k") { capped("ann_pq_encode_200k", 90, -1.0)(time(annEncode(spark, 200000L))) }
+      record("ann_ivfpq_200k") { capped("ann_ivfpq_200k", 120, -1.0)(time(annIvfPq200k(spark))) }
+      record("ann_int8_1m") { capped("ann_int8_1m", 120, -1.0)(time(annInt81m(spark))) }
       // 10× pipeline surface: TF-IDF, the 5-stage funnel, and clustering
       // at a blown-up corpus with planted skew — each runs ONCE, like the
       // 10× batch (minutes-scale, self-amortizing)
-      if (want("tfidf_10x"))
-        results("tfidf_10x") = time(
-          graft.queries.PipelineQueries.tfidfTopTerms(documents10x(spark, sfDir)))
-      if (want("funnel_10x"))
-        results("funnel_10x") = time(
-          graft.queries.PipelineQueries.corpusFunnel(spark, documents10x(spark, sfDir)))
-      if (want("cluster_10x"))
-        results("cluster_10x") = time(cluster10x(spark))
-      // ANN volume gates: the quantized codes paths at 2000× the bench
-      // embeddings table (1M / 200K synthetic vectors)
-      if (want("ann_int8_1m"))
-        results("ann_int8_1m") = time(annInt81m(spark))
-      if (want("ann_pq_200k"))
-        results("ann_pq_200k") = time(annPq200k(spark))
-      if (want("ann_ivfpq_200k"))
-        results("ann_ivfpq_200k") = time(annIvfPq200k(spark))
-      if (want("ann_pq_encode_200k"))
-        results("ann_pq_encode_200k") = time(annEncode(spark, 200000L))
-      if (want("ann_pq_encode_1m"))
-        results("ann_pq_encode_1m") = time(annEncode(spark, 1000000L))
-      if (want("ann_pq_1m"))
-        results("ann_pq_1m") = time(annPq1m(spark))
-      if (want("ann_ivfpq_1m"))
-        results("ann_ivfpq_1m") = time(annIvfPq1m(spark))
-      if (want("bloom_10m"))
-        results("bloom_10m") = time(bloom10m(spark))
-      if (want("sketch_10m"))
-        results("sketch_10m") = time(sketch10m(spark))
-      if (want("distinct_exact_10m"))
-        results("distinct_exact_10m") = time(exactDistinct10m(spark))
-      if (want("streaming_1m"))
-        results ++= streaming1m(spark)
+      record("tfidf_10x") { capped("tfidf_10x", 120, -1.0)(time(
+        graft.queries.PipelineQueries.tfidfTopTerms(documents10x(spark, sfDir)))) }
+      record("distinct_exact_10m") { capped("distinct_exact_10m", 120, -1.0)(time(exactDistinct10m(spark))) }
+      record("ann_pq_200k") { capped("ann_pq_200k", 120, -1.0)(time(annPq200k(spark))) }
+      record("ann_pq_encode_1m") { capped("ann_pq_encode_1m", 150, -1.0)(time(annEncode(spark, 1000000L))) }
+      record("funnel_10x") { capped("funnel_10x", 180, -1.0)(time(
+        graft.queries.PipelineQueries.corpusFunnel(spark, documents10x(spark, sfDir)))) }
+      record("ann_ivfpq_1m") { capped("ann_ivfpq_1m", 180, -1.0)(time(annIvfPq1m(spark))) }
+      record("ann_pq_1m") { capped("ann_pq_1m", 240, -1.0)(time(annPq1m(spark))) }
+      record("cluster_10x") { capped("cluster_10x", 240, -1.0)(time(cluster10x(spark))) }
+      if (want("streaming_1m")) {
+        results ++= capped("streaming_1m", 300, Map("streaming_1m" -> -1.0))(
+          streaming1m(spark))
+        emit()
+      }
+      record("kernel_batch_10x") { capped("kernel_batch_10x", 420, -1.0)(time(kernelBatch10x(spark))) }
+      record("bloom_10m") { capped("bloom_10m", 420, -1.0)(time(bloom10m(spark))) }
       // linearity evidence, opt-in by explicit name only (~30 min)
       if (only.exists(_.contains("kernel_batch_100x")))
-        results("kernel_batch_100x") = time(kernelBatch100x(spark))
+        record("kernel_batch_100x") { time(kernelBatch100x(spark)) }
     }
 
-    // The harness that collects this output keeps only the last ~2000 chars,
-    // so order the line for tail visibility: suite queries fastest-first
-    // (the slowest — the diagnostic ones — land inside the window), headline
-    // kernels after them, and the metric/value header at the END of the
-    // object (JSON key order is semantically irrelevant). Values at ms
-    // precision keep the line compact; timing noise is far coarser anyway.
-    val headlineKeys = Seq(
-      "predict_single_route", "predict_10_concurrent", "kernel_batch_168k",
-      "kernel_batch_168k_pruned", "kernel_batch_incremental_100new",
-      "kernel_batch_168k_factorized", "map_with_safety_168k",
-      "kernel_batch_10x", "lsh_skew", "quota_skew",
-      "tfidf_10x", "funnel_10x", "cluster_10x", "ann_int8_1m", "ann_pq_200k",
-      "ann_ivfpq_200k", "ann_pq_encode_200k", "ann_pq_encode_1m",
-      "ann_pq_1m", "ann_ivfpq_1m",
-      "bloom_10m", "sketch_10m", "distinct_exact_10m",
-      "streaming_1m", "streaming_1m_sketch_rows", "streaming_1m_lsh_rows",
-      "streaming_1m_state_mb")
-    def fmt(v: Double) = // Locale.ROOT: a comma-decimal default locale would break the JSON
-      if (v < 0) "-1"
-      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // -1 sentinels sort as SLOWEST, not first: ascending order would push a
-    // failed query to the front of the line — precisely the region the
-    // judge's 2000-char tail window truncates away — making a regression
-    // round look healthy
-    // De-noise: min-merge this run's timings with BENCH_LOCAL's, iff that
-    // file was written against the SAME src/main content stamp — same
-    // code, so any wall difference is host weather, and the min is the
-    // engine truth. A single contended window (the round-8 artifact
-    // recorded ~2-3× uniform host inflation) can then no longer poison
-    // the round's committed numbers. Changed code → stamp differs → fresh
-    // slate, so real regressions always surface.
-    val (prevQ, prevRuns) = if (only.isEmpty) previousLocal(stamp) else (Map.empty[String, Double], 0)
-    def merged(k: String, v: Double): Double = prevQ.get(k) match {
-      case Some(pv) if pv >= 0 && v >= 0 => math.min(pv, v)
-      case Some(pv) if pv >= 0 && v < 0 => v // current FAILURE wins: never mask
-      case _ => v
-    }
-    val mergedResults = results.map { case (k, v) => k -> merged(k, v) }
-    val runsMerged = prevRuns + 1
-    val suite = mergedResults.toSeq.filterNot(kv => headlineKeys.contains(kv._1))
-      .sortBy(kv => if (kv._2 < 0) Double.MaxValue else kv._2)
-    val ordered = suite ++ headlineKeys.flatMap(k => mergedResults.get(k).map(k -> _))
-    val qs = ordered.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = mergedResults.values.filter(_ >= 0).sum
-    val line =
-      s"""{"queries":$qs,"src_stamp":"$stamp","canary_sec":${fmt(canarySec)},"runs_merged":$runsMerged,"sf":"$sfDir","n_queries":${mergedResults.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
-    // The collecting harness keeps only a ~2000-char stdout tail. The full
-    // per-query line outgrew that window rounds ago (every BENCH_r{N}.json
-    // since has parsed:null — an unparseable truncated blob), so FULL runs
-    // print a compact line that FITS — the headline kernels the baseline
-    // comparison actually grades, plus suite aggregates — and persist the
-    // complete line to BENCH_LOCAL.json at the repo root (committed, the
-    // round's parseable artifact trail). Subset runs (dev re-timing and
-    // the forked gate child) keep the full line on stdout — runIsolated
-    // harvests its per-key timings from exactly that output — and never
-    // clobber BENCH_LOCAL.
-    if (only.isEmpty) {
-      val headline = headlineKeys.flatMap(k => mergedResults.get(k).map(k -> _))
-      val hqs = headline.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      val suiteTotal = suite.map(_._2).filter(_ >= 0).sum
-      val nFailed = mergedResults.values.count(_ < 0)
-      println(
-        s"""{"queries":$hqs,"suite_n":${suite.size},"suite_sec":${fmt(suiteTotal)},"n_failed":$nFailed,"canary_sec":${fmt(canarySec)},"runs_merged":$runsMerged,"full":"BENCH_LOCAL.json","sf":"$sfDir","n_queries":${mergedResults.size},"metric":"total","value":${fmt(total)},"unit":"sec"}""")
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
-      catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL write: ${e.getMessage}") }
-    } else println(line)
-    spark.stop()
+    // Final artifact, printed LAST — after stopping Spark and with the
+    // log level already at ERROR — so the bare JSON line is the absolute
+    // last thing on stdout, squarely inside the driver's ~2000-char tail
+    // window with nothing after it to push it out.
+    try spark.stop() catch { case _: Throwable => () }
+    emit()
   }
 }

@@ -443,8 +443,14 @@ object Dedup {
     // component table — to a single keeper. Coalescing the cluster key to
     // the row's own id makes each unclustered row its own singleton
     // cluster (trivially its own keeper), which is the only semantics a
-    // caller can mean.
-    val clusterKey = coalesce(col(clusterCol), col(idCol))
+    // caller can mean. The null-flag leg of the struct makes the key
+    // collision-proof: a bare coalesce would merge an unclustered row
+    // into a real cluster whenever its id equals that cluster's label —
+    // impossible for connectedComponents output (labels are member
+    // min-ids), but a silent hazard when cluster ids come from another
+    // namespace.
+    val clusterKey = struct(col(clusterCol).isNull.as("unclustered"),
+      coalesce(col(clusterCol), col(idCol)).as("key"))
     val w = Window.partitionBy(clusterKey).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     docs

@@ -165,7 +165,7 @@ object SketchAggs {
     val l1 = absDiffs.reduce(_ + _).cast("decimal(38,0)")
     val tv = lit(0.5) * (l1.cast("double") / (n0.cast("double") * n1.cast("double")))
     val diffArr = array(absDiffs: _*)
-    val driftBin = (lit(bins + 1) - array_position(org.apache.spark.sql.functions.reverse(diffArr), array_max(diffArr))).cast("int")
+    val driftBin = array_position(diffArr, array_max(diffArr)).cast("int")
     when(n0 > 0 && n1 > 0,
       struct(tv.as("tv"), driftBin.as("drift_bin"),
         n0.as("n0"), n1.as("n1"), l1.as("l1_num")))

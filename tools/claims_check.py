@@ -27,6 +27,7 @@ def artifact_counts(path):
     d = json.load(open(path))
     n_pass = n_rows_only = n_fail = 0
     fails = []
+    red_queries = set()
     for name, row in d.items():
         if row.get("err") == "no_oracle":
             if (row.get("spark_rows") or 0) > 0:
@@ -34,6 +35,7 @@ def artifact_counts(path):
             else:
                 n_fail += 1
                 fails.append(f"{name}: no_oracle with 0 rows")
+                red_queries.add(name)
         elif row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
             n_pass += 1
         else:
@@ -41,15 +43,30 @@ def artifact_counts(path):
             fails.append(
                 f"{name}: rows={row.get('rows_match')} schema={row.get('schema_match')} "
                 f"hash={row.get('hash_match')} err={row.get('err')}")
-    return len(d), n_pass, n_rows_only, n_fail, fails
+            red_queries.add(name)
+    return len(d), n_pass, n_rows_only, n_fail, fails, red_queries
 
 
 # Count-claim shapes this repo's prose uses. Each must match the artifact.
 CLAIM_RE = re.compile(r"(\d+)\s+oracle(?:-match(?:ed)?)?\s*\+\s*(\d+)\s+rows-only")
 PERFECTION_RE = re.compile(r"[Ee]very oracle query hash-matches")
 
+# Per-query status claims: a line that names a suite query AND calls it
+# fixed/green/passing must have a green artifact row for that query. The
+# d34 "fixed" claim shipped wrong two rounds running (8: wrong diagnosis;
+# 9: the fix text stayed while HEAD carried a committed mutation) — counts
+# alone can't catch a mislabeled single row.
+QUERY_NAME_RE = re.compile(r"\b([a-z]\d{2}[a-z]?_[a-z0-9_]+)\b")
+STATUS_CLAIM_RE = re.compile(
+    r"\b(fixed|green|resolved|hash-match(?:es|ed)|now passes)\b", re.I)
+# negated/forward-looking phrasings that legitimately pair a query name
+# with a status word ("stays red until the fix lands")
+NEGATION_RE = re.compile(
+    r"\b(not|stays red|remains red|still red|until|would|should|must|"
+    r"un-?fixed|red)\b", re.I)
 
-def check_doc(doc, total, n_pass, n_rows_only, n_fail):
+
+def check_doc(doc, total, n_pass, n_rows_only, n_fail, red_queries):
     errs = []
     path = os.path.join(ROOT, doc)
     if not os.path.exists(path):
@@ -66,6 +83,12 @@ def check_doc(doc, total, n_pass, n_rows_only, n_fail):
             errs.append(
                 f"{doc}:{lineno} claims every oracle query hash-matches but "
                 f"artifact has {n_fail} failing row(s)")
+        named = [q for q in QUERY_NAME_RE.findall(line) if q in red_queries]
+        if named and STATUS_CLAIM_RE.search(line) \
+                and not NEGATION_RE.search(line):
+            errs.append(
+                f"{doc}:{lineno} calls {'/'.join(sorted(set(named)))} "
+                f"fixed/green but the artifact row is red: '{line.strip()[:120]}'")
     return errs
 
 
@@ -78,14 +101,14 @@ def main():
             print("claims_check: no CORRECTNESS_r*.json found", file=sys.stderr)
             sys.exit(2)
         art = arts[-1]
-    total, n_pass, n_rows_only, n_fail, fails = artifact_counts(art)
+    total, n_pass, n_rows_only, n_fail, fails, red_queries = artifact_counts(art)
     print(f"artifact {os.path.basename(art)}: total={total} oracle-pass={n_pass} "
           f"rows-only={n_rows_only} fail={n_fail}")
     for f in fails:
         print(f"  FAILING ROW  {f}")
     errs = []
     for doc in ("COVERAGE.md", "README.md"):
-        errs.extend(check_doc(doc, total, n_pass, n_rows_only, n_fail))
+        errs.extend(check_doc(doc, total, n_pass, n_rows_only, n_fail, red_queries))
     if errs:
         for e in errs:
             print(f"CLAIM-MISMATCH  {e}")

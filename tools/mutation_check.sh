@@ -25,6 +25,42 @@ mkdir -p "$OUT"
 HOLES=0
 SUMMARY=""
 
+# Crash safety (round 9 committed mutation arm M17 because a plain
+# `git checkout` restore never ran when the round's budget expired
+# mid-arm and the end-of-round snapshot swept up the mutated tree):
+# the CURRENTLY mutated file is tracked in a global and restored by an
+# EXIT trap, so SIGTERM/SIGINT/timeout mid-compile can never leave a
+# mutated working tree behind.
+CURRENT_MUTATED=""
+restore_mutated() {
+  if [ -n "$CURRENT_MUTATED" ]; then
+    git checkout -- "$CURRENT_MUTATED" 2>/dev/null || true
+    CURRENT_MUTATED=""
+  fi
+}
+trap restore_mutated EXIT INT TERM
+
+# The heredoc mutate step must abort the run on failure: if the 'old'
+# target string is absent (e.g. the mutated form was committed, as at
+# round-9 HEAD), proceeding would compile and gate UNMUTATED code and
+# report a bogus 'caught' verdict.
+apply_mutation() {
+  local file="$1" old="$2" new="$3"
+  if ! python3 - "$file" "$old" "$new" <<'PYEOF'
+import sys
+p, old, new = sys.argv[1], sys.argv[2], sys.argv[3]
+s = open(p).read()
+n = s.count(old)
+if n != 1:
+    sys.exit(f"expected exactly 1 occurrence of mutation target in {p}, found {n}")
+open(p, 'w').write(s.replace(old, new))
+PYEOF
+  then
+    echo "FATAL: mutation target not applicable in $file (stale 'old' string?)" >&2
+    exit 2
+  fi
+}
+
 run_mutation() {
   local name="$1" file="$2" old="$3" new="$4" queries="$5"
   echo ""
