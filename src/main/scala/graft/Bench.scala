@@ -388,12 +388,16 @@ object Bench {
     *    watermark. Peak state rows must stay ≈ (in-horizon windows ×
     *    groups) — independent of the 1M total — or the entry FAILS (-1):
     *    watermark eviction is the bounded-state mechanism under test.
-    *  - `streamingLshCandidates`: 1M docs (200K distinct bodies × 5
-    *    re-arrivals + a ~10K-doc boilerplate bucket that must latch at
+    *  - `streamingLshCandidates`: 250K docs (50K distinct bodies × 5
+    *    re-arrivals + a ~2.6K-doc boilerplate bucket that must latch at
     *    maxBucketSize) with TTL armed. Bucket COUNT grows with the
     *    distinct corpus by design (that's what the TTL bounds over time);
     *    the recorded peak pins the per-corpus footprint and the cap
-    *    keeps every bucket ≤ maxBucketSize.
+    *    keeps every bucket ≤ maxBucketSize. Sized to ~0.25× the sketch
+    *    phase's row count: every bounded-state contract here is
+    *    per-bucket, so the volume buys nothing but wall — round 9 ran
+    *    this at 1M docs and the state-commit churn alone overran the
+    *    whole harness budget.
     *
     * Emits: wall (streaming_1m), peak state rows for each operator, and
     * peak state bytes across both (streaming_1m_state_mb).
@@ -450,25 +454,31 @@ object Bench {
           s"[bench] streaming_1m: sketch state $peakSketchRows > bound $sketchBound")
         return Map("streaming_1m" -> -1.0)
       }
+      System.err.println(s"[bench] streaming_1m: sketch phase done at " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s (peak rows $peakSketchRows)")
 
       // --- streamingLshCandidates: capped buckets + TTL armed -----------
-      // All four blocks are added BEFORE the query starts and the query
-      // runs Trigger.AvailableNow: with ProcessingTimeTimeout armed, a
-      // continuously-running query schedules EMPTY micro-batches between
-      // arrivals purely to fire timeouts, and each one re-commits the
-      // ~800K-entry state store — measured >100 such batches in minutes,
-      // all maintenance, no data. AvailableNow drains the pending blocks
-      // and stops, which is the honest volume measurement (TTL eviction
-      // CORRECTNESS is spec'd in StreamingOpsSpec; here TTL is armed so
-      // the timeout-registration path runs at volume).
+      // Both blocks are added BEFORE the query starts, and the run is
+      // bounded by PROGRESS POLLING + an explicit stop(). With
+      // ProcessingTimeTimeout armed the engine considers another batch
+      // always due (timeouts might fire), so it schedules EMPTY
+      // micro-batches nonstop — each re-committing the posting-list state
+      // store — and NEITHER awaitTermination(AvailableNow) NOR
+      // processAllAvailable() ever sees an idle stream (both observed
+      // spinning past epoch 350 on a 2-block stream; round 9's driver
+      // hang was exactly this). The only bounded wait is counting input
+      // rows through the progress feed until the whole corpus has been
+      // processed. The data batches exercise timeout REGISTRATION at
+      // volume; TTL firing/eviction correctness is spec'd in
+      // StreamingOpsSpec.
       val mem2 = MemoryStream[(Long, String)]
       val ckpt2 = java.nio.file.Files.createTempDirectory("bench_stream_lsh").toString
-      (0 until 4).foreach { b =>
-        val docs = (0 until 250000).map { i =>
-          val k = b * 250000L + i
+      (0 until 2).foreach { b =>
+        val docs = (0 until 125000).map { i =>
+          val k = b * 125000L + i
           val text =
             if (k % 97 == 0) "the boilerplate legal disclaimer body shared verbatim"
-            else s"synthetic document body number ${k % 200000L} with shared content"
+            else s"synthetic document body number ${k % 50000L} with shared content"
           (k, text)
         }
         mem2.addData(docs: _*)
@@ -478,12 +488,22 @@ object Bench {
           stateTtl = Some(java.time.Duration.ofMinutes(10)))
         .writeStream.format("noop").option("checkpointLocation", ckpt2)
         .outputMode(OutputMode.Append())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       var peakLshRows = 0L
       try {
-        q2.awaitTermination()
-        peakLshRows = math.max(peakLshRows, drainPeaks(q2))
+        val deadline = System.nanoTime() + 240L * 1000000000L
+        val seenBatches = scala.collection.mutable.HashSet[Long]()
+        var rowsIn = 0L
+        var done = false
+        while (!done && System.nanoTime() < deadline) {
+          q2.recentProgress.foreach { p =>
+            if (seenBatches.add(p.batchId)) rowsIn += p.numInputRows
+          }
+          peakLshRows = math.max(peakLshRows, drainPeaks(q2))
+          if (rowsIn >= 250000L) done = true else Thread.sleep(250)
+        }
+        if (!done)
+          throw new RuntimeException(s"lsh gate: only $rowsIn rows in 240s")
       } finally q2.stop()
 
       Map(
@@ -622,6 +642,17 @@ object Bench {
       // cluster with data-dependent shuffles it should stay ON.
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // RocksDB state store for the streaming gate: the LSH posting-list
+      // op carries ~800K bucket entries, and the default HDFS-backed
+      // provider rewrites whole-store snapshot files per maintenance pass
+      // at that size (round 9's "state stores falling behind" spiral).
+      // RocksDB does incremental commits and is the standard provider for
+      // larger-than-heap state — the same choice a production deployment
+      // of these operators would make. Correctness parity with the
+      // default provider is spec'd in StreamingOpsSpec (which runs the
+      // HDFS-backed default).
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     // ERROR, not WARN: the collecting harness keeps only a ~2000-char tail
     // of the combined output, and round 9's tail was 100% repeated WARN
@@ -741,7 +772,9 @@ object Bench {
       val suite = m.toSeq.filterNot(kv => headlineKeys.contains(kv._1))
         .sortBy(kv => if (kv._2 < 0) Double.MaxValue else kv._2)
       val headline = headlineKeys.flatMap(k => m.get(k).map(k -> _))
-      (suite, headline, m.values.filter(_ >= 0).sum)
+      // gauges are rows/MB, not seconds — keep them out of the total
+      val total = m.collect { case (k, v) if v >= 0 && !isGauge(k) => v }.sum
+      (suite, headline, total)
     }
     def fullLine(): String = {
       val (suite, headline, total) = snapshot()
@@ -899,7 +932,9 @@ object Bench {
       "streaming_1m_state_mb", "kernel_batch_10x", "bloom_10m")
     if (only.isEmpty) {
       spark.stop() // free the parent's executor pool + heap for the child
-      runIsolated(scaleKeys, sfDir, cpus, partial => {
+      // the returned map back-fills -1 sentinels for any key the child
+      // never reported (crash/timeout before reaching it)
+      results ++= runIsolated(scaleKeys, sfDir, cpus, partial => {
         results ++= partial
         // reprint + persist on every child update: the parent's compact
         // line (the one the driver's tail window sees) always carries the
