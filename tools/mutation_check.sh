@@ -18,19 +18,38 @@
 # Exit: 0 if every mutation was caught (>=1 failing query or a build/run
 # failure), 1 if any mutation slipped through the gate (a coverage hole).
 set -u
-cd "$(git rev-parse --show-toplevel)"
+MAIN_ROOT="$(git rev-parse --show-toplevel)"
 SF="${SF:-/root/testdata/sf0.001}"
 OUT=/tmp/mutation_check
 mkdir -p "$OUT"
 HOLES=0
 SUMMARY=""
 
-# Crash safety (round 9 committed mutation arm M17 because a plain
-# `git checkout` restore never ran when the round's budget expired
-# mid-arm and the end-of-round snapshot swept up the mutated tree):
-# the CURRENTLY mutated file is tracked in a global and restored by an
-# EXIT trap, so SIGTERM/SIGINT/timeout mid-compile can never leave a
-# mutated working tree behind.
+# Crash safety (round 9 committed mutation arm M17 as production code:
+# the plain in-tree `git checkout` restore never ran when the round's
+# budget expired mid-arm, and the end-of-round snapshot swept up the
+# mutated tree). Two layers:
+#
+# 1. ALL mutation work happens in a detached scratch WORKTREE at HEAD —
+#    the main tree is never touched, so even an untrappable SIGKILL
+#    mid-arm cannot leave mutated code where a snapshot commit would
+#    find it. (Uncommitted main-tree changes are NOT tested: commit
+#    first.) The worktree persists across runs for incremental compiles.
+# 2. Within the worktree, the currently mutated file is tracked in a
+#    global and restored by an EXIT/INT/TERM trap (the signal traps
+#    exit — a trapped TERM must not resume the arm loop).
+WT=/tmp/mutation_worktree
+HEAD_SHA="$(git -C "$MAIN_ROOT" rev-parse HEAD)"
+if [ ! -d "$WT/.git" ] && [ ! -f "$WT/.git" ]; then
+  git -C "$MAIN_ROOT" worktree prune
+  git -C "$MAIN_ROOT" worktree add --detach "$WT" "$HEAD_SHA" >/dev/null
+else
+  git -C "$WT" checkout --detach "$HEAD_SHA" >/dev/null 2>&1
+  git -C "$WT" reset --hard "$HEAD_SHA" >/dev/null
+fi
+cd "$WT"
+echo "mutation_check: running in scratch worktree $WT at ${HEAD_SHA:0:10}"
+
 CURRENT_MUTATED=""
 restore_mutated() {
   if [ -n "$CURRENT_MUTATED" ]; then
@@ -38,7 +57,8 @@ restore_mutated() {
     CURRENT_MUTATED=""
   fi
 }
-trap restore_mutated EXIT INT TERM
+trap restore_mutated EXIT
+trap 'restore_mutated; exit 130' INT TERM
 
 # The heredoc mutate step must abort the run on failure: if the 'old'
 # target string is absent (e.g. the mutated form was committed, as at
@@ -72,15 +92,8 @@ run_mutation() {
     echo "FATAL: $file has uncommitted changes; refusing to mutate" >&2
     exit 2
   fi
-  python3 - "$file" "$old" "$new" <<'PYEOF'
-import sys
-p, old, new = sys.argv[1], sys.argv[2], sys.argv[3]
-s = open(p).read()
-n = s.count(old)
-if n != 1:
-    sys.exit(f"expected exactly 1 occurrence of mutation target in {p}, found {n}")
-open(p, 'w').write(s.replace(old, new))
-PYEOF
+  CURRENT_MUTATED="$file"
+  apply_mutation "$file" "$old" "$new"
   local verdict="NOT-CAUGHT"
   if sbt -batch compile > "$OUT/$name.build.log" 2>&1; then
     rm -rf "$OUT/$name"
@@ -101,6 +114,7 @@ PYEOF
     echo "caught: mutated source does not compile"
   fi
   git checkout -- "$file"
+  CURRENT_MUTATED=""
   if [ "$verdict" = "NOT-CAUGHT" ]; then HOLES=$((HOLES + 1)); fi
   SUMMARY="$SUMMARY
 | $name | \`$old\` → \`$new\` | $queries | $verdict |"
@@ -120,15 +134,8 @@ run_mutation_spec() {
     echo "FATAL: $file has uncommitted changes; refusing to mutate" >&2
     exit 2
   fi
-  python3 - "$file" "$old" "$new" <<'PYEOF'
-import sys
-p, old, new = sys.argv[1], sys.argv[2], sys.argv[3]
-s = open(p).read()
-n = s.count(old)
-if n != 1:
-    sys.exit(f"expected exactly 1 occurrence of mutation target in {p}, found {n}")
-open(p, 'w').write(s.replace(old, new))
-PYEOF
+  CURRENT_MUTATED="$file"
+  apply_mutation "$file" "$old" "$new"
   local verdict="NOT-CAUGHT"
   if sbt -batch compile > "$OUT/$name.build.log" 2>&1; then
     if sbt -batch "testOnly $specs" > "$OUT/$name.log" 2>&1; then
@@ -144,6 +151,7 @@ PYEOF
     echo "caught: mutated source does not compile"
   fi
   git checkout -- "$file"
+  CURRENT_MUTATED=""
   if [ "$verdict" = "NOT-CAUGHT" ]; then HOLES=$((HOLES + 1)); fi
   SUMMARY="$SUMMARY
 | $name | \`$old\` → \`$new\` | $specs | $verdict |"
@@ -298,6 +306,14 @@ echo ""
 echo "| mutation | change | queries run | outcome |"
 echo "|---|---|---|---|$SUMMARY"
 echo ""
+# Belt-and-braces: the worktree must end clean (and the main tree was
+# never touched at all). A dirty worktree here means a restore failed —
+# loud exit 3 so no one mistakes a leftover mutation for finished work.
+if ! git diff --exit-code --quiet; then
+  echo "FATAL: scratch worktree dirty after run — restore failed" >&2
+  git diff --stat >&2
+  exit 3
+fi
 if [ "$HOLES" -gt 0 ]; then
   echo "RESULT: $HOLES mutation(s) NOT caught — the gate has coverage holes"
   exit 1
