@@ -82,7 +82,7 @@ PYEOF
 }
 
 run_mutation() {
-  local name="$1" file="$2" old="$3" new="$4" queries="$5"
+  local name="$1" file="$2" old="$3" new="$4" queries="$5" sf="${6:-$SF}"
   echo ""
   echo "=== mutation: $name"
   echo "    file:     $file"
@@ -98,8 +98,8 @@ run_mutation() {
   if sbt -batch compile > "$OUT/$name.build.log" 2>&1; then
     rm -rf "$OUT/$name"
     SPARK_GRAFT_VERIFY_ONLY="$queries" SPARK_GRAFT_CPUS=8 \
-      sbt -batch "runMain graft.Verify $SF $OUT/$name" > "$OUT/$name.verify.log" 2>&1
-    if python3 tools/check_oracle.py "$SF" "$OUT/$name" > "$OUT/$name.log" 2>&1; then
+      sbt -batch "runMain graft.Verify $sf $OUT/$name" > "$OUT/$name.verify.log" 2>&1
+    if python3 tools/check_oracle.py "$sf" "$OUT/$name" > "$OUT/$name.log" 2>&1; then
       verdict="NOT-CAUGHT"
       echo "!! gate PASSED under mutation — coverage hole (see $OUT/$name.log)"
     else
@@ -265,12 +265,17 @@ run_mutation hourly-temp-band \
   'k24_hourly_serving'
 
 # M15: proximity tiebreak sends null dates FIRST — the tie group
-# straddling the LIMIT boundary admits the null-date member instead
+# straddling the LIMIT boundary admits the null-date member instead.
+# SF-SENSITIVE: k25 returns only 8 rows at sf0.001 (no tie group reaches
+# the LIMIT boundary), so this arm is dead there by data shape, not gate
+# coverage — it pins sf0.01 explicitly (verified firing: VALUES-DIFF on
+# dist_km; verified dead at sf0.001 in the round-10 default run).
 run_mutation proximity-nulls-first \
   src/main/scala/graft/analytics/Analytics.scala \
   '.orderBy(col("distance_km").asc, col("date").desc_nulls_last)' \
   '.orderBy(col("distance_km").asc, col("date").desc_nulls_first)' \
-  'k25_accident_proximity'
+  'k25_accident_proximity' \
+  /root/testdata/sf0.01
 
 # M16: A-ES key flipped from ln(u)/w to u/w — inclusion bias REVERSES
 # (heavy rows become the least likely); the weight-bias spec must fail.
