@@ -440,44 +440,53 @@ object MediaCodecs {
     StructField("sum_units", LongType, nullable = true),
     StructField("geom_sum", LongType, nullable = true)))
 
+  /** One decoded payload → its [[ContentSchema]] row: count, plain sum,
+    * and the position-weighted Σ value·(k+1) over the units. The weighted
+    * sum is what makes geometry bugs visible — a decoder that ignores row
+    * padding, reads rows top-down, or flips endianness moves values to
+    * different k and mismatches the oracle's first-principles prediction
+    * even when the plain sum happens to agree. Shared by the byte-format
+    * decode (m03/m04) and the ImageIO decode (m05).
+    */
+  private[multimodal] def unitAggRow(mediaId: Long,
+      decoded: Option[(String, Array[Int])]): Row = {
+    val agg = decoded.map { case (fmt, units) =>
+      // the weighted sum grows ~|unit|max·n²/2 — a ~50 MB clipped
+      // 16-bit WAV (n ≈ 2.4e7) exceeds Long range. Exact arithmetic
+      // nulls the overflow instead of wrapping silently negative,
+      // matching the i32/avih guards. The plain sum is safe: bounded
+      // by 32768·n < 2^63 for any addressable payload.
+      var sum = 0L; var geom = 0L; var geomOk = true
+      var k = 0
+      while (k < units.length) {
+        sum += units(k)
+        if (geomOk) {
+          try geom = Math.addExact(geom,
+            Math.multiplyExact(units(k).toLong, (k + 1).toLong))
+          catch { case _: ArithmeticException => geomOk = false }
+        }
+        k += 1
+      }
+      (fmt, units.length.toLong, sum, if (geomOk) Some(geom) else None)
+    }
+    Row(mediaId,
+      agg.map(_._1).orNull,
+      agg.map(a => Long.box(a._2)).orNull,
+      agg.map(a => Long.box(a._3)).orNull,
+      agg.flatMap(_._4).map(Long.box).orNull)
+  }
+
   /** Batch REAL content decode → per-payload aggregates over the decoded
     * units (one 8-bit channel byte for bmp, one signed 16-bit sample for
-    * wav): count, plain sum, and the position-weighted Σ value·(k+1).
-    * The weighted sum is what makes geometry bugs visible — a decoder that
-    * ignores row padding, reads rows top-down, or flips endianness moves
-    * values to different k and mismatches the m03 oracle's first-principles
-    * prediction even when the plain sum happens to agree.
+    * wav) via [[unitAggRow]].
     */
   def decodeContent(media: DataFrame): DataFrame = {
     val encoder = org.apache.spark.sql.Encoders.row(ContentSchema)
     media.select("media_id", "payload")
       .mapPartitions { rows =>
         rows.map { r =>
-          val decoded = decodeUnits(r.getAs[Array[Byte]]("payload"))
-          val agg = decoded.map { case (fmt, units) =>
-            // the weighted sum grows ~|unit|max·n²/2 — a ~50 MB clipped
-            // 16-bit WAV (n ≈ 2.4e7) exceeds Long range. Exact arithmetic
-            // nulls the overflow instead of wrapping silently negative,
-            // matching the i32/avih guards. The plain sum is safe: bounded
-            // by 32768·n < 2^63 for any addressable payload.
-            var sum = 0L; var geom = 0L; var geomOk = true
-            var k = 0
-            while (k < units.length) {
-              sum += units(k)
-              if (geomOk) {
-                try geom = Math.addExact(geom,
-                  Math.multiplyExact(units(k).toLong, (k + 1).toLong))
-                catch { case _: ArithmeticException => geomOk = false }
-              }
-              k += 1
-            }
-            (fmt, units.length.toLong, sum, if (geomOk) Some(geom) else None)
-          }
-          Row(r.getAs[Long]("media_id"),
-            agg.map(_._1).orNull,
-            agg.map(a => Long.box(a._2)).orNull,
-            agg.map(a => Long.box(a._3)).orNull,
-            agg.flatMap(_._4).map(Long.box).orNull)
+          unitAggRow(r.getAs[Long]("media_id"),
+            decodeUnits(r.getAs[Array[Byte]]("payload")))
         }
       }(encoder)
   }

@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, and per-partition feature
   * extraction.
   *
-  * The pixel/sample decode is REAL for codec-free formats: 24-bit BMP
-  * pixel rows and 16-bit PCM WAV samples are decoded byte-for-byte
-  * ([[MediaCodecs.decodeUnits]], oracle-checked by m03), and features come
-  * from the decoded values. Only formats that genuinely need a codec this
-  * container lacks (JPEG, MP3, H.264, …) fall back to the clearly-marked
-  * `decodeStub` histogram. Container/header parsing (PNG dimensions, WAV
-  * audio format, AVI video header) is likewise real ([[MediaCodecs]], m02).
+  * The pixel/sample decode is REAL wherever a decoder exists: 24-bit BMP
+  * pixel rows, PPM images, and 16-bit PCM WAV samples are decoded
+  * byte-for-byte ([[MediaCodecs.decodeUnits]], oracle-checked by
+  * m03/m04), and PNG/JPEG decode through the JDK's built-in ImageIO
+  * ([[ImageIoCodec]], oracle-checked by m05 — java.desktop ships these
+  * two codecs, no vendoring needed). Only formats with no JDK decoder
+  * (MP3, H.264, …) fall back to the clearly-marked `decodeStub`
+  * histogram. Container/header parsing (PNG dimensions, WAV audio
+  * format, AVI video header) is likewise real ([[MediaCodecs]], m02).
   * The Spark-side plumbing is the real thing throughout: schema, binary
   * payload handling, partition-wise batch processing via `mapPartitions`
   * (the JVM analog of `mapInPandas` batch UDFs), and stride-based frame
@@ -56,10 +58,11 @@ object Multimodal {
   val FeatureDim = 16
 
   /** STUB decode: the fallback for formats that genuinely need a codec this
-    * container lacks (JPEG, MP3, H.264, …) — features are a deterministic
+    * container lacks (MP3, H.264, …) — features are a deterministic
     * 16-bin byte histogram, L1-normalized. Signature and batch shape match
-    * what a real decoder would use. Codec-FREE formats never reach this:
-    * [[decodeFeatures]] dispatches them to the real BMP/PCM decode first.
+    * what a real decoder would use. Decodable formats never reach this:
+    * [[decodeFeatures]] dispatches BMP/PPM/PCM-WAV to the byte decoders
+    * and PNG/JPEG to the JDK ImageIO decode first.
     */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](FeatureDim)
@@ -75,17 +78,23 @@ object Multimodal {
     if (n > 0) hist.map(_ / n.toFloat) else hist
   }
 
-  /** Feature decode on REAL bytes where no codec is needed: 24-bit BMP →
-    * 16-bin histogram of decoded pixel channel values (bin = v ≫ 4);
-    * 16-bit PCM WAV → 16-bin amplitude histogram over the full signed
-    * range (bin = (s+32768) ≫ 12); both L1-normalized. Everything else
-    * falls back to [[decodeStub]] (this container has no codecs).
+  /** Feature decode on REAL bytes wherever a decoder exists: 24-bit BMP /
+    * PPM / PNG / JPEG → 16-bin histogram of decoded pixel channel values
+    * (bin = v ≫ 4); 16-bit PCM WAV → 16-bin amplitude histogram over the
+    * full signed range (bin = (s+32768) ≫ 12); both L1-normalized. BMP,
+    * PPM and WAV decode byte-for-byte ([[MediaCodecs.decodeUnits]]); PNG
+    * and JPEG go through the JDK's built-in ImageIO
+    * ([[ImageIoCodec.decodeImageUnits]] — no vendored codec needed). Only
+    * formats with no JDK decoder (MP3, H.264, …) fall back to
+    * [[decodeStub]].
     */
   def decodeFeatures(payload: Array[Byte]): Array[Float] =
-    MediaCodecs.decodeUnits(payload) match {
-      case Some(("bmp", units)) => hist16(units.iterator.map(_ >> 4), units.length)
+    MediaCodecs.decodeUnits(payload)
+      .orElse(ImageIoCodec.decodeImageUnits(payload)) match {
       case Some(("wav", units)) =>
         hist16(units.iterator.map(s => (s + 32768) >> 12), units.length)
+      case Some((_, units)) => // bmp | ppm | png | jpeg: 8-bit channel units
+        hist16(units.iterator.map(_ >> 4), units.length)
       case _ => decodeStub(payload)
     }
 

@@ -639,6 +639,22 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // --- REAL PNG decode via the JDK's built-in ImageIO (no vendored -----
+    // codec): deterministic pixels (the m04 formula, row-major R,G,B)
+    // encoded through the JDK PNG writer, decoded back with ImageIO.read;
+    // PNG is lossless, so the oracle predicts the decoded aggregates from
+    // the same arithmetic — the whole encode→PNG→decode round trip must
+    // reproduce it exactly. Decoder channel order/row orientation is
+    // additionally grounded against a hand-crafted golden PNG (built from
+    // the PNG spec, independent of ImageIO) in ImageIoCodecSpec.
+    "m05_png_pixels" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.deriveMedia(Tables.documents(s, dir))
+        .where(col("kind") === "image")
+      graft.multimodal.ImageIoCodec.decodeImageContent(
+        graft.multimodal.ImageIoCodec.plantPng(media))
+        .orderBy("media_id")
+    }),
+
     // --- brute-force cosine top-k (exact ANN baseline) --------------------
     "s01_cosine_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1564,6 +1580,24 @@ object PipelineQueries {
       """WITH m AS (
         |  SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0)
         |SELECT media_id, 'ppm' AS format,
+        |       CAST((1 + media_id % 5) * (1 + media_id % 4) * 3 AS BIGINT) AS n_units,
+        |       CAST(list_sum(list_transform(
+        |         generate_series(0, (1 + media_id % 5) * (1 + media_id % 4) * 3 - 1),
+        |         k -> (media_id * 11 + k) % 256)) AS BIGINT) AS sum_units,
+        |       CAST(list_sum(list_transform(
+        |         generate_series(0, (1 + media_id % 5) * (1 + media_id % 4) * 3 - 1),
+        |         k -> ((media_id * 11 + k) % 256) * (k + 1))) AS BIGINT) AS geom_sum
+        |FROM m
+        |ORDER BY media_id""".stripMargin,
+
+    // m05: identical arithmetic to m04 (same planted formula and unit
+    // order) with format 'png' — DuckDB never touches image bytes; the
+    // Spark side must reproduce the prediction THROUGH the JDK PNG
+    // encode→decode round trip
+    "m05_png_pixels" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0)
+        |SELECT media_id, 'png' AS format,
         |       CAST((1 + media_id % 5) * (1 + media_id % 4) * 3 AS BIGINT) AS n_units,
         |       CAST(list_sum(list_transform(
         |         generate_series(0, (1 + media_id % 5) * (1 + media_id % 4) * 3 - 1),

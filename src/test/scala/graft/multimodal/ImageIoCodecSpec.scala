@@ -1,0 +1,152 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** JDK ImageIO PNG/JPEG decode: the decoder's channel order and row
+  * orientation are grounded against a HAND-CRAFTED golden PNG (built
+  * byte-by-byte from the PNG spec — RFC 2083 structure, zlib via
+  * `Deflater`, CRCs via `CRC32` — fully independent of ImageIO), the
+  * lossless encode→decode round trip is pinned exactly, JPEG's lossy
+  * path is bounded, and malformed input degrades to null rows.
+  */
+class ImageIoCodecSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** A truecolor 8-bit PNG written from the spec: signature, IHDR, one
+    * IDAT holding the zlib-deflated scanlines (each row = filter byte 0 +
+    * w·3 RGB bytes), IEND. No ImageIO involvement — this is the ground
+    * truth ImageIO must agree with.
+    */
+  private def handCraftedPng(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      def be32(v: Long): Unit =
+        out.write(Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte), 0, 4)
+      be32(data.length.toLong)
+      out.write(tag.getBytes("US-ASCII"))
+      out.write(data)
+      val crc = new CRC32()
+      crc.update(tag.getBytes("US-ASCII"))
+      crc.update(data)
+      be32(crc.getValue)
+      out.toByteArray
+    }
+    val ihdr = new ByteArrayOutputStream()
+    ihdr.write(Array[Byte]((w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte), 0, 4)
+    ihdr.write(Array[Byte]((h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte), 0, 4)
+    ihdr.write(8)  // bit depth
+    ihdr.write(2)  // color type: truecolor RGB
+    ihdr.write(0); ihdr.write(0); ihdr.write(0) // compression, filter, interlace
+    val raw = new ByteArrayOutputStream()
+    (0 until h).foreach { y =>
+      raw.write(0) // filter type None for this scanline
+      (0 until w).foreach { x =>
+        val (r, g, b) = rgb(x, y)
+        raw.write(r); raw.write(g); raw.write(b)
+      }
+    }
+    val deflater = new Deflater()
+    deflater.setInput(raw.toByteArray)
+    deflater.finish()
+    val zbuf = new Array[Byte](raw.size() + 64)
+    val zlen = deflater.deflate(zbuf)
+    deflater.end()
+    val png = new ByteArrayOutputStream()
+    png.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A), 0, 8)
+    png.write(chunk("IHDR", ihdr.toByteArray))
+    png.write(chunk("IDAT", zbuf.take(zlen)))
+    png.write(chunk("IEND", Array.empty[Byte]))
+    png.toByteArray
+  }
+
+  test("golden PNG: hand-crafted spec bytes decode to exact R,G,B row-major units") {
+    // 2×2, every channel value distinct — any channel swap, row flip, or
+    // column/row transpose lands a wrong value at some k
+    val px = Map((0, 0) -> (200, 10, 30), (1, 0) -> (40, 50, 60),
+      (0, 1) -> (70, 80, 90), (1, 1) -> (100, 110, 120))
+    val bytes = handCraftedPng(2, 2, (x, y) => px((x, y)))
+    val Some((fmt, units)) = ImageIoCodec.decodeImageUnits(bytes)
+    assert(fmt === "png")
+    assert(units.toSeq === Seq(200, 10, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120))
+  }
+
+  test("lossless round trip: encodePng units reproduce the formula exactly") {
+    for (id <- Seq(0L, 3L, 17L, 123L)) {
+      val w = (1 + id % 5).toInt; val h = (1 + id % 4).toInt
+      val Some((fmt, units)) = ImageIoCodec.decodeImageUnits(ImageIoCodec.encodePng(id, w, h))
+      assert(fmt === "png")
+      assert(units.length === w * h * 3)
+      units.zipWithIndex.foreach { case (u, k) =>
+        assert(u === ImageIoCodec.formulaUnit(id, k.toLong), s"id=$id k=$k")
+      }
+    }
+  }
+
+  test("JPEG: dimensions and format exact, smooth-gradient error bounded") {
+    val (w, h) = (16, 12)
+    val Some((fmt, units)) =
+      ImageIoCodec.decodeImageUnits(ImageIoCodec.encodeJpegGradient(w, h))
+    assert(fmt === "jpeg")
+    assert(units.length === w * h * 3)
+    var err = 0L
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val p = (y * w + x) * 3
+        err += math.abs(units(p) - x * 255 / (w - 1))
+        err += math.abs(units(p + 1) - y * 255 / (h - 1))
+        err += math.abs(units(p + 2) - 128)
+      }
+    }
+    val mean = err.toDouble / units.length
+    assert(mean < 15.0, s"mean abs channel error $mean")
+  }
+
+  test("malformed input is a null row, never an exception") {
+    assert(ImageIoCodec.decodeImageUnits(null).isEmpty)
+    assert(ImageIoCodec.decodeImageUnits(Array[Byte](1, 2, 3)).isEmpty)
+    // valid magic, truncated stream
+    val good = ImageIoCodec.encodePng(5L, 3, 2)
+    assert(ImageIoCodec.decodeImageUnits(good.take(20)).isEmpty)
+    // a WAV payload is not an image
+    val wav = Seq((1L, "x")).toDF("doc_id", "text")
+    assert(ImageIoCodec.decodeImageUnits("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("plantPng → decodeImageContent end-to-end matches the m04-family prediction") {
+    val docs = Seq.tabulate(12)(i => (i.toLong * 3, s"doc $i")) // ids ≡ 0 mod 3 → image
+      .toDF("doc_id", "text")
+    val media = Multimodal.deriveMedia(docs).where(col("kind") === "image")
+    val out = ImageIoCodec.decodeImageContent(ImageIoCodec.plantPng(media))
+      .orderBy("media_id").collect()
+    assert(out.length === 12)
+    out.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val n = (1 + id % 5) * (1 + id % 4) * 3
+      val expSum = (0L until n).map(k => ImageIoCodec.formulaUnit(id, k).toLong).sum
+      val expGeom = (0L until n).map(k => ImageIoCodec.formulaUnit(id, k).toLong * (k + 1)).sum
+      assert(r.getAs[String]("format") === "png")
+      assert(r.getAs[Long]("n_units") === n)
+      assert(r.getAs[Long]("sum_units") === expSum)
+      assert(r.getAs[Long]("geom_sum") === expGeom)
+    }
+  }
+
+  test("decodeFeatures routes PNG through the real decode, not the stub") {
+    val png = ImageIoCodec.encodePng(9L, 4, 3)
+    val feats = Multimodal.decodeFeatures(png)
+    // real path: 16-bin histogram over decoded channel values v≫4 — must
+    // match the direct computation; the stub (raw-byte histogram incl.
+    // header/zlib bytes) would not
+    val Some((_, units)) = ImageIoCodec.decodeImageUnits(png)
+    val exp = new Array[Float](Multimodal.FeatureDim)
+    units.foreach(v => exp(v >> 4) += 1f)
+    val n = units.length.toFloat
+    assert(feats.toSeq === exp.map(_ / n).toSeq)
+  }
+}
