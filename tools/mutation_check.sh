@@ -295,6 +295,17 @@ run_mutation drift-bin-tie-flip \
   'val driftBin = (lit(bins + 1) - array_position(org.apache.spark.sql.functions.reverse(diffArr), array_max(diffArr))).cast("int")' \
   'd34_hist_drift'
 
+# M19: ImageIO decode channel order flipped — the R unit reads the BLUE
+# byte; the planted formula gives every channel a distinct value, so the
+# m05 aggregates (sum unchanged only if R==B everywhere, which never
+# holds; geom always moves) must mismatch. Proves the NEW ImageIO oracle
+# has teeth like the byte-decoder ones.
+run_mutation imageio-channel-swap \
+  src/main/scala/graft/multimodal/ImageIoCodec.scala \
+  'units(p) = (rgb >> 16) & 0xff' \
+  'units(p) = rgb & 0xff' \
+  'm05_png_pixels'
+
 # M18: residual IVFADC drops the dot(q, centroid) seed from the score
 # fold — the decomposition dot(q,v) = dot(q,µ) + dot(q,r) loses its
 # first term and every score (and cross-cell ranking) shifts
