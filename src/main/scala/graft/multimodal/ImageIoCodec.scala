@@ -140,13 +140,7 @@ object ImageIoCodec {
     }
   }
 
-  /** Replace image payloads with real JDK-encoded PNGs at the same planted
-    * dimensions as the BMP/PPM serializers ((1+id%5)×(1+id%4)). Encode
-    * runs partition-wise like every decode: an image codec in a column
-    * expression would serialize the codec per task — mapPartitions is the
-    * honest shape for both directions.
-    */
-  def plantPng(media: DataFrame): DataFrame = {
+  private def plantWith(media: DataFrame)(enc: (Long, Int, Int) => Array[Byte]): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("kind", StringType, nullable = false),
@@ -158,13 +152,30 @@ object ImageIoCodec {
           val id = r.getAs[Long]("media_id")
           val kind = r.getAs[String]("kind")
           val payload =
-            if (kind == "image")
-              encodePng(id, (1 + id % 5).toInt, (1 + id % 4).toInt)
+            if (kind == "image") enc(id, (1 + id % 5).toInt, (1 + id % 4).toInt)
             else r.getAs[Array[Byte]]("payload")
           Row(id, kind, payload)
         }
       }(encoder)
   }
+
+  /** Replace image payloads with real JDK-encoded PNGs at the same planted
+    * dimensions as the BMP/PPM serializers ((1+id%5)×(1+id%4)). Encode
+    * runs partition-wise like every decode: an image codec in a column
+    * expression would serialize the codec per task — mapPartitions is the
+    * honest shape for both directions.
+    */
+  def plantPng(media: DataFrame): DataFrame =
+    plantWith(media)(encodePng)
+
+  /** Replace image payloads with real JDK-encoded JPEGs (smooth gradient
+    * content) at the planted dimensions. JPEG is lossy, so only the
+    * decode's STRUCTURAL outputs are exactly predictable — format and
+    * n_units = w·h·3 — which is precisely what the m06 oracle pins;
+    * reconstruction error is bounded separately in ImageIoCodecSpec.
+    */
+  def plantJpeg(media: DataFrame): DataFrame =
+    plantWith(media)((_, w, h) => encodeJpegGradient(w, h))
 
   /** Batch ImageIO decode → the same per-payload aggregates as
     * [[MediaCodecs.decodeContent]] (shared [[MediaCodecs.unitAggRow]]).

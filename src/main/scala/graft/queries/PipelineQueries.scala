@@ -655,6 +655,20 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // --- REAL JPEG decode through the same ImageIO surface: lossy, so ----
+    // only the STRUCTURAL outputs are exactly predictable — format
+    // detection and n_units = w·h·3 (dimensions survive quantization) —
+    // and that is what this oracle pins. Pixel-level reconstruction error
+    // is bounded in ImageIoCodecSpec.
+    "m06_jpeg_decode" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.deriveMedia(Tables.documents(s, dir))
+        .where(col("kind") === "image")
+      graft.multimodal.ImageIoCodec.decodeImageContent(
+        graft.multimodal.ImageIoCodec.plantJpeg(media))
+        .select(col("media_id"), col("format"), col("n_units"))
+        .orderBy("media_id")
+    }),
+
     // --- brute-force cosine top-k (exact ANN baseline) --------------------
     "s01_cosine_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1606,6 +1620,14 @@ object PipelineQueries {
         |         generate_series(0, (1 + media_id % 5) * (1 + media_id % 4) * 3 - 1),
         |         k -> ((media_id * 11 + k) % 256) * (k + 1))) AS BIGINT) AS geom_sum
         |FROM m
+        |ORDER BY media_id""".stripMargin,
+
+    // m06: the lossy JPEG path's exact structural contract — format
+    // detection plus n_units = w·h·3 from the planted dimensions
+    "m06_jpeg_decode" ->
+      """SELECT doc_id AS media_id, 'jpeg' AS format,
+        |       CAST((1 + doc_id % 5) * (1 + doc_id % 4) * 3 AS BIGINT) AS n_units
+        |FROM documents WHERE doc_id % 3 = 0
         |ORDER BY media_id""".stripMargin,
 
     "d02_token_stats" ->
