@@ -224,6 +224,46 @@ object KernelQueries {
         .orderBy("route_id")
     }),
 
+    // --- S8/S9/S10 READ-BACK oracle: the score SINK relationally pinned
+    // (VERDICT r10 ask #1 — the last spec-only §2 class). The pipeline
+    // runs END-TO-END into a scratch dir: nightly write of 3 date
+    // partitions (S8 writeScores, dynamic partition overwrite), a
+    // row-grain MERGE upsert re-scoring routes ≤ 100 of the middle date
+    // against a different accident subset (S9 mergeScores: semi-join
+    // partition prune + anti-join on the updated keys + union +
+    // overwrite), then S10 retention dropping the oldest date — and the
+    // parquet is read BACK and hash-compared against DuckDB deriving the
+    // same final table (initial write ∪ overwritten rows, post-retention).
+    // calculated_at (current_timestamp) is excluded: wall-clock is the
+    // one column no oracle can mirror.
+    "k30_score_sink_roundtrip" -> ((s, dir) => {
+      import graft.pipeline.ScoringPipeline
+      val scratch = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_k30_${Integer.toHexString(dir.hashCode)}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(scratch) // a previous run's table must not leak into this one
+      val out = scratch.getAbsolutePath
+      val routes = Derived.routes(s, dir)
+      val accidents = Derived.accidents(s, dir)
+      ScoringPipeline.writeScores(
+        ScoringPipeline.computeDailyScores(routes, accidents,
+          Seq("2024-07-14", "2024-07-15", "2024-07-16")), out)
+      val updates = SafetyKernel.scoreRoutes(
+          routes.where(col("route_id") <= 100),
+          accidents.where(col("accident_id") <= 50), to_date(lit("2024-07-15")))
+        .withColumn("prediction_date", to_date(lit("2024-07-15")))
+        .withColumn("calculated_at", current_timestamp())
+      ScoringPipeline.mergeScores(s, updates, out)
+      ScoringPipeline.retainDates(s, out, Seq("2024-07-15", "2024-07-16"))
+      s.read.parquet(out).select(
+          col("route_id"), col("prediction_date"),
+          round(col("risk_score"), 4).as("risk_score"),
+          col("n_contributing"), col("color_code"))
+        .orderBy("prediction_date", "route_id")
+    }),
+
     // §2.7 + A7: the kernel with EXTREME-WEATHER AMPLIFICATION — archive
     // stats (A6) → per-route-bucket multiplier (A7) broadcast onto the
     // route side, per-accident assembled similarity (S4→A5) on the
@@ -336,6 +376,45 @@ object KernelQueries {
          |SELECT route_id, rank, accident_id, round(influence, 6) AS influence
          |FROM ranked WHERE rank <= 5
          |ORDER BY route_id, rank""".stripMargin),
+
+    // Final-table oracle for the sink round-trip: the nightly covers all 3
+    // dates; the merge REPLACES (route ≤ 100, 2024-07-15) with scores from
+    // the accident-≤-50 subset; retention then drops 2024-07-14 — the
+    // WHERE on `merged` mirrors exactly that survivor set.
+    "k30_score_sink_roundtrip" -> withDomain {
+      def kernelPairs(from: String, planDate: String): String =
+        s"""SELECT route_id, accident_id,
+           |       (${Sql.spatialWeight(distExpr, "route_type")})
+           |       * (${Sql.temporalWeight(planDate, "a_date", "route_type")})
+           |       * (${Sql.elevationWeight("elev", "a_elev", "route_type")})
+           |       * (${Sql.routeTypeWeight("route_type", "acc_type")})
+           |       * (${Sql.severityWeight("severity_raw")})
+           |       * (${Sql.gradeWeight("difficulty", "a_difficulty")})
+           |       * (${Sql.weatherFactor("0.5")}) AS influence
+           |FROM $from""".stripMargin
+      s""", dts AS (SELECT (DATE '2024-07-14' + CAST(d AS INT)) AS prediction_date
+         |          FROM range(3) t(d)),
+         |nightly AS (
+         |${kernelPairs("routes CROSS JOIN dts CROSS JOIN accidents", "prediction_date")
+          .replaceFirst("SELECT", "  SELECT prediction_date,")}),
+         |upd AS (
+         |${kernelPairs("routes CROSS JOIN accidents", "DATE '2024-07-15'")
+          .replaceFirst("SELECT", "  SELECT DATE '2024-07-15' AS prediction_date,")}
+         |  WHERE route_id <= 100 AND accident_id <= 50),
+         |merged AS (
+         |  SELECT * FROM nightly
+         |  WHERE prediction_date >= DATE '2024-07-15'  -- retention drops 07-14
+         |    AND NOT (prediction_date = DATE '2024-07-15' AND route_id <= 100)
+         |  UNION ALL SELECT * FROM upd)
+         |SELECT route_id, prediction_date,
+         |       round(${Sql.normalizeRisk("sum(influence)")}, 4) AS risk_score,
+         |       count(*) FILTER (WHERE influence > ${SafetyKernel.SignificanceFloor})
+         |         AS n_contributing,
+         |       ${Sql.colorCase(Sql.normalizeRisk("sum(influence)"))} AS color_code
+         |FROM merged
+         |GROUP BY route_id, prediction_date
+         |ORDER BY prediction_date, route_id""".stripMargin
+    },
 
     "k19_cache_warming" -> withDomain(
       s""", top AS (SELECT * FROM routes

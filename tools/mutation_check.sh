@@ -81,8 +81,22 @@ PYEOF
   fi
 }
 
+# Dev-only subsetting (ONLY="merge-anti-join,retention-keep-flip"): run
+# just the named arms — for iterating on a NEW arm without paying for the
+# full suite. A committed MUTATION_RUN.md must come from a full run
+# (empty ONLY); the summary header records the filter so a partial run
+# can't masquerade as complete.
+arm_skipped() {
+  case ",${ONLY:-}," in
+    ,,) return 1 ;;          # no filter: run every arm
+    *",$1,"*) return 1 ;;    # named: run it
+    *) echo ""; echo "=== mutation: $1 (skipped by ONLY filter)"; return 0 ;;
+  esac
+}
+
 run_mutation() {
   local name="$1" file="$2" old="$3" new="$4" queries="$5" sf="${6:-$SF}"
+  if arm_skipped "$name"; then return; fi
   echo ""
   echo "=== mutation: $name"
   echo "    file:     $file"
@@ -125,6 +139,7 @@ run_mutation() {
 # the mutation must make the named suite FAIL.
 run_mutation_spec() {
   local name="$1" file="$2" old="$3" new="$4" specs="$5"
+  if arm_skipped "$name"; then return; fi
   echo ""
   echo "=== mutation (spec-checked): $name"
   echo "    file:     $file"
@@ -315,8 +330,30 @@ run_mutation residual-seed-dropped \
   'val score = aggregate(sequence(lit(0), lit(cb.numSub - 1)), lit(0.0), (acc, m) =>' \
   's09_ann_ivfpq_res'
 
+# M20: MERGE upsert anti-join flipped to semi — the incremental path keeps
+# ONLY the stale versions of the updated keys and drops every untouched
+# row; k30's read-back table loses routes > 100 on the merged date and all
+# of the other kept date (rows + hash move)
+run_mutation merge-anti-join \
+  src/main/scala/graft/pipeline/ScoringPipeline.scala \
+  'Seq("route_id", "prediction_date"), "left_anti")' \
+  'Seq("route_id", "prediction_date"), "left_semi")' \
+  'k30_score_sink_roundtrip'
+
+# M21: retention keep-set negation dropped — retainDates deletes the KEPT
+# partitions instead of the stale ones; the read-back table contains only
+# the date the oracle excludes
+run_mutation retention-keep-flip \
+  src/main/scala/graft/pipeline/ScoringPipeline.scala \
+  '!keepSet.contains(p.getName.stripPrefix("prediction_date="))' \
+  'keepSet.contains(p.getName.stripPrefix("prediction_date="))' \
+  'k30_score_sink_roundtrip'
+
 echo ""
 echo "==================================================================="
+if [ -n "${ONLY:-}" ]; then
+  echo "PARTIAL RUN — ONLY='$ONLY' (not a full-suite verdict)"
+fi
 echo "mutation -> gate outcome (caught(N) = N queries failed the oracle)"
 echo ""
 echo "| mutation | change | queries run | outcome |"
