@@ -51,16 +51,24 @@ class ImageIoCodecSpec extends SparkSpec {
         raw.write(r); raw.write(g); raw.write(b)
       }
     }
+    // drain in a LOOP: a single deflate() call has no guarantee of
+    // emitting the whole stream even with finished() pending, so one call
+    // into a fixed buffer could silently truncate the IDAT of a larger
+    // future golden image
     val deflater = new Deflater()
     deflater.setInput(raw.toByteArray)
     deflater.finish()
-    val zbuf = new Array[Byte](raw.size() + 64)
-    val zlen = deflater.deflate(zbuf)
+    val zout = new ByteArrayOutputStream()
+    val zbuf = new Array[Byte](8192)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(zbuf)
+      zout.write(zbuf, 0, n)
+    }
     deflater.end()
     val png = new ByteArrayOutputStream()
     png.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A), 0, 8)
     png.write(chunk("IHDR", ihdr.toByteArray))
-    png.write(chunk("IDAT", zbuf.take(zlen)))
+    png.write(chunk("IDAT", zout.toByteArray))
     png.write(chunk("IEND", Array.empty[Byte]))
     png.toByteArray
   }

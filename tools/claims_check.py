@@ -60,19 +60,41 @@ QUERY_NAME_RE = re.compile(r"\b([a-z]\d{2}[a-z]?_[a-z0-9_]+)\b")
 STATUS_CLAIM_RE = re.compile(
     r"\b(fixed|green|resolved|hash-match(?:es|ed)|now passes)\b", re.I)
 # negated/forward-looking phrasings that legitimately pair a query name
-# with a status word ("stays red until the fix lands")
+# with a status word. ADJACENCY-ONLY: a bare 'must'/'would'/'red' anywhere
+# in the line must NOT exempt it ("d34 fixed — must stay green" is a
+# status claim, not a negation), so each pattern binds the qualifier to
+# the status word it negates.
 NEGATION_RE = re.compile(
-    r"\b(not|stays red|remains red|still red|until|would|should|must|"
-    r"un-?fixed|red)\b", re.I)
+    r"\bnot\s+(yet\s+)?(fixed|green|resolved|passing)\b"
+    r"|\bun-?fixed\b"
+    r"|\b(stays?|remains?|still|went|was|is)\s+red\b"
+    r"|\buntil\b[^.;]{0,80}\b(fixed|green|resolved|passes|lands)\b"
+    r"|\b(would|should|will)\s+(be\s+)?(fixed|green|resolved|pass)", re.I)
 
 
-def check_doc(doc, total, n_pass, n_rows_only, n_fail, red_queries):
+# Stale-artifact citations: prose presenting CORRECTNESS_r{K} as the
+# current evidence when r{N>K} exists reads one round behind (the r10
+# COVERAGE.md header narrated the r09 artifact as shipped state). A line
+# may cite an older artifact ONLY when explicitly marked as history with
+# '(historical)' on the same line.
+ARTIFACT_CITE_RE = re.compile(r"\bCORRECTNESS_r(\d+)(?:\.json)?\b")
+HISTORY_MARK = "(historical)"
+
+
+def check_doc(doc, total, n_pass, n_rows_only, n_fail, red_queries,
+              latest_round):
     errs = []
     path = os.path.join(ROOT, doc)
     if not os.path.exists(path):
         return errs
     text = open(path).read()
     for lineno, line in enumerate(text.splitlines(), 1):
+        for m in ARTIFACT_CITE_RE.finditer(line):
+            if int(m.group(1)) < latest_round and HISTORY_MARK not in line:
+                errs.append(
+                    f"{doc}:{lineno} cites stale {m.group(0)} but "
+                    f"CORRECTNESS_r{latest_round:02d}.json exists — refresh the "
+                    f"prose or mark the line '(historical)'")
         for m in CLAIM_RE.finditer(line):
             c_oracle, c_rows_only = int(m.group(1)), int(m.group(2))
             if (c_oracle, c_rows_only) != (n_pass, n_rows_only):
@@ -106,9 +128,16 @@ def main():
           f"rows-only={n_rows_only} fail={n_fail}")
     for f in fails:
         print(f"  FAILING ROW  {f}")
+    # latest round IN THE TREE, independent of which artifact was passed —
+    # stale citations are judged against what exists, not what we compared
+    rounds = [int(m.group(1)) for p in glob.glob(
+                  os.path.join(ROOT, "CORRECTNESS_r*.json"))
+              for m in [re.search(r"CORRECTNESS_r(\d+)\.json$", p)] if m]
+    latest_round = max(rounds) if rounds else 0
     errs = []
     for doc in ("COVERAGE.md", "README.md"):
-        errs.extend(check_doc(doc, total, n_pass, n_rows_only, n_fail, red_queries))
+        errs.extend(check_doc(doc, total, n_pass, n_rows_only, n_fail,
+                              red_queries, latest_round))
     if errs:
         for e in errs:
             print(f"CLAIM-MISMATCH  {e}")
