@@ -330,6 +330,18 @@ run_mutation residual-seed-dropped \
   'val score = aggregate(sequence(lit(0), lit(cb.numSub - 1)), lit(0.0), (acc, m) =>' \
   's09_ann_ivfpq_res'
 
+# M22: SHARED-CONSTANT drift — the class the engine-vs-engine gate is
+# blind to BY DESIGN: RiskNormalizationFactor is interpolated into the
+# generated DuckDB SQL, so both engines move together and every oracle
+# row stays green. The frozen golden snapshots exist precisely for this
+# hole — k08's golden pins the ABSOLUTE risk values, so the drift fails
+# GoldenSnapshotSpec while check_oracle.py would pass.
+run_mutation_spec shared-constant-drift \
+  src/main/scala/graft/expr/WeightExprs.scala \
+  'val RiskNormalizationFactor = 7.0' \
+  'val RiskNormalizationFactor = 7.07' \
+  'graft.golden.GoldenSnapshotSpec'
+
 # M20: MERGE upsert anti-join flipped to semi — the incremental path keeps
 # ONLY the stale versions of the updated keys and drops every untouched
 # row; k30's read-back table loses routes > 100 on the merged date and all
