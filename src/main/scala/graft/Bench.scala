@@ -125,13 +125,14 @@ object Bench {
     * floor at 10× density with a planted hot cell; this entry demonstrates
     * throughput and bounded memory at the full blown-up shape.
     *
-    * Measured funnel at this shape: 116G raw candidates → ~13G inside the
-    * tier-grid windows (30× cut by the equi-join) → 3.79G pairs genuinely
-    * within their per-route gate radius, each owed full influence math for
-    * exactness above the floor. The ~170 s wall is therefore ≈ 1/3
-    * irreducible kernel arithmetic and ≈ 2/3 window filtering — further
-    * candidate shaving (finer tiers, rectangular cells) buys ≤ 20% and
-    * costs broadcast fan-out, so the 3-tier grid is the chosen point.
+    * Measured funnel at this shape: 116G raw candidates → ~9G inside the
+    * K=2 tier-grid windows (the round-10 3×3 grid admitted ~13G; finer
+    * cells cut the window area 9r²→6.25r²) → lat + lon prefilters (one
+    * compare / one sqrt·|sin|) → 3.79G pairs genuinely within their
+    * per-route gate radius, each owed full influence math for exactness
+    * above the floor. Round-11 A/B on one host: 3×3 157.6 s → K=2 + both
+    * prefilters 133.8 s (−15%); K=3 and prefilter-less variants measured
+    * WORSE, so this is the chosen point (KernelPruning doc has the table).
     */
   def kernelBatch10x(spark: SparkSession): DataFrame =
     KernelPruning.scoreRoutesPruned(

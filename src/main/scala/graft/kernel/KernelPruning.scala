@@ -19,15 +19,16 @@ import graft.expr.WeightExprs
   * {{{ spatial = exp(-d²/2h²) ≥ floor / B   ⇒   d ≤ h·√(2·ln(B/floor)) }}}
   *
   * with B the product of those bounds. Bucketing both sides into a
-  * lat/lon grid of cell size ≥ that radius turns the cross join into an
-  * EQUI-join on cell id with a 3×3 neighborhood fan-out on the (small)
-  * accidents side: routes shuffle/scan ONCE, join key cardinality is the
-  * grid, and per-route work drops from |accidents| to |accidents within
-  * ~2 cells|. Lossless above the floor: any pair within the radius shares
-  * adjacent cells, so only sub-floor pairs are dropped — total risk error
-  * per route is < |accidents|·floor·7 (≈ 0.05 risk points at 6.9K
-  * accidents), and exactly 0 for every pair the exact kernel would keep
-  * with influence ≥ floor.
+  * lat/lon grid (cell size radius/K, see CellDiv) turns the cross join
+  * into an EQUI-join on cell id with a (2K+1)² neighborhood fan-out on
+  * the (small) accidents side: routes shuffle/scan ONCE, join key
+  * cardinality is the grid, and per-route work drops from |accidents| to
+  * |accidents within the window|. Lossless above the floor: any pair
+  * within the radius sits ≤ K cells apart per axis, so only sub-floor
+  * pairs are dropped — total risk error per route is <
+  * |accidents|·floor·7 (≈ 0.05 risk points at 6.9K accidents), and
+  * exactly 0 for every pair the exact kernel would keep with influence
+  * ≥ floor.
   */
 object KernelPruning {
 
@@ -94,6 +95,12 @@ object KernelPruning {
   private[kernel] val RadiusTierKm: Seq[Double] =
     Seq(30.0, 60.0, HMaxKm).filter(_ <= HMaxKm).distinct.sorted
 
+  /** Cells-per-gate-radius K: cell size = tierRadius / K, fan-out ±K.
+    * K=2 (25-cell windows) measured best at the 10× batch; K=1 is the
+    * classic 3×3. Raising K further shaves candidates sublinearly
+    * ((2+1/K)² → 4) while the broadcast fan-out grows as (2K+1)². */
+  private val CellDiv = 2
+
   private def tierOf(h: Column): Column =
     RadiusTierKm.zipWithIndex.dropRight(1)
       .foldLeft(when(lit(false), lit(0))) { case (acc, (t, i)) => acc.when(h <= t, i) }
@@ -109,21 +116,28 @@ object KernelPruning {
     * containing every pair within the per-route prune radius (superset of
     * all pairs with influence ≥ floor). ONE broadcast equi-join on the
     * composite key (tier, latCell, lonCell): each route probes with its own
-    * tier's grid; accidents fan out to every tier × the 3×3 neighborhood
-    * (27× a small table, one broadcast, one codegen stage). No cross join
-    * anywhere in the plan; a route sits in exactly one tier, so no pair can
-    * be produced twice.
+    * tier's grid; accidents fan out to every tier × the (2K+1)²
+    * neighborhood (75× a small table at K=2 — one broadcast, one codegen
+    * stage). No cross join anywhere in the plan; a route sits in exactly
+    * one tier, so no pair can be produced twice.
     *
     * Candidate → pair funnel, cheapest test first:
-    *  1. tier grid membership (the equi-join itself);
+    *  1. tier grid membership (the equi-join itself) — K=2 cells shrink
+    *     the window area to 6.25r² from the classic 3×3's 9r²;
     *  2. a latitude-only prefilter — true distance ≥ 111.19·|Δlat| km, so
     *     111·|Δlat| > gate ⇒ the pair is out; one subtraction+compare
-    *     instead of a haversine for the majority of cell-window candidates
-    *     (no longitude twin: without both latitudes there is NO sound
-    *     lon-only lower bound — Δlon compresses toward the poles);
-    *  3. exact haversine against the per-route gate radius
+    *     for every cell-window candidate;
+    *  3. a longitude prefilter from the haversine identity (see inline
+    *     note) — one sqrt + one |sin| using the hoisted cosines, sound at
+    *     every latitude and across the ±180° seam;
+    *  4. exact haversine against the per-route gate radius
     *     d ≤ h_route·√(2·ln(B/floor)) — sharper than any grid, since it
     *     uses the route's own bandwidth, not the tier's.
+    *
+    * Measured at the 10× batch (1.68M × 69K, same host/session): 3×3 no
+    * lon-filter 157.6 s → K=2 + both prefilters 133.8 s (−15%); K=3 and
+    * prefilter-less K=2 are both WORSE (fan-out cost / haversine volume),
+    * so (K=2, lat, lon) is the chosen point.
     */
   def pairInfluencePruned(routes: DataFrame, accidents: DataFrame, planDate: Column,
                           floor: Double = SafetyKernel.SignificanceFloor,
@@ -141,8 +155,16 @@ object KernelPruning {
         "multiplier so the prune radius still bounds influence above the floor")
     val radiusFactor = radiusFactorFor(floor, weatherBound)
     val tierRadii = RadiusTierKm.map(_ * radiusFactor)
-    val latDegs = tierRadii.map(_ / KmPerDegLat)
-    val nLons = tierRadii.map(r => lonCells(r, maxAbsLat))
+    // FINER cells than the gate radius: cell size r/K with a (2K+1)²
+    // fan-out window shrinks the candidate area from (3r)² = 9r² (K=1) to
+    // ((2+1/K)·r)² — 6.25r² at K=2, a ~30% candidate cut for 25 cells of
+    // accident fan-out instead of 9 (the fan-out side is the SMALL
+    // broadcast table, so the trade buys per-pair work with cheap rows).
+    // Coverage stays exact: |Δcell| ≤ ceil(r/s) = K per axis, and each lon
+    // ring's cell width ≥ r_deg/K, so ±K ring cells span ≥ r_deg at
+    // maxAbsLat — same lossless-above-the-floor argument as K=1.
+    val latDegs = tierRadii.map(_ / CellDiv / KmPerDegLat)
+    val nLons = tierRadii.map(r => lonCells(r / CellDiv, maxAbsLat))
 
     // the `floor` PARAMETER shadows functions.floor in this scope
     val F = org.apache.spark.sql.functions
@@ -175,14 +197,17 @@ object KernelPruning {
       .withColumn("__tier", explode(array(RadiusTierKm.indices.map(i => lit(i)): _*)))
       .withColumn("__a_cell_lat", latCellFor(col("a_lat"), col("__tier")))
       .withColumn("__a_cell_lon", lonCellFor(col("a_lon"), col("__tier")))
-      .withColumn("__dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__dlat",
+        explode(array((-CellDiv to CellDiv).map(d => lit(d.toLong)): _*)))
       // per-tier offset list, DISTINCT after the modulo: a polar-friendly
-      // maxAbsLat can shrink a tier's lon ring to n ≤ 2 cells, where the
-      // constant ±1 fan-out collapses to duplicate (tier, cell) keys and
-      // every pair in that tier gets double/triple influence. n = 2 needs
-      // only {0, 1}, n = 1 only {0} — still full ring coverage.
+      // maxAbsLat can shrink a tier's lon ring to n ≤ 2K cells, where the
+      // constant ±K fan-out collapses to duplicate (tier, cell) keys and
+      // every pair in that tier gets multiple influence. A small ring
+      // needs only {0 … n-1} — still full ring coverage, no duplicates.
       .withColumn("__dlon", explode(byTier(col("__tier"), nLons.map { n =>
-        val offs = if (n >= 3) Seq(-1L, 0L, 1L) else 0L until n
+        val offs =
+          if (n >= 2L * CellDiv + 1) (-CellDiv.toLong to CellDiv.toLong).toSeq
+          else 0L until n
         array(offs.map(lit): _*)
       })))
       .withColumn("__cell_lat", col("__a_cell_lat") + col("__dlat"))
@@ -199,6 +224,18 @@ object KernelPruning {
     val gated = joined
       // step 2: latitude prefilter (111.0 < 111.19 km/° keeps it sound)
       .where(abs(col("lat") - col("a_lat")) * KmPerDegLat <=
+        col("__h") * radiusFactor)
+      // step 2b: LONGITUDE prefilter — a sound great-circle lower bound
+      // from the haversine identity: sin²(d/2R) ≥ cosφ₁·cosφ₂·sin²(Δλ/2)
+      // and asin(y) ≥ y on [0,1], hence d ≥ 2R·√(cosφ₁cosφ₂)·|sin(Δλ/2)|.
+      // (The naive 111·Δλ·min(cos) parallel-distance bound is UNSOUND at
+      // high latitude — the over-the-pole great circle undercuts it.)
+      // Both cosines are hoisted by enrichment; |sin| makes the bound
+      // wrap-correct across ±180° for free. One sqrt + one sin kills the
+      // lon-far majority of each cell window before the full haversine.
+      .where(lit(2.0 * graft.expr.GeoExprs.EarthRadiusKm) *
+        sqrt(col("__coslat") * col("__a_coslat")) *
+        abs(sin(radians(col("lon") - col("a_lon")) / 2.0)) <=
         col("__h") * radiusFactor)
       // enrichment hoisted both cos(lat)s — bit-identical to the inline form
       .withColumn("dist_km", graft.expr.GeoExprs.haversineKmHoisted(
