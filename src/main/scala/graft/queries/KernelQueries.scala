@@ -238,8 +238,10 @@ object KernelQueries {
     // one column no oracle can mirror.
     "k30_score_sink_roundtrip" -> ((s, dir) => {
       import graft.pipeline.ScoringPipeline
+      // PID-unique: two concurrent Verify processes at the same SF (e.g.
+      // the default and ANSI gates overlapping) must not share a table
       val scratch = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_k30_${Integer.toHexString(dir.hashCode)}")
+        s"graft_k30_${Integer.toHexString(dir.hashCode)}_${ProcessHandle.current().pid()}")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
       }
