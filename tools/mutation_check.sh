@@ -361,6 +361,18 @@ run_mutation retention-keep-flip \
   'keepSet.contains(p.getName.stripPrefix("prediction_date="))' \
   'k30_score_sink_roundtrip'
 
+# M23: longitude prefilter over-tightened — the sound great-circle lower
+# bound 2R·√(cosφ₁cosφ₂)·|sin(Δλ/2)| doubled to 4R·… over-prunes: every
+# in-radius pair whose lon-bound exceeds half the gate is silently
+# dropped (exactly the failure class a wrong prefilter introduces), so
+# the "keeps every significant pair" subset spec and the exact-vs-pruned
+# error-bound spec both fail on the continental-spread fixture
+run_mutation_spec lon-prefilter-overtight \
+  src/main/scala/graft/kernel/KernelPruning.scala \
+  '.where(lit(2.0 * graft.expr.GeoExprs.EarthRadiusKm) *' \
+  '.where(lit(4.0 * graft.expr.GeoExprs.EarthRadiusKm) *' \
+  'graft.kernel.KernelPruningSpec'
+
 echo ""
 echo "==================================================================="
 if [ -n "${ONLY:-}" ]; then
