@@ -23,11 +23,16 @@ object Golden {
 
   /** One per evidence family: the full kernel (k08), its windowed top-k
     * (k09), the 6-factor weather similarity (w04), the dedup lifecycle
-    * funnel (d36), and the IVFADC ANN ladder rung (s08).
+    * funnel (d36), the IVFADC ANN ladder rung (s08), and — added round 11
+    * to cover the remaining families — the end-to-end score sink (k30:
+    * nightly write → merge upsert → retention, read back; calculated_at
+    * excluded so the output is deterministic), the text pipeline
+    * (d02), and the hourly serving path (k24).
     */
   val Names: Seq[String] = Seq(
     "k08_kernel_risk", "k09_kernel_topk", "w04_weather_similarity",
-    "d36_dedup_funnel", "s08_ann_ivfpq")
+    "d36_dedup_funnel", "s08_ann_ivfpq", "k30_score_sink_roundtrip",
+    "d02_token_stats", "k24_hourly_serving")
 
   val SfDir = "/root/testdata/sf0.001"
 
