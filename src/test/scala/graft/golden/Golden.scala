@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SHARED-CONSTANT drift — a changed threshold or weight interpolated into
   * the generated DuckDB SQL moves both engines together and stays green
   * (the hole `tools/mutation_check.sh` documents by design). These goldens
-  * pin the ABSOLUTE output of five headline queries at sf0.001, so a
+  * pin the ABSOLUTE output of eight headline queries at sf0.001, so a
   * both-engines-drift regression fails the ScalaTest suite even while the
   * relational gate passes.
   *
