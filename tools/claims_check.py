@@ -73,16 +73,83 @@ NEGATION_RE = re.compile(
 
 
 # Stale-artifact citations: prose presenting CORRECTNESS_r{K} as the
-# current evidence when r{N>K} exists reads one round behind (the r10
-# COVERAGE.md header narrated the r09 artifact as shipped state). A line
-# may cite an older artifact ONLY when explicitly marked as history with
-# '(historical)' on the same line.
+# current evidence when the GRADED artifact is newer reads one round
+# behind (the r10 COVERAGE.md header narrated the r09 artifact as
+# shipped state). A line may cite an older artifact ONLY when explicitly
+# marked as history with '(historical)' on the same line.
+#
+# Judged against the round of the artifact being CHECKED, not the max
+# over the glob (round-12 fix): the driver drops CORRECTNESS_r{N}.json
+# into the tree BEFORE any prose refresh can happen, so a max-over-glob
+# rule failed the very round that produced the artifact (verified in
+# round 11). The graded artifact's round is what the prose could
+# actually have known about when it was written.
 ARTIFACT_CITE_RE = re.compile(r"\bCORRECTNESS_r(\d+)(?:\.json)?\b")
 HISTORY_MARK = "(historical)"
 
 
+# Bench-number claims: a line that names a committed bench entry
+# (backtick-quoted key present in BENCH_LOCAL.json) AND states measured
+# seconds ("12.3 s" / "11–14 s") must have at least ONE seconds-claim on
+# the line whose ±15%-widened interval covers the committed value — the
+# round-11 README carried "11–14 s exact" while the committed artifact
+# said 9.17 s (stale in the conservative direction, still a drifted
+# claim). Lines that cite a key without claiming seconds are exempt:
+# this is a drift tripwire on stated measurements, not a proof.
+BENCH_KEY_RE = re.compile(r"`([a-z][a-z0-9_]+)`")
+SECONDS_RE = re.compile(
+    r"(\d+(?:\.\d+)?)(?:\s*[–—-]\s*(\d+(?:\.\d+)?))?\s*s(?:ec)?\b")
+BENCH_TOL = 0.15
+
+
+def bench_local_queries():
+    p = os.path.join(ROOT, "BENCH_LOCAL.json")
+    if not os.path.exists(p):
+        return {}
+    try:
+        d = json.load(open(p))
+        return {k: v for k, v in d.get("queries", {}).items()
+                if isinstance(v, (int, float)) and v >= 0}
+    except Exception:
+        return {}
+
+
+def check_bench_claims(doc, bench):
+    """Lines citing a BENCH_LOCAL key + claiming seconds must be current."""
+    errs = []
+    path = os.path.join(ROOT, doc)
+    if not os.path.exists(path) or not bench:
+        return errs
+    # gauges (rows / MB) aren't seconds; suite-query ids (q02_…, d28_…)
+    # appear in prose as ORACLE-QUERY names far more often than as bench
+    # claims — restrict the rule to headline/gate entry names, where a
+    # citation + seconds on one line is reliably a measurement claim
+    def is_exempt(k):
+        return (k.endswith("_rows") or k.endswith("_state_mb")
+                or QUERY_NAME_RE.fullmatch(k))
+    for lineno, line in enumerate(open(path).read().splitlines(), 1):
+        keys = [k for k in BENCH_KEY_RE.findall(line)
+                if k in bench and not is_exempt(k)]
+        if not keys:
+            continue
+        spans = [(float(m.group(1)), float(m.group(2) or m.group(1)))
+                 for m in SECONDS_RE.finditer(line)]
+        if not spans:
+            continue
+        for k in keys:
+            v = bench[k]
+            if not any(lo * (1 - BENCH_TOL) <= v <= hi * (1 + BENCH_TOL)
+                       for lo, hi in spans):
+                errs.append(
+                    f"{doc}:{lineno} cites bench entry `{k}` with a seconds "
+                    f"claim, but no claimed value/range on the line covers the "
+                    f"committed {v:.3g} s within ±{int(BENCH_TOL*100)}% "
+                    f"(BENCH_LOCAL.json) — refresh the claim")
+    return errs
+
+
 def check_doc(doc, total, n_pass, n_rows_only, n_fail, red_queries,
-              latest_round):
+              graded_round):
     errs = []
     path = os.path.join(ROOT, doc)
     if not os.path.exists(path):
@@ -90,11 +157,11 @@ def check_doc(doc, total, n_pass, n_rows_only, n_fail, red_queries,
     text = open(path).read()
     for lineno, line in enumerate(text.splitlines(), 1):
         for m in ARTIFACT_CITE_RE.finditer(line):
-            if int(m.group(1)) < latest_round and HISTORY_MARK not in line:
+            if int(m.group(1)) < graded_round and HISTORY_MARK not in line:
                 errs.append(
-                    f"{doc}:{lineno} cites stale {m.group(0)} but "
-                    f"CORRECTNESS_r{latest_round:02d}.json exists — refresh the "
-                    f"prose or mark the line '(historical)'")
+                    f"{doc}:{lineno} cites stale {m.group(0)} but the graded "
+                    f"artifact is CORRECTNESS_r{graded_round:02d}.json — refresh "
+                    f"the prose or mark the line '(historical)'")
         for m in CLAIM_RE.finditer(line):
             c_oracle, c_rows_only = int(m.group(1)), int(m.group(2))
             if (c_oracle, c_rows_only) != (n_pass, n_rows_only):
@@ -128,16 +195,23 @@ def main():
           f"rows-only={n_rows_only} fail={n_fail}")
     for f in fails:
         print(f"  FAILING ROW  {f}")
-    # latest round IN THE TREE, independent of which artifact was passed —
-    # stale citations are judged against what exists, not what we compared
-    rounds = [int(m.group(1)) for p in glob.glob(
-                  os.path.join(ROOT, "CORRECTNESS_r*.json"))
-              for m in [re.search(r"CORRECTNESS_r(\d+)\.json$", p)] if m]
-    latest_round = max(rounds) if rounds else 0
+    # stale citations are judged against the round of the artifact being
+    # CHECKED (an explicitly-passed replay summary has no round → fall
+    # back to the newest round in the tree, which is then also `art`)
+    m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(art))
+    if m:
+        graded_round = int(m.group(1))
+    else:
+        rounds = [int(g.group(1)) for p in glob.glob(
+                      os.path.join(ROOT, "CORRECTNESS_r*.json"))
+                  for g in [re.search(r"CORRECTNESS_r(\d+)\.json$", p)] if g]
+        graded_round = max(rounds) if rounds else 0
     errs = []
+    bench = bench_local_queries()
     for doc in ("COVERAGE.md", "README.md"):
         errs.extend(check_doc(doc, total, n_pass, n_rows_only, n_fail,
-                              red_queries, latest_round))
+                              red_queries, graded_round))
+        errs.extend(check_bench_claims(doc, bench))
     if errs:
         for e in errs:
             print(f"CLAIM-MISMATCH  {e}")
