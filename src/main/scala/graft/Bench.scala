@@ -138,6 +138,50 @@ object Bench {
     KernelPruning.scoreRoutesPruned(
       syntheticRoutes(spark, 1680000), syntheticAccidents(spark, 69000), planDate)
 
+  /** The 10× catalog under REALISTIC geo-clustering: ids < n/2 follow the
+    * uniform continental lattice; ids ≥ n/2 — half the catalog — are
+    * planted strictly inside ONE tier-0 grid cell ("half the routes in a
+    * few crags"), as sport routes so they really land in tier 0. The cell
+    * geometry comes from KernelPruning's own constants, so a tier/CellDiv
+    * change moves the plant with it.
+    *
+    * Why this should NOT blow up the pruned plan, stated so the measured
+    * entry has a prediction to check: the pruned kernel is a BROADCAST
+    * equi-join probed from the route side, and `Partitioning.balanced`
+    * round-robins routes across tasks — so co-located routes do not
+    * co-locate in any task, and per-task pair output stays
+    * (routes per task) × (accidents within each route's window), which is
+    * ACCIDENT-density-bound, not route-density-bound. Route clustering
+    * alone therefore concentrates probes of one hashmap key (cheap, the
+    * map is read-only broadcast state) but not output. The skew that
+    * genuinely inflates work is accident-side clustering (it lengthens
+    * every hot-window route's candidate list); the bit-equality spec
+    * covers that with a planted hot accident cell at 10× density, and
+    * `kernel_batch_10x_skew` pins the route-clustering wall within ~1.5×
+    * of the uniform `kernel_batch_10x` (prediction: at or below it — the
+    * hot half sits in tier 0, whose windows are the smallest; the
+    * committed BENCH entry is the check).
+    */
+  def syntheticRoutesSkewed(spark: SparkSession, n: Long): DataFrame = {
+    val (latDeg, lonDeg) = KernelPruning.tier0CellDegrees()
+    // center of the tier-0 cell containing (40.0, -109.0); jitter spans
+    // ±0.4 cell per axis, so every hot route is strictly interior
+    val latC = (math.floor(40.0 / latDeg) + 0.5) * latDeg
+    val lonC = (math.floor((-109.0 + 180.0) / lonDeg) + 0.5) * lonDeg - 180.0
+    val hot = spark.range(n / 2, n).select(
+      col("id").as("route_id"),
+      (lit(latC) + ((col("id") % 1000L) / 1000.0 - 0.5) * (0.8 * latDeg)).as("lat"),
+      (lit(lonC) + (((col("id") * 7) % 1000L) / 1000.0 - 0.5) * (0.8 * lonDeg)).as("lon"),
+      (lit(1000.0) + (col("id") % 3000)).as("elev"),
+      lit("sport").as("route_type"),
+      (lit(5.0) + (col("id") % 11)).as("difficulty"))
+    syntheticRoutes(spark, n).where(col("route_id") < n / 2).unionByName(hot)
+  }
+
+  def kernelBatch10xSkew(spark: SparkSession): DataFrame =
+    KernelPruning.scoreRoutesPruned(
+      syntheticRoutesSkewed(spark, 1680000), syntheticAccidents(spark, 69000), planDate)
+
   /** 100× the reference's production batch — 16.8M routes × 69K accidents
     * ≈ 1.16T raw pair-candidates through the tiered pruned kernel. The
     * linearity point for the "100×-safe" design claim: candidates scale
@@ -847,7 +891,8 @@ object Bench {
       "kernel_batch_168k_pruned", "kernel_batch_incremental_100new",
       "kernel_batch_168k_factorized", "map_with_safety_168k",
       "nightly_3dates",
-      "kernel_batch_10x", "kernel_batch_100x", "lsh_skew", "quota_skew",
+      "kernel_batch_10x", "kernel_batch_10x_skew", "kernel_batch_100x",
+      "lsh_skew", "quota_skew",
       "tfidf_10x", "funnel_10x", "cluster_10x", "ann_int8_1m", "ann_pq_200k",
       "ann_ivfpq_200k", "ann_pq_encode_200k", "ann_pq_encode_1m",
       "ann_pq_1m", "ann_ivfpq_1m",
@@ -894,11 +939,16 @@ object Bench {
       val total = m.collect { case (k, v) if v >= 0 && !isGauge(k) => v }.sum
       (suite, headline, total)
     }
+    // n_queries / n_failed describe the MERGED map (what the queries
+    // payload actually carries — same-stamp prior-run entries included);
+    // n_measured says how many entries THIS run re-executed, so a run
+    // that died early can't masquerade as a full suite (round-11 advisor
+    // finding: results.size vs the carried-over map misstated coverage)
     def fullLine(): String = {
       val (suite, headline, total) = snapshot()
       val qs = (suite ++ headline)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      s"""{"queries":$qs,"src_stamp":"$stamp","canary_sec":${fmt(canarySec)},"runs_merged":$runsMerged,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
+      s"""{"queries":$qs,"src_stamp":"$stamp","canary_sec":${fmt(canarySec)},"runs_merged":$runsMerged,"sf":"$sfDir","n_queries":${suite.size + headline.size},"n_measured":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
     }
     def compactLine(): String = {
       val (suite, headline, total) = snapshot()
@@ -906,7 +956,8 @@ object Bench {
         .mkString("{", ",", "}")
       val suiteTotal = suite.map(_._2).filter(_ >= 0).sum
       val nFailed = (suite ++ headline).count(_._2 < 0)
-      s"""{"queries":$hqs,"suite_n":${suite.size},"suite_sec":${fmt(suiteTotal)},"n_failed":$nFailed,"canary_sec":${fmt(canarySec)},"runs_merged":$runsMerged,"full":"BENCH_LOCAL.json","sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
+      val nFailedThisRun = results.count(_._2 < 0)
+      s"""{"queries":$hqs,"suite_n":${suite.size},"suite_sec":${fmt(suiteTotal)},"n_failed":$nFailed,"n_failed_this_run":$nFailedThisRun,"canary_sec":${fmt(canarySec)},"runs_merged":$runsMerged,"full":"BENCH_LOCAL.json","sf":"$sfDir","n_queries":${suite.size + headline.size},"n_measured":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
     }
     def persistLocal(): Unit =
       try {
@@ -1064,7 +1115,8 @@ object Bench {
       "distinct_exact_10m", "ann_pq_200k", "ann_pq_encode_1m", "funnel_10x",
       "ann_ivfpq_1m", "ann_pq_1m", "cluster_10x",
       "streaming_1m", "streaming_1m_sketch_rows", "streaming_1m_lsh_rows",
-      "streaming_1m_state_mb", "kernel_batch_10x", "bloom_10m")
+      "streaming_1m_state_mb", "kernel_batch_10x", "kernel_batch_10x_skew",
+      "bloom_10m")
     if (only.isEmpty) {
       spark.stop() // free the parent's executor pool + heap for the child
       // the returned map back-fills -1 sentinels for any key the child
@@ -1108,6 +1160,7 @@ object Bench {
         emit()
       }
       record("kernel_batch_10x") { capped("kernel_batch_10x", 420, -1.0)(time(kernelBatch10x(spark))) }
+      record("kernel_batch_10x_skew") { capped("kernel_batch_10x_skew", 420, -1.0)(time(kernelBatch10xSkew(spark))) }
       record("bloom_10m") { capped("bloom_10m", 420, -1.0)(time(bloom10m(spark))) }
       // linearity evidence, opt-in by explicit name only (~30 min)
       if (only.exists(_.contains("kernel_batch_100x")))

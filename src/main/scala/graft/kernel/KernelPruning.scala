@@ -101,6 +101,18 @@ object KernelPruning {
     * ((2+1/K)² → 4) while the broadcast fan-out grows as (2K+1)². */
   private val CellDiv = 2
 
+  /** Tier-0 cell extents in degrees (lat, lon) under the default floor —
+    * the geometry tests and benches need to plant geo-skew STRICTLY
+    * INSIDE one grid cell (the "half the catalog in one crag" workload).
+    * Derived from the same constants as pairInfluencePruned, so a tier
+    * or CellDiv change moves the plant with it.
+    */
+  private[graft] def tier0CellDegrees(maxAbsLat: Double = 72.0): (Double, Double) = {
+    val cellKm = RadiusTierKm.head *
+      radiusFactorFor(SafetyKernel.SignificanceFloor, 1.0) / CellDiv
+    (cellKm / KmPerDegLat, 360.0 / lonCells(cellKm, maxAbsLat))
+  }
+
   private def tierOf(h: Column): Column =
     RadiusTierKm.zipWithIndex.dropRight(1)
       .foldLeft(when(lit(false), lit(0))) { case (acc, (t, i)) => acc.when(h <= t, i) }

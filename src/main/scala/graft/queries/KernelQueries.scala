@@ -240,12 +240,27 @@ object KernelQueries {
       import graft.pipeline.ScoringPipeline
       // PID-unique: two concurrent Verify processes at the same SF (e.g.
       // the default and ANSI gates overlapping) must not share a table
-      val scratch = new java.io.File(sys.props("java.io.tmpdir"),
+      val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
+      val scratch = new java.io.File(tmpRoot,
         s"graft_k30_${Integer.toHexString(dir.hashCode)}_${ProcessHandle.current().pid()}")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
       }
-      rm(scratch) // a previous run's table must not leak into this one
+      // the returned DataFrame reads the parquet LAZILY, so this run's
+      // scratch cannot be deleted here — sweep every graft_k30_* table
+      // whose owning pid is gone (dead-pid dirs are prior processes'
+      // leaks), and register our own for deletion at JVM exit. Without
+      // the sweep each verify process left one table behind (round-11
+      // advisor finding).
+      Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_k30_")).foreach { f =>
+          val ownerAlive = f.getName.split("_").lastOption
+            .flatMap(p => scala.util.Try(p.toLong).toOption)
+            .exists(pid => ProcessHandle.of(pid).isPresent)
+          if (!ownerAlive) rm(f)
+        }
+      rm(scratch) // a previous SAME-pid run's table must not leak into this one
+      scratch.deleteOnExit() // best-effort; the dead-pid sweep is the backstop
       val out = scratch.getAbsolutePath
       val routes = Derived.routes(s, dir)
       val accidents = Derived.accidents(s, dir)

@@ -74,10 +74,16 @@ object Golden {
 /** The explicit regeneration tool — the ONLY writer of the golden files. */
 object GoldenRegen {
   def main(args: Array[String]): Unit = {
+    // SAME master/shuffle config as SparkSpec (local[4]/4): regen and
+    // GoldenSnapshotSpec must execute IDENTICAL plans, or float
+    // aggregations can sum in different orders between the writer and
+    // the verifier and a snapshot flakes on the last ulp — the queries'
+    // explicit rounding shields that today, but the config divergence
+    // was gratuitous risk (round-11 advisor finding)
     val spark = SparkSession.builder()
-      .master("local[8]")
+      .master("local[4]")
       .appName("golden-regen")
-      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -128,6 +128,47 @@ class KernelPruningSpec extends SparkSpec {
     assert(maxErr <= bound, s"max error $maxErr vs bound $bound")
   }
 
+  test("geo-skewed catalog (half the routes in ONE tier-0 cell): still bit-equal above the floor") {
+    // the kernel_batch_10x_skew layout at spec scale: Bench's skewed
+    // generator plants ids >= n/2 strictly inside one tier-0 grid cell.
+    // Route-side clustering must change NOTHING about correctness — the
+    // equi-join's losslessness argument is per-pair geometry, independent
+    // of how many routes share a cell — and the fan-out must not
+    // duplicate pairs in the hot cell.
+    // 1500 accidents: the synthetic (lat, lon) pattern is a 1-D curve
+    // (both coords driven by id), so small counts leave the hot cell's
+    // neighborhood empty — 1500 puts the nearest accident ~40 km from
+    // the cell center, well inside the sport gate radius, which keeps
+    // the hot-half liveness assertion below meaningful
+    val skewed = graft.Bench.syntheticRoutesSkewed(spark, 2000)
+    val acc = graft.Bench.syntheticAccidents(spark, 1500)
+
+    // the plant is real: the hot half occupies exactly one tier-0 cell
+    val (latDeg, lonDeg) = KernelPruning.tier0CellDegrees()
+    val hotCells = skewed.where(col("route_id") >= 1000)
+      .select(floor(col("lat") / latDeg).as("la"),
+        floor((col("lon") + 180.0) / lonDeg).as("lo"))
+      .distinct().count()
+    assert(hotCells == 1L, s"hot half spans $hotCells cells, expected 1")
+    assert(skewed.count() == 2000)
+
+    val exactPairs = SafetyKernel.pairInfluence(skewed, acc, planDate)
+      .select("route_id", "accident_id", "influence")
+      .where(col("influence") >= SafetyKernel.SignificanceFloor)
+      .as[(Long, Long, Double)].collect().toSet
+    val prunedPairs = KernelPruning.pairInfluencePruned(skewed, acc, planDate)
+      .select("route_id", "accident_id", "influence")
+      .as[(Long, Long, Double)].collect()
+    assert(prunedPairs.length == prunedPairs.map(p => (p._1, p._2)).distinct.length,
+      "fan-out duplicated a pair under route-side clustering")
+    assert(exactPairs.subsetOf(prunedPairs.toSet),
+      "a significant pair was pruned on the skewed layout")
+    // hot routes genuinely participate (the cell sits inside the
+    // continental accident spread, so significant pairs must exist there)
+    assert(exactPairs.exists(_._1 >= 1000L),
+      "hot-cell routes produced no significant pairs — plant is dead")
+  }
+
   test("polar maxAbsLat: degenerate 1-2 cell lon rings emit no duplicate pairs") {
     // at maxAbsLat = 89 the widest tier's lon ring collapses to ONE cell
     // (minDeg ≈ 207°) — the old constant ±1 fan-out then emitted every
