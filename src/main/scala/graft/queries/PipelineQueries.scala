@@ -31,6 +31,35 @@ object PipelineQueries {
     */
   private val PqOracleBooks = Similarity.pqFixedCodebooks(dim = 64, numSub = 8, ksub = 4)
 
+  /** Attach a measured quality gauge (recall / agreement vs the exact
+    * twin) to every row of a rows-only query, FLOOR-ENFORCED AT
+    * EMISSION: below the floor the gauge column raise_error's, so the
+    * driver's rows-only artifact row turns into a hard failure instead
+    * of silently shipping a degraded approximate operator. Until round
+    * 12 these floors lived only in ScalaTest; now the artifact the
+    * driver reads carries the measured number itself (a `spark_rows > 0`
+    * rows-only row PROVES gauge ≥ floor, because emission enforces it).
+    * `gauge` is a 1-row/1-double-column frame; the crossJoin broadcasts
+    * it, costing nothing at any scale.
+    */
+  private def withFloorGauge(result: DataFrame, gauge: DataFrame,
+                             name: String, floor: Double): DataFrame = {
+    val g = gauge.select(col(gauge.columns.head).cast("double").as("__gauge"))
+    result.crossJoin(broadcast(g))
+      .withColumn(name,
+        when(col("__gauge") >= floor, round(col("__gauge"), 4))
+          .otherwise(raise_error(concat(
+            lit(s"$name="), col("__gauge").cast("string"),
+            lit(s" below floor $floor — approximate operator degraded")))))
+      .drop("__gauge")
+  }
+
+  /** num/den as a 1-row gauge frame from two row-count frames. */
+  private def ratioGauge(num: DataFrame, den: DataFrame): DataFrame =
+    num.agg(count(lit(1)).cast("double").as("__num"))
+      .crossJoin(den.agg(count(lit(1)).cast("double").as("__den")))
+      .select((col("__num") / col("__den")).as("gauge"))
+
   /** Per-language md5-gate thresholds for d13's reproducible training-mix
     * sample: 4 hex digits ⇒ admitted fraction = parse(gate)/65536
     * (en downsampled hard, the rest kept near-whole — the usual
@@ -458,10 +487,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // --- MinHash + LSH near-dup candidates (rows-only; spec-validated) ----
+    // --- MinHash + LSH near-dup candidates (rows-only; spec-validated; ----
+    // since round 12 the DedupSpec recall floor is also MEASURED AND
+    // EMITTED: the same plant as the spec — one appended token on
+    // ≥62-token docs keeps shingle-Jaccard ≥ ~0.95, where 16 hashes /
+    // 4 bands give ≥99.8% per-pair catch probability — runs through the
+    // REAL signature+banding path, and recall_planted rides every output
+    // row, raise_error'ing below 0.9 so a degraded LSH cannot ship as a
+    // green rows-only row.
     "d05_minhash_lsh" -> ((s, dir) => {
-      val sigs = Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text", 16, 3)
-      Dedup.lshCandidatePairs(sigs, "doc_id", 16, 4)
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16, 3)
+      val result = Dedup.lshCandidatePairs(sigs, "doc_id", 16, 4)
+      val offset = 10000000L
+      val longDocs = docs
+        .where(size(split(col("text"), " ")) >= 62 && col("doc_id") < 300)
+      val planted = longDocs.select((col("doc_id") + offset).as("doc_id"),
+        concat(col("text"), lit(" zzzplantedzzz")).as("text"))
+      val caught = Dedup.lshCandidatePairs(
+          Dedup.minhashSignatures(docs.union(planted), "doc_id", "text", 16, 3),
+          "doc_id", 16, 4)
+        .where(col("id_b") === col("id_a") + offset)
+        .join(longDocs.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+      withFloorGauge(result, ratioGauge(caught, longDocs), "recall_planted", 0.9)
         .orderBy("id_a", "id_b")
     }),
 
@@ -519,12 +567,31 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // --- SimHash fingerprints + fingerprint dedup (rows-only) -------------
+    // --- SimHash fingerprints + fingerprint dedup (rows-only; since -------
+    // round 12 the spec's separation property is measured and emitted:
+    // planted near-dups (same one-token plant as d05) must stay within
+    // hamming ≤ 8 of their originals in the 63-bit signature space —
+    // neardup_close_frac rides every row, raise_error'ing below 0.9)
     "d06_simhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.simhashSignatures(docs, "doc_id", "text")
+      val result = Dedup.simhashSignatures(docs, "doc_id", "text")
         .join(docs.select(col("doc_id"),
           TextExprs.fingerprint(col("text")).as("fingerprint")), "doc_id")
+      val offset = 10000000L
+      val base = docs.select("doc_id", "text")
+      val longDocs = base
+        .where(size(split(col("text"), " ")) >= 62 && col("doc_id") < 300)
+      val planted = longDocs.select((col("doc_id") + offset).as("doc_id"),
+        concat(col("text"), lit(" zzzplantedzzz")).as("text"))
+      val ham = Dedup.simhashSignatures(longDocs, "doc_id", "text")
+        .select(col("doc_id"), col("simhash").as("h_orig"))
+        .join(Dedup.simhashSignatures(planted, "doc_id", "text")
+          .select((col("doc_id") - offset).as("doc_id"),
+            col("simhash").as("h_plant")), Seq("doc_id"))
+        .select(Dedup.hamming64(col("h_orig"), col("h_plant")).as("ham"))
+      withFloorGauge(result,
+        ham.agg(avg(when(col("ham") <= 8, 1.0).otherwise(0.0)).as("gauge")),
+        "neardup_close_frac", 0.9)
         .orderBy("doc_id")
     }),
 
@@ -556,9 +623,15 @@ object PipelineQueries {
         transform(col("embedding"),
           (x, i) => x + ((col("vec_id") + i.cast("long")) % 3 - 1).cast("double") * 0.01)
           .as("embedding"))
-      Similarity.nearDupPairsLsh(e.union(planted), "vec_id", "embedding",
+      val result = Similarity.nearDupPairsLsh(e.union(planted), "vec_id", "embedding",
         dim = 64, bits = 8, threshold = 0.95)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      // every corpus vector has exactly one planted near-dup (id + 1e6,
+      // cosine ≈ 0.998): the fraction the bucket join surfaces IS the
+      // recall the DedupSpec floor asserts — measured and emitted since
+      // round 12, raise_error below 0.8
+      val caught = result.where(col("id_b") === col("id_a") + 1000000L)
+      withFloorGauge(result, ratioGauge(caught, e), "recall_planted", 0.8)
         .orderBy("id_a", "id_b")
     }),
 
@@ -680,14 +753,27 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // --- LSH-bucketed approximate top-k (rows-only; recall in spec) -------
+    // --- LSH-bucketed approximate top-k (rows-only; recall vs the exact
+    // brute-force top-k measured and emitted since round 12 — the
+    // SimilaritySpec floor, enforced at emission) ---------------------------
     "s02_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      Similarity.lshTopK(
-        e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
-        "vec_id", "embedding", dim = 64, bits = 8, k = 3)
+      val q = e.where(col("vec_id") < 10)
+      val c = e.where(col("vec_id") >= 10)
+      // bits = 5: measured recall ladder on this corpus (the gauge is
+      // what surfaced it) — 8 bits: 0.10–0.20, 6 bits: 0.17–0.20,
+      // 5 bits: 0.33–0.43 across sf0.001/0.01/0.1 — so 5 bits is the
+      // cheapest configuration that clears the 0.25 floor with headroom
+      // (multi-probe touches ~6/32 of the corpus per query)
+      val result = Similarity.lshTopK(
+        q, c, "vec_id", "embedding", dim = 64, bits = 5, k = 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"))
+      val exact = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 3)
+        .select("query_id", "neighbor_id")
+      val hit = result.select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      withFloorGauge(result, ratioGauge(hit, exact), "recall_vs_exact", 0.25)
         .orderBy("query_id", "rank")
     }),
 
@@ -728,25 +814,54 @@ object PipelineQueries {
     // The second classic ANN scale path: deterministic spherical k-means
     // cells, nprobe-cell probing — each query touches ~nprobe/nlist of the
     // corpus instead of all of it.
+    // (recall vs exact measured and emitted since round 12, floor 0.4 —
+    // the SimilaritySpec IVF floor, enforced at emission)
     "s03_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(
-        e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10),
-        "vec_id", "embedding", nlist = 16, nprobe = 4, k = 3)
+      val q = e.where(col("vec_id") < 10)
+      val c = e.where(col("vec_id") >= 10)
+      val result = Similarity.ivfTopK(
+        q, c, "vec_id", "embedding", nlist = 16, nprobe = 4, k = 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine"))
+      val exact = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 3)
+        .select("query_id", "neighbor_id")
+      val hit = result.select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      withFloorGauge(result, ratioGauge(hit, exact), "recall_vs_exact", 0.4)
         .orderBy("query_id", "rank")
     }),
 
     // --- semantic dedup (SemDeDup): cluster-then-prune ---------------------
     // Production path: deterministic sampled-kmeans cells (rows-only; the
     // keep rule itself is oracle'd via s04b's one-hot twin below).
+    // (prune agreement vs the EXACT global keep rule measured and
+    // emitted since round 12: kept_exact(i) = no j < i ANYWHERE with
+    // cosine ≥ τ — SemDeDup's cluster-then-prune can only differ by
+    // missing cross-cell dups, and the emitted agreement bounds how much
+    // of that it does on this corpus; computed on a fixed vec_id < 500
+    // slice so the gauge stays O(1) as the corpus scales)
     "s04_semantic_dedup" -> ((s, dir) => {
-      Similarity.semanticDedup(
+      val result = Similarity.semanticDedup(
         Tables.embeddings(s, dir), "vec_id", "embedding",
         nlist = 8, tau = SemDedupTau)
         .select(col("id").as("vec_id"), col("cell"), col("cell_capped"),
           round(col("max_prior_sim"), 4).as("max_prior_sim"), col("kept"))
+      val slice = Tables.embeddings(s, dir).where(col("vec_id") < 500)
+      val x = Similarity.withNorm(slice, "vec_id", "embedding", "id_a", "v_a", "n_a")
+      val y = Similarity.withNorm(slice, "vec_id", "embedding", "id_b", "v_b", "n_b")
+      val droppedExact = x.join(y, col("id_b") < col("id_a"))
+        .where(graft.expr.VectorExprs.dot(col("v_a"), col("v_b")) /
+          (col("n_a") * col("n_b")) >= SemDedupTau)
+        .select(col("id_a").as("vec_id")).distinct()
+        .withColumn("kept_exact", lit(false))
+      val agreement = result.where(col("vec_id") < 500)
+        .select(col("vec_id"), col("kept"))
+        .join(droppedExact, Seq("vec_id"), "left")
+        .withColumn("kept_exact", coalesce(col("kept_exact"), lit(true)))
+        .agg(avg(when(col("kept") === col("kept_exact"), 1.0).otherwise(0.0))
+          .as("gauge"))
+      withFloorGauge(result, agreement, "prune_agreement", 0.85)
         .orderBy("vec_id")
     }),
 
