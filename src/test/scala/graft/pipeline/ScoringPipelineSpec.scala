@@ -41,6 +41,61 @@ class ScoringPipelineSpec extends SparkSpec {
       .where(col("count") > 1).count() == 0)
   }
 
+  test("crashed-write debris: rerunning a date converges to the clean table") {
+    // The idempotency CLAIM (writeScores scaladoc: "re-running a date
+    // replaces exactly that date's partition") exercised through failure
+    // injection, not just asserted: simulate a mid-write kill by planting
+    // the debris a crashed job leaves behind — a stale `_temporary`
+    // staging tree at the table root AND a partial orphan file inside the
+    // victim date's partition (task-committed output whose job never
+    // committed) — then rerun that ONE date and require the final table
+    // to equal a clean single run, byte-debris gone.
+    val dates = Seq("2024-07-15", "2024-07-16", "2024-07-17")
+    def deterministic(path: String) = spark.read.parquet(path)
+      .select(col("route_id"), col("prediction_date"),
+        round(col("risk_score"), 9).as("risk_score"),
+        col("n_contributing"), col("color_code"))
+      .orderBy("prediction_date", "route_id")
+      .collect().toSeq
+
+    val clean = Files.createTempDirectory("scores_clean").toString
+    ScoringPipeline.writeScores(
+      ScoringPipeline.computeDailyScores(routes, accidents, dates), clean)
+    val want = deterministic(clean)
+
+    val out = Files.createTempDirectory("scores_crash").toString
+    ScoringPipeline.writeScores(
+      ScoringPipeline.computeDailyScores(routes, accidents, dates), out)
+    // crash debris 1: stale staging tree from a killed job
+    val tmp = new java.io.File(out, "_temporary/0/_temporary/attempt_dead/")
+    assert(tmp.mkdirs())
+    Files.write(tmp.toPath.resolve("part-00000-dead.snappy.parquet"),
+      Array[Byte](0x50, 0x41, 0x52, 0x31)) // "PAR1" and nothing else
+    // crash debris 2: orphan partial file INSIDE the victim partition —
+    // not valid parquet, so if the rerun fails to remove it the final
+    // read below fails loudly instead of silently passing
+    val victim = new java.io.File(out, "prediction_date=2024-07-16")
+    assert(victim.isDirectory)
+    val orphan = new java.io.File(victim, "part-99999-crashed.c000.snappy.parquet")
+    Files.write(orphan.toPath, "not parquet at all".getBytes)
+
+    // the recovery a scheduler would do: rerun the victim date only
+    ScoringPipeline.writeScores(
+      ScoringPipeline.computeDailyScores(routes, accidents, Seq("2024-07-16")), out)
+
+    assert(!orphan.exists(),
+      "dynamic partition overwrite left the crashed partial file in place")
+    assert(deterministic(out) == want,
+      "post-crash rerun does not converge to the clean single-run table")
+    // and the UNTOUCHED dates survived the single-date rerun — the
+    // property a static-overwrite regression (mutation arm M24) destroys:
+    // static mode truncates the whole table and leaves only the rerun date
+    val remainingDates = spark.read.parquet(out)
+      .select("prediction_date").distinct().count()
+    assert(remainingDates == 3L,
+      "rerunning one date disturbed the other dates' partitions")
+  }
+
   test("retainDates drops exactly the non-kept partitions") {
     val out = Files.createTempDirectory("scores").toString
     val dates = Seq("2024-07-15", "2024-07-16", "2024-07-17")

@@ -361,6 +361,23 @@ run_mutation retention-keep-flip \
   'keepSet.contains(p.getName.stripPrefix("prediction_date="))' \
   'k30_score_sink_roundtrip'
 
+# M24: the score sink's dynamic partition overwrite downgraded to
+# static — a single-date rerun then TRUNCATES the whole table instead of
+# replacing exactly that date's partition; the crashed-write
+# failure-injection spec (untouched dates must survive a one-date rerun,
+# debris removed, table equal to a clean single run) and the runDaily
+# idempotency spec both fail. Spec-checked: the destroyed property is
+# on-disk layout across reruns, which no single-query oracle sees.
+run_mutation_spec sink-static-overwrite \
+  src/main/scala/graft/pipeline/ScoringPipeline.scala \
+  '"dynamic")
+      .partitionBy("prediction_date")
+      .parquet(outPath)' \
+  '"static")
+      .partitionBy("prediction_date")
+      .parquet(outPath)' \
+  'graft.pipeline.ScoringPipelineSpec'
+
 # M23: longitude prefilter over-tightened — the sound great-circle lower
 # bound 2R·√(cosφ₁cosφ₂)·|sin(Δλ/2)| doubled to 4R·… over-prunes: every
 # in-radius pair whose lon-bound exceeds half the gate is silently
