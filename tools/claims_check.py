@@ -128,6 +128,10 @@ def check_bench_claims(doc, bench):
         return (k.endswith("_rows") or k.endswith("_state_mb")
                 or QUERY_NAME_RE.fullmatch(k))
     for lineno, line in enumerate(open(path).read().splitlines(), 1):
+        # same escape hatch as artifact citations: a line narrating an
+        # OLD round's number as history is exempt when marked
+        if HISTORY_MARK in line:
+            continue
         keys = [k for k in BENCH_KEY_RE.findall(line)
                 if k in bench and not is_exempt(k)]
         if not keys:
