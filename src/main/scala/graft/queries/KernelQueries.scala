@@ -16,6 +16,29 @@ object KernelQueries {
   // single-sourced from the kernel — see SafetyKernel.CanonicalTypes
   private val CanonicalTypes = SafetyKernel.CanonicalTypes
 
+  /** Paths queued for recursive deletion at JVM exit. One hook, a
+    * concurrent set of paths: k30 may run many times per JVM (bench
+    * repeats, verify + spec in one sbt session) and each invocation's
+    * pid-unique scratch must go when the JVM does — `File.deleteOnExit`
+    * cannot remove non-empty directories, so it never actually worked
+    * for a parquet table.
+    */
+  private val scratchAtExit =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val scratchHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchAtExit.forEach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(new java.io.File(p))
+      }))
+
+  private[queries] def registerScratchCleanup(path: String): Unit = {
+    scratchHookInstalled
+    scratchAtExit.add(path)
+  }
+
   private def typesDf(s: SparkSession): DataFrame = {
     import s.implicits._
     CanonicalTypes.toDF("route_type")
@@ -260,7 +283,11 @@ object KernelQueries {
           if (!ownerAlive) rm(f)
         }
       rm(scratch) // a previous SAME-pid run's table must not leak into this one
-      scratch.deleteOnExit() // best-effort; the dead-pid sweep is the backstop
+      // deleteOnExit() can't remove a NON-EMPTY directory (round-12 advisor:
+      // every verify run leaked its table until a later run's dead-pid sweep,
+      // and pid reuse could keep a leak alive) — a recursive shutdown hook
+      // actually deletes it; the dead-pid sweep stays as the crash backstop
+      KernelQueries.registerScratchCleanup(scratch.getAbsolutePath)
       val out = scratch.getAbsolutePath
       val routes = Derived.routes(s, dir)
       val accidents = Derived.accidents(s, dir)

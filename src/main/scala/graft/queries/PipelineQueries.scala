@@ -42,23 +42,36 @@ object PipelineQueries {
     * `gauge` is a 1-row/1-double-column frame; the crossJoin broadcasts
     * it, costing nothing at any scale.
     */
-  private def withFloorGauge(result: DataFrame, gauge: DataFrame,
-                             name: String, floor: Double): DataFrame = {
+  private[queries] def withFloorGauge(result: DataFrame, gauge: DataFrame,
+                                      name: String, floor: Double): DataFrame = {
     val g = gauge.select(col(gauge.columns.head).cast("double").as("__gauge"))
     result.crossJoin(broadcast(g))
       .withColumn(name,
-        when(col("__gauge") >= floor, round(col("__gauge"), 4))
+        // an undefined gauge (empty plant/reference population → null avg,
+        // NaN or ±Inf ratio) is NOT a degraded operator — raise a distinct
+        // error so a vacuous plant can't masquerade as an LSH regression
+        when(col("__gauge").isNull || isnan(col("__gauge"))
+            || abs(col("__gauge")) === lit(Double.PositiveInfinity),
+          raise_error(lit(s"$name undefined — gauge population empty " +
+            "(plant/reference produced no rows at this scale factor); " +
+            "fix the plant, the operator itself was not measured")))
+        .when(col("__gauge") >= floor, round(col("__gauge"), 4))
           .otherwise(raise_error(concat(
             lit(s"$name="), col("__gauge").cast("string"),
             lit(s" below floor $floor — approximate operator degraded")))))
       .drop("__gauge")
   }
 
-  /** num/den as a 1-row gauge frame from two row-count frames. */
-  private def ratioGauge(num: DataFrame, den: DataFrame): DataFrame =
+  /** num/den as a 1-row gauge frame from two row-count frames. An empty
+    * denominator yields NULL (not NaN/Inf, and no ANSI DIVIDE_BY_ZERO),
+    * so withFloorGauge can report it as the distinct "population empty"
+    * error under BOTH the default and the ansi+aqe verify gates.
+    */
+  private[queries] def ratioGauge(num: DataFrame, den: DataFrame): DataFrame =
     num.agg(count(lit(1)).cast("double").as("__num"))
       .crossJoin(den.agg(count(lit(1)).cast("double").as("__den")))
-      .select((col("__num") / col("__den")).as("gauge"))
+      .select(when(col("__den") === 0.0, lit(null).cast("double"))
+        .otherwise(col("__num") / col("__den")).as("gauge"))
 
   /** Per-language md5-gate thresholds for d13's reproducible training-mix
     * sample: 4 hex digits ⇒ admitted fraction = parse(gate)/65536
@@ -504,8 +517,13 @@ object PipelineQueries {
         .where(size(split(col("text"), " ")) >= 62 && col("doc_id") < 300)
       val planted = longDocs.select((col("doc_id") + offset).as("doc_id"),
         concat(col("text"), lit(" zzzplantedzzz")).as("text"))
+      // signatures are per-doc, so sigs(docs ∪ planted) ≡ sigs(docs) ∪
+      // sigs(planted) — reuse the result's corpus signatures and sign only
+      // the ≤300 planted rows, instead of re-running minhash over the
+      // whole corpus a second time (round-12 advisor: the gauge doubled
+      // the query's cost at every scale factor)
       val caught = Dedup.lshCandidatePairs(
-          Dedup.minhashSignatures(docs.union(planted), "doc_id", "text", 16, 3),
+          sigs.union(Dedup.minhashSignatures(planted, "doc_id", "text", 16, 3)),
           "doc_id", 16, 4)
         .where(col("id_b") === col("id_a") + offset)
         .join(longDocs.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
@@ -574,7 +592,8 @@ object PipelineQueries {
     // neardup_close_frac rides every row, raise_error'ing below 0.9)
     "d06_simhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val result = Dedup.simhashSignatures(docs, "doc_id", "text")
+      val allSigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      val result = allSigs
         .join(docs.select(col("doc_id"),
           TextExprs.fingerprint(col("text")).as("fingerprint")), "doc_id")
       val offset = 10000000L
@@ -583,7 +602,11 @@ object PipelineQueries {
         .where(size(split(col("text"), " ")) >= 62 && col("doc_id") < 300)
       val planted = longDocs.select((col("doc_id") + offset).as("doc_id"),
         concat(col("text"), lit(" zzzplantedzzz")).as("text"))
-      val ham = Dedup.simhashSignatures(longDocs, "doc_id", "text")
+      // the corpus side's signatures already exist in allSigs — semi-gate
+      // them to the plant population instead of re-running simhash over
+      // longDocs (round-12 advisor: the gauge signed longDocs twice)
+      val ham = allSigs
+        .join(longDocs.select("doc_id"), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("simhash").as("h_orig"))
         .join(Dedup.simhashSignatures(planted, "doc_id", "text")
           .select((col("doc_id") - offset).as("doc_id"),

@@ -143,4 +143,52 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getLong(2) >= (docs(shard) - 1) / 512 - 1)
     }
   }
+
+  // ---- withFloorGauge: the three outcomes a floor-enforced quality gauge
+  // must distinguish — healthy, degraded, and UNDEFINED (round-12 advisor:
+  // an empty plant population used to surface as a misdiagnosing
+  // 'operator degraded' failure; it must be its own distinct error) ------
+
+  private def oneRow = {
+    import spark.implicits._
+    Seq(1).toDF("x")
+  }
+
+  test("floor gauge: healthy gauge rides the row, rounded") {
+    import spark.implicits._
+    val g = Seq(0.98765).toDF("gauge")
+    val out = PipelineQueries.withFloorGauge(oneRow, g, "recall", 0.9).collect()
+    assert(out.length == 1 && out.head.getDouble(1) == 0.9877)
+  }
+
+  test("floor gauge: below-floor gauge raises the degraded error") {
+    import spark.implicits._
+    val g = Seq(0.5).toDF("gauge")
+    val e = intercept[Exception] {
+      PipelineQueries.withFloorGauge(oneRow, g, "recall", 0.9).collect()
+    }
+    assert(e.getMessage.contains("below floor"), e.getMessage)
+  }
+
+  test("floor gauge: empty population (null avg) raises the DISTINCT undefined error") {
+    import spark.implicits._
+    // avg over zero rows is null — exactly what d06's hamming gauge yields
+    // when no doc passes the >=62-token plant filter at a tiny SF
+    val g = Seq(1.0).toDF("v").where(col("v") < 0).agg(avg("v").as("gauge"))
+    val e = intercept[Exception] {
+      PipelineQueries.withFloorGauge(oneRow, g, "recall", 0.9).collect()
+    }
+    assert(e.getMessage.contains("undefined"), e.getMessage)
+    assert(!e.getMessage.contains("below floor"), e.getMessage)
+  }
+
+  test("floor gauge: ratioGauge over an empty denominator is undefined, not degraded") {
+    import spark.implicits._
+    val empty = Seq(1).toDF("x").where(col("x") < 0)
+    val g = PipelineQueries.ratioGauge(empty, empty) // 0.0/0.0 = NaN
+    val e = intercept[Exception] {
+      PipelineQueries.withFloorGauge(oneRow, g, "recall", 0.9).collect()
+    }
+    assert(e.getMessage.contains("undefined"), e.getMessage)
+  }
 }

@@ -132,18 +132,29 @@ def check_bench_claims(doc, bench):
         # OLD round's number as history is exempt when marked
         if HISTORY_MARK in line:
             continue
-        keys = [k for k in BENCH_KEY_RE.findall(line)
-                if k in bench and not is_exempt(k)]
+        keys = [(m.start(), m.group(1))
+                for m in BENCH_KEY_RE.finditer(line)
+                if m.group(1) in bench and not is_exempt(m.group(1))]
         if not keys:
             continue
-        spans = [(float(m.group(1)), float(m.group(2) or m.group(1)))
+        spans = [(m.start(), float(m.group(1)),
+                  float(m.group(2) or m.group(1)))
                  for m in SECONDS_RE.finditer(line)]
         if not spans:
             continue
-        for k in keys:
+        # only check keys that some SECONDS SPAN claims as its nearest
+        # citation (round-12 advisor: requiring every key on the line to be
+        # covered by some span spurious-fails prose that cites two headline
+        # entries while stating seconds for only one of them). A claimed
+        # key must still be covered by SOME span on the line — i.e. this is
+        # the old rule restricted to keys that actually carry a seconds
+        # claim, strictly fewer false positives, no new failure modes.
+        claimed = {min(keys, key=lambda kk: abs(kk[0] - spos))[1]
+                   for spos, _, _ in spans}
+        for k in sorted(claimed):
             v = bench[k]
             if not any(lo * (1 - BENCH_TOL) <= v <= hi * (1 + BENCH_TOL)
-                       for lo, hi in spans):
+                       for _, lo, hi in spans):
                 errs.append(
                     f"{doc}:{lineno} cites bench entry `{k}` with a seconds "
                     f"claim, but no claimed value/range on the line covers the "
