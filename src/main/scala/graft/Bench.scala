@@ -713,15 +713,39 @@ object Bench {
     * mistaking host weather for engine regressions (the round-8 artifact
     * recorded a contended window as if it were code).
     */
-  private def hostCanarySec(): Double = {
-    val t0 = System.nanoTime()
+  private def canarySpin(): Long = {
     var x = 0x9E3779B97F4A7C15L
     var i = 0L
     while (i < 400000000L) {
       x ^= x << 13; x ^= x >>> 7; x ^= x << 17
       i += 1
     }
+    x
+  }
+
+  private def hostCanarySec(): Double = {
+    val t0 = System.nanoTime()
+    val x = canarySpin()
     if (x == 0L) System.err.println("[bench] canary degenerate") // defeat DCE
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Multicore host-load canary: the SAME fixed spin run simultaneously
+    * on `threads` threads; wall of the slowest. On an exclusively-held
+    * host this tracks the single-thread canary (all cores spin
+    * independently, no shared state); under multi-tenant core stealing or
+    * load-induced frequency scaling it inflates proportionally. This is
+    * the contention the single-thread canary is BLIND to: round-13 run 1
+    * measured canary 0.842 (quiet) while every bench entry ran uniformly
+    * ~1.4-1.6x its historical min — only an under-parallel-load gauge can
+    * tell that host state apart from a plan regression.
+    */
+  private def hostCanaryMcSec(threads: Int): Double = {
+    val acc = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map(_ => new Thread(() => acc.addAndGet(canarySpin())))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    if (acc.get() == 0L) System.err.println("[bench] mc canary degenerate")
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -754,25 +778,31 @@ object Bench {
 
   /** Previous BENCH_LOCAL entries, iff recorded against the same src
     * stamp (Jackson rides in on Spark's classpath). Empty map otherwise.
+    * Third element: the per-entry canaries recorded when each min landed.
     */
-  private def previousLocal(stamp: String): (Map[String, Double], Int) = {
+  private def previousLocal(stamp: String)
+      : (Map[String, Double], Int, Map[String, Double]) = {
     import scala.jdk.CollectionConverters._
     try {
       val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
-      if (!java.nio.file.Files.exists(p)) return (Map.empty, 0)
+      if (!java.nio.file.Files.exists(p)) return (Map.empty, 0, Map.empty)
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(p))
-      if (node.path("src_stamp").asText("") != stamp) return (Map.empty, 0)
+      if (node.path("src_stamp").asText("") != stamp)
+        return (Map.empty, 0, Map.empty)
       val q = node.path("queries")
       val m = q.fieldNames().asScala.map(k => k -> q.get(k).asDouble(-1.0)).toMap
-      (m, node.path("runs_merged").asInt(1))
-    } catch { case _: Throwable => (Map.empty, 0) }
+      val ec = node.path("entry_canaries")
+      val cs = ec.fieldNames().asScala.map(k => k -> ec.get(k).asDouble(-1.0)).toMap
+      (m, node.path("runs_merged").asInt(1), cs)
+    } catch { case _: Throwable => (Map.empty, 0, Map.empty) }
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val canarySec = hostCanarySec()
+    val canaryMcSec = hostCanaryMcSec(cpus.toInt)
     val stamp = srcStamp()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -911,9 +941,18 @@ object Bench {
     // them the MAX is the honest recorded peak, and a -1 on either side
     // stays a failure.
     def isGauge(k: String) = k.endsWith("_rows") || k.endsWith("_state_mb")
-    val (prevQ, prevRuns) =
-      if (only.isEmpty) previousLocal(stamp) else (Map.empty[String, Double], 0)
+    val (prevQ, prevRuns, prevCanaries) =
+      if (only.isEmpty) previousLocal(stamp)
+      else (Map.empty[String, Double], 0, Map.empty[String, Double])
     val runsMerged = prevRuns + 1
+    // per-HEADLINE-entry single-thread canaries, taken immediately before
+    // each timed entry: the startup canary cannot see MID-RUN contention
+    // (round-12's min landed in a run whose startup canary was quiet but
+    // whose 10x window was contended 3x; round-13 run 2 measured the 10x
+    // arm at 239 s and the adjacent skew arm at 110 s in the SAME run).
+    // On merge, the canary that rode the WINNING wall is kept, so every
+    // committed min documents the host window it was measured in.
+    val entryCanaries = scala.collection.mutable.LinkedHashMap[String, Double]()
     def merged(k: String, v: Double): Double = prevQ.get(k) match {
       case Some(pv) if pv >= 0 && v >= 0 =>
         if (isGauge(k)) math.max(pv, v) else math.min(pv, v)
@@ -944,11 +983,22 @@ object Bench {
     // n_measured says how many entries THIS run re-executed, so a run
     // that died early can't masquerade as a full suite (round-11 advisor
     // finding: results.size vs the carried-over map misstated coverage)
+    // the canary that rode each merged headline wall: this run's canary
+    // where this run's value won the merge, the prior artifact's otherwise
+    def mergedEntryCanaries(): Seq[(String, Double)] =
+      headlineKeys.flatMap { k =>
+        val wonThisRun = results.get(k).exists(v =>
+          entryCanaries.contains(k) && merged(k, v) == v)
+        if (wonThisRun) Some(k -> entryCanaries(k))
+        else prevCanaries.get(k).map(k -> _)
+      }
     def fullLine(): String = {
       val (suite, headline, total) = snapshot()
       val qs = (suite ++ headline)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      s"""{"queries":$qs,"src_stamp":"$stamp","canary_sec":${fmt(canarySec)},"runs_merged":$runsMerged,"sf":"$sfDir","n_queries":${suite.size + headline.size},"n_measured":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
+      val ecs = mergedEntryCanaries()
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      s"""{"queries":$qs,"entry_canaries":$ecs,"src_stamp":"$stamp","canary_sec":${fmt(canarySec)},"canary_mc_sec":${fmt(canaryMcSec)},"runs_merged":$runsMerged,"sf":"$sfDir","n_queries":${suite.size + headline.size},"n_measured":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
     }
     def compactLine(): String = {
       val (suite, headline, total) = snapshot()
@@ -957,7 +1007,7 @@ object Bench {
       val suiteTotal = suite.map(_._2).filter(_ >= 0).sum
       val nFailed = (suite ++ headline).count(_._2 < 0)
       val nFailedThisRun = results.count(_._2 < 0)
-      s"""{"queries":$hqs,"suite_n":${suite.size},"suite_sec":${fmt(suiteTotal)},"n_failed":$nFailed,"n_failed_this_run":$nFailedThisRun,"canary_sec":${fmt(canarySec)},"runs_merged":$runsMerged,"full":"BENCH_LOCAL.json","sf":"$sfDir","n_queries":${suite.size + headline.size},"n_measured":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
+      s"""{"queries":$hqs,"suite_n":${suite.size},"suite_sec":${fmt(suiteTotal)},"n_failed":$nFailed,"n_failed_this_run":$nFailedThisRun,"canary_sec":${fmt(canarySec)},"canary_mc_sec":${fmt(canaryMcSec)},"runs_merged":$runsMerged,"full":"BENCH_LOCAL.json","sf":"$sfDir","n_queries":${suite.size + headline.size},"n_measured":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
     }
     def persistLocal(): Unit =
       try {
@@ -1018,6 +1068,9 @@ object Bench {
         if (capStraggler != null)
           System.err.println(s"[bench] WARNING: $name timed while " +
             s"'${capStraggler.getName}' was still unwinding — wall suspect")
+        // canary FIRST, so the recorded host window is the one the wall
+        // ran in (gauges are rows/MB — no host window to document)
+        if (!isGauge(name)) entryCanaries(name) = hostCanarySec()
         results(name) = v; emit()
       }
 
