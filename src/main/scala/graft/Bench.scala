@@ -156,7 +156,8 @@ object Bench {
     * map is read-only broadcast state) but not output. The skew that
     * genuinely inflates work is accident-side clustering (it lengthens
     * every hot-window route's candidate list); the bit-equality spec
-    * covers that with a planted hot accident cell at 10× density, and
+    * covers that with a planted hot accident cell at 10× density,
+    * `kernel_batch_10x_accskew` measures its wall, and
     * `kernel_batch_10x_skew` pins the route-clustering wall within ~1.5×
     * of the uniform `kernel_batch_10x` (prediction: at or below it — the
     * hot half sits in tier 0, whose windows are the smallest; the
@@ -181,6 +182,52 @@ object Bench {
   def kernelBatch10xSkew(spark: SparkSession): DataFrame =
     KernelPruning.scoreRoutesPruned(
       syntheticRoutesSkewed(spark, 1680000), syntheticAccidents(spark, 69000), planDate)
+
+  /** ACCIDENT-side clustering — the direction [[syntheticRoutesSkewed]]'s
+    * analysis names as the genuinely dangerous one: ids < n/2 follow the
+    * uniform lattice; ids ≥ n/2 — half the accident history — are planted
+    * strictly inside the SAME tier-0 cell the route-skew arm uses ("half
+    * of all accidents at a few famous crags"). Clustered accidents
+    * lengthen the candidate list of every route whose probe window covers
+    * the hot cell, and they all hash to ONE broadcast-map key.
+    *
+    * Why this should still not blow up the plan, stated as a checkable
+    * prediction: the hot key concentrates the broadcast map (read-only,
+    * replicated — no shuffle partition inherits it), and the EXTRA pair
+    * output is (routes whose window covers the hot cell) × n/2. Routes
+    * are uniform here, so that population is ≈ Σ_tiers |routes_t| ×
+    * window_area_t / lattice_area — low thousands against a 20°×30°
+    * lattice even for the widest tier — i.e. tens of millions of extra
+    * pairs against the uniform arm's ~3.8G, while the uniform half's
+    * pairs HALVE. Prediction: `kernel_batch_10x_accskew` lands at or
+    * below `kernel_batch_10x`; per-task balance holds because the
+    * round-robin route scan spreads hot-window routes across all tasks.
+    * If it ever exceeds ~2× uniform, the fix is salting the hot grid key
+    * (split the cell's accident list across s sub-keys and probe all s).
+    * Bit-equality under a planted hot accident cell is spec-pinned
+    * (KernelPruningSpec "10x density + planted hot cell" and the
+    * accident-skew generator spec).
+    */
+  def syntheticAccidentsSkewed(spark: SparkSession, n: Long): DataFrame = {
+    val (latDeg, lonDeg) = KernelPruning.tier0CellDegrees()
+    val latC = (math.floor(40.0 / latDeg) + 0.5) * latDeg
+    val lonC = (math.floor((-109.0 + 180.0) / lonDeg) + 0.5) * lonDeg - 180.0
+    val hot = spark.range(n / 2, n).select(
+      col("id").as("accident_id"),
+      (lit(latC) + ((col("id") % 1000L) / 1000.0 - 0.5) * (0.8 * latDeg)).as("a_lat"),
+      (lit(lonC) + (((col("id") * 7) % 1000L) / 1000.0 - 0.5) * (0.8 * lonDeg)).as("a_lon"),
+      (lit(2000.0) + (col("id") % 100)).as("a_elev"),
+      lit("sport").as("acc_type"),
+      when(col("id") % 3 === 0, "fatal").when(col("id") % 3 === 1, "serious")
+        .otherwise("minor").as("severity_raw"),
+      date_add(to_date(lit("2024-01-01")), (col("id") % 730).cast("int")).as("a_date"),
+      (lit(4.0) + ((col("id") * 7) % 13)).as("a_difficulty"))
+    syntheticAccidents(spark, n).where(col("accident_id") < n / 2).unionByName(hot)
+  }
+
+  def kernelBatch10xAccSkew(spark: SparkSession): DataFrame =
+    KernelPruning.scoreRoutesPruned(
+      syntheticRoutes(spark, 1680000), syntheticAccidentsSkewed(spark, 69000), planDate)
 
   /** 100× the reference's production batch — 16.8M routes × 69K accidents
     * ≈ 1.16T raw pair-candidates through the tiered pruned kernel. The
@@ -334,7 +381,8 @@ object Bench {
     * timeout strikes.
     */
   private def runIsolated(keys: Seq[String], sfDir: String, cpus: String,
-      onUpdate: Map[String, Double] => Unit): Map[String, Double] =
+      onUpdate: (Map[String, Double], Map[String, Double]) => Unit)
+      : (Map[String, Double], Map[String, Double]) =
     try {
       val javaBin = java.nio.file.Paths.get(
         System.getProperty("java.home"), "bin", "java").toString
@@ -350,16 +398,30 @@ object Bench {
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val p = pb.start()
       val harvested = scala.collection.mutable.LinkedHashMap[String, Double]()
-      def harvest(line: String): Unit = {
+      val harvestedCanaries = scala.collection.mutable.LinkedHashMap[String, Double]()
+      // the child prints ONE JSON object per completed entry (fullLine());
+      // parse it properly — a key like "kernel_batch_10x" appears in BOTH
+      // the "queries" and "entry_canaries" payloads, so a flat per-key
+      // regex would always read the queries value and the child's
+      // per-entry canaries (the host-window record each min rode) would
+      // never reach the parent's BENCH_LOCAL line (round-13 known gap).
+      def harvest(line: String): Unit = try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
         var changed = false
-        keys.foreach { k =>
-          val re = ("\"" + java.util.regex.Pattern.quote(k) + "\":(-?[0-9.]+)").r
-          re.findFirstMatchIn(line).map(_.group(1).toDouble).foreach { v =>
-            if (!harvested.get(k).contains(v)) { harvested(k) = v; changed = true }
+        def pull(field: String,
+            into: scala.collection.mutable.LinkedHashMap[String, Double]): Unit = {
+          val obj = node.path(field)
+          keys.foreach { k =>
+            if (obj.has(k)) {
+              val v = obj.get(k).asDouble(-1.0)
+              if (!into.get(k).contains(v)) { into(k) = v; changed = true }
+            }
           }
         }
-        if (changed) onUpdate(harvested.toMap)
-      }
+        pull("queries", harvested)
+        pull("entry_canaries", harvestedCanaries)
+        if (changed) onUpdate(harvested.toMap, harvestedCanaries.toMap)
+      } catch { case _: Throwable => () } // partial/garbled line: skip, next flush re-carries it
       // stream stdout line-by-line BEFORE waitFor — the child blocks on a
       // full pipe, and line-wise reads are what make partial harvest work
       val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
@@ -371,11 +433,12 @@ object Bench {
       }
       val rc = p.waitFor()
       if (rc != 0) System.err.println(s"[bench] isolated gate JVM exited rc=$rc")
-      keys.map(k => k -> harvested.getOrElse(k, -1.0)).toMap
+      (keys.map(k => k -> harvested.getOrElse(k, -1.0)).toMap,
+        harvestedCanaries.toMap)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] gate isolation failed: ${e.getMessage}")
-        keys.map(_ -> -1.0).toMap
+        (keys.map(_ -> -1.0).toMap, Map.empty)
     }
 
   /** The documents corpus blown up 10× with a planted hot term: replica r
@@ -921,8 +984,8 @@ object Bench {
       "kernel_batch_168k_pruned", "kernel_batch_incremental_100new",
       "kernel_batch_168k_factorized", "map_with_safety_168k",
       "nightly_3dates",
-      "kernel_batch_10x", "kernel_batch_10x_skew", "kernel_batch_100x",
-      "lsh_skew", "quota_skew",
+      "kernel_batch_10x", "kernel_batch_10x_skew", "kernel_batch_10x_accskew",
+      "kernel_batch_100x", "lsh_skew", "quota_skew",
       "tfidf_10x", "funnel_10x", "cluster_10x", "ann_int8_1m", "ann_pq_200k",
       "ann_ivfpq_200k", "ann_pq_encode_200k", "ann_pq_encode_1m",
       "ann_pq_1m", "ann_ivfpq_1m",
@@ -1169,18 +1232,24 @@ object Bench {
       "ann_ivfpq_1m", "ann_pq_1m", "cluster_10x",
       "streaming_1m", "streaming_1m_sketch_rows", "streaming_1m_lsh_rows",
       "streaming_1m_state_mb", "kernel_batch_10x", "kernel_batch_10x_skew",
-      "bloom_10m")
+      "kernel_batch_10x_accskew", "bloom_10m")
     if (only.isEmpty) {
       spark.stop() // free the parent's executor pool + heap for the child
       // the returned map back-fills -1 sentinels for any key the child
-      // never reported (crash/timeout before reaching it)
-      results ++= runIsolated(scaleKeys, sfDir, cpus, partial => {
-        results ++= partial
-        // reprint + persist on every child update: the parent's compact
-        // line (the one the driver's tail window sees) always carries the
-        // freshest gate numbers
-        println(compactLine()); persistLocal()
-      })
+      // never reported (crash/timeout before reaching it); the child's
+      // per-entry canaries ride along so the merged artifact documents
+      // the host window of EVERY headline min, gate entries included
+      val (gateResults, gateCanaries) =
+        runIsolated(scaleKeys, sfDir, cpus, (partial, canaries) => {
+          entryCanaries ++= canaries
+          results ++= partial
+          // reprint + persist on every child update: the parent's compact
+          // line (the one the driver's tail window sees) always carries the
+          // freshest gate numbers
+          println(compactLine()); persistLocal()
+        })
+      entryCanaries ++= gateCanaries
+      results ++= gateResults
       emit()
     } else {
       // per-entry wall caps (≈2-3× the round-8 measured walls): a wedged
@@ -1214,6 +1283,7 @@ object Bench {
       }
       record("kernel_batch_10x") { capped("kernel_batch_10x", 420, -1.0)(time(kernelBatch10x(spark))) }
       record("kernel_batch_10x_skew") { capped("kernel_batch_10x_skew", 420, -1.0)(time(kernelBatch10xSkew(spark))) }
+      record("kernel_batch_10x_accskew") { capped("kernel_batch_10x_accskew", 420, -1.0)(time(kernelBatch10xAccSkew(spark))) }
       record("bloom_10m") { capped("bloom_10m", 420, -1.0)(time(bloom10m(spark))) }
       // linearity evidence, opt-in by explicit name only (~30 min)
       if (only.exists(_.contains("kernel_batch_100x")))

@@ -169,6 +169,52 @@ class KernelPruningSpec extends SparkSpec {
       "hot-cell routes produced no significant pairs — plant is dead")
   }
 
+  test("accident-skewed history (half the accidents in ONE tier-0 cell): still bit-equal above the floor") {
+    // the kernel_batch_10x_accskew layout at spec scale: Bench's skewed
+    // accident generator plants ids >= n/2 strictly inside one tier-0
+    // cell — the direction the route-skew analysis names as dangerous
+    // (it lengthens the candidate list of every route whose window
+    // covers the hot cell, and all hot accidents share ONE grid key).
+    // Correctness must be unchanged: losslessness is per-pair geometry,
+    // and the fan-out must not duplicate pairs however many accidents
+    // share a cell.
+    // 6000 routes = ONE full period of the synthetic lattice (lat cycles
+    // mod 2000, lon mod 3000 → 6000 distinct points); shorter prefixes
+    // are a partial diagonal whose nearest point to the hot cell is
+    // ~750 km — outside every tier's gate radius — which would leave the
+    // liveness assertion below vacuously dead. At the full lattice the
+    // nearest points sit 68-111 km out, inside the wide-tier gates (the
+    // bench-scale catalog replays this same 6000-point lattice 280×, so
+    // liveness here proves the 10x arm's hot half is live too).
+    val rts = graft.Bench.syntheticRoutes(spark, 6000)
+    val acc = graft.Bench.syntheticAccidentsSkewed(spark, 1500)
+
+    // the plant is real: the hot half occupies exactly one tier-0 cell
+    val (latDeg, lonDeg) = KernelPruning.tier0CellDegrees()
+    val hotCells = acc.where(col("accident_id") >= 750)
+      .select(floor(col("a_lat") / latDeg).as("la"),
+        floor((col("a_lon") + 180.0) / lonDeg).as("lo"))
+      .distinct().count()
+    assert(hotCells == 1L, s"hot half spans $hotCells cells, expected 1")
+    assert(acc.count() == 1500)
+
+    val exactPairs = SafetyKernel.pairInfluence(rts, acc, planDate)
+      .select("route_id", "accident_id", "influence")
+      .where(col("influence") >= SafetyKernel.SignificanceFloor)
+      .as[(Long, Long, Double)].collect().toSet
+    val prunedPairs = KernelPruning.pairInfluencePruned(rts, acc, planDate)
+      .select("route_id", "accident_id", "influence")
+      .as[(Long, Long, Double)].collect()
+    assert(prunedPairs.length == prunedPairs.map(p => (p._1, p._2)).distinct.length,
+      "fan-out duplicated a pair under accident-side clustering")
+    assert(exactPairs.subsetOf(prunedPairs.toSet),
+      "a significant pair was pruned on the accident-skewed layout")
+    // hot accidents genuinely participate (the cell sits inside the
+    // continental route spread, so significant pairs must exist there)
+    assert(exactPairs.exists(_._2 >= 750L),
+      "hot-cell accidents produced no significant pairs — plant is dead")
+  }
+
   test("polar maxAbsLat: degenerate 1-2 cell lon rings emit no duplicate pairs") {
     // at maxAbsLat = 89 the widest tier's lon ring collapses to ONE cell
     // (minDeg ≈ 207°) — the old constant ±1 fan-out then emitted every
