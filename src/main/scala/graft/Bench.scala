@@ -1183,7 +1183,14 @@ object Bench {
       val a = time(fn); val b = time(fn)
       if (a < 0 || b < 0) -1.0 else math.min(a, b)
     }
-    record("kernel_batch_168k") { time2(kernelBatch168k(spark)) }
+    // min-of-3 for the exact 168k batch (one extra run vs time2): at
+    // 9-13 s/run it is the suite's most host-sensitive headline, and the
+    // extra sample costs ~10 s against a multi-minute round — cheap
+    // insurance against a contended window landing in the committed merge
+    record("kernel_batch_168k") {
+      val a = time2(kernelBatch168k(spark)); val b = time(kernelBatch168k(spark))
+      if (a < 0 || b < 0) -1.0 else math.min(a, b)
+    }
     record("kernel_batch_168k_pruned") { time2(kernelBatch168kPruned(spark)) }
     // incremental nightly: 100 new accidents arrive → delta-kernel only
     // (exact decomposition; the reference rebuilds all 1.16B pairs instead)
