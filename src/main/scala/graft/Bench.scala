@@ -1137,12 +1137,22 @@ object Bench {
         results(name) = v; emit()
       }
 
-    // interactive predict: collect, like the API would (top-50 included)
+    // interactive predict: collect, like the API would (top-50 included).
+    // The contributor collect takes the API-shaped 10-column breakdown —
+    // the same projection Predict.predict returns — NOT the raw 52-column
+    // pair frame: shipping every intermediate weight column to the driver
+    // is wrong at any scale, and the kitchen-sink row's deserializer also
+    // trips janino's 64KB method limit on this Spark build
+    // (EXPRESSION_DECODING_FAILED at collect; the narrow projection is
+    // what the reference's SafetyPrediction payload carries anyway).
+    val contributorCols = Seq("rank", "accident_id", "influence", "dist_km",
+      "spatial_w", "temporal_w", "elevation_w", "route_type_w", "severity_w",
+      "grade_w").map(col)
     record("predict_single_route") { timedBlock {
       val route = syntheticRoutes(spark, 1)
       val pairs = SafetyKernel.pairInfluence(route, syntheticAccidents(spark, 6900), planDate)
       SafetyKernel.scoreRoutes(pairs).collect()
-      SafetyKernel.topContributors(pairs, 50).collect()
+      SafetyKernel.topContributors(pairs, 50).select(contributorCols: _*).collect()
     } }
     // 10 concurrent interactive predicts (BASELINE.md: asyncio 10-way
     // concurrency < 15-16 s, current ~13 s) — independent single-route
@@ -1169,7 +1179,7 @@ object Bench {
               lit(5.0 + i).as("difficulty"))
             val pairs = SafetyKernel.pairInfluence(route, acc, planDate)
             SafetyKernel.scoreRoutes(pairs).collect()
-            SafetyKernel.topContributors(pairs, 50).collect()
+            SafetyKernel.topContributors(pairs, 50).select(contributorCols: _*).collect()
           }
         }
         Await.result(Future.sequence(reqs), 600.seconds)
