@@ -381,8 +381,8 @@ object Bench {
     * timeout strikes.
     */
   private def runIsolated(keys: Seq[String], sfDir: String, cpus: String,
-      onUpdate: (Map[String, Double], Map[String, Double]) => Unit)
-      : (Map[String, Double], Map[String, Double]) =
+      onUpdate: (Map[String, Double], Map[String, Double], Map[String, Double]) => Unit)
+      : (Map[String, Double], Map[String, Double], Map[String, Double]) =
     try {
       val javaBin = java.nio.file.Paths.get(
         System.getProperty("java.home"), "bin", "java").toString
@@ -399,6 +399,7 @@ object Bench {
       val p = pb.start()
       val harvested = scala.collection.mutable.LinkedHashMap[String, Double]()
       val harvestedCanaries = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val harvestedExtLoads = scala.collection.mutable.LinkedHashMap[String, Double]()
       // the child prints ONE JSON object per completed entry (fullLine());
       // parse it properly — a key like "kernel_batch_10x" appears in BOTH
       // the "queries" and "entry_canaries" payloads, so a flat per-key
@@ -420,7 +421,9 @@ object Bench {
         }
         pull("queries", harvested)
         pull("entry_canaries", harvestedCanaries)
-        if (changed) onUpdate(harvested.toMap, harvestedCanaries.toMap)
+        pull("entry_ext_cores", harvestedExtLoads)
+        if (changed)
+          onUpdate(harvested.toMap, harvestedCanaries.toMap, harvestedExtLoads.toMap)
       } catch { case _: Throwable => () } // partial/garbled line: skip, next flush re-carries it
       // stream stdout line-by-line BEFORE waitFor — the child blocks on a
       // full pipe, and line-wise reads are what make partial harvest work
@@ -434,11 +437,11 @@ object Bench {
       val rc = p.waitFor()
       if (rc != 0) System.err.println(s"[bench] isolated gate JVM exited rc=$rc")
       (keys.map(k => k -> harvested.getOrElse(k, -1.0)).toMap,
-        harvestedCanaries.toMap)
+        harvestedCanaries.toMap, harvestedExtLoads.toMap)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] gate isolation failed: ${e.getMessage}")
-        (keys.map(_ -> -1.0).toMap, Map.empty)
+        (keys.map(_ -> -1.0).toMap, Map.empty, Map.empty)
     }
 
   /** The documents corpus blown up 10× with a planted hot term: replica r
@@ -812,6 +815,43 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Host-wide vs own-process CPU jiffies — the inputs for the EXTERNAL
+    * load gauge. The start-of-entry canary spin is blind to contention
+    * that arrives MID-entry (round-13 measured 230-340 s 10× walls at
+    * quiet 0.80 canaries), and an in-flight spin thread can't tell our
+    * own 32-thread Spark load from a neighbor's. Jiffy accounting can:
+    * (host busy jiffies − this process's jiffies) over the entry's wall
+    * is CPU consumed by OTHER processes during exactly that window,
+    * in average cores. entry_ext_cores ≈ 0 → the wall is ours alone;
+    * ≫ 0 → the host was multi-tenant-loaded while this entry ran, and
+    * the committed number documents it.
+    */
+  private def cpuJiffies(): Option[(Long, Long)] =
+    try {
+      val stat = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+      val idle = stat(3) + (if (stat.length > 4) stat(4) else 0L) // idle + iowait
+      val busy = stat.sum - idle
+      // /proc/self/stat: comm may contain spaces — parse after the ')'
+      val self = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
+      val rest = self.substring(self.lastIndexOf(')') + 2).split(" ")
+      // fields after comm/state: utime is index 11, stime 12 (0-based here)
+      val mine = rest(11).toLong + rest(12).toLong
+      Some((busy, mine))
+    } catch { case _: Throwable => None }
+
+  /** Average EXTERNAL cores consumed between two [[cpuJiffies]] samples
+    * spanning `elapsedSec` (USER_HZ = 100 on linux). -1 when /proc is
+    * unavailable or the window is degenerate.
+    */
+  private def extCores(before: Option[(Long, Long)], after: Option[(Long, Long)],
+      elapsedSec: Double): Double =
+    (before, after) match {
+      case (Some((b0, m0)), Some((b1, m1))) if elapsedSec > 0.05 =>
+        math.max(0.0, ((b1 - b0) - (m1 - m0)) / 100.0 / elapsedSec)
+      case _ => -1.0
+    }
+
   /** Content hash of src/main/scala — the identity of the CODE being
     * benchmarked, independent of git HEAD (committing BENCH_LOCAL.json
     * itself moves HEAD, so a commit hash could never match across the
@@ -844,21 +884,22 @@ object Bench {
     * Third element: the per-entry canaries recorded when each min landed.
     */
   private def previousLocal(stamp: String)
-      : (Map[String, Double], Int, Map[String, Double]) = {
+      : (Map[String, Double], Int, Map[String, Double], Map[String, Double]) = {
     import scala.jdk.CollectionConverters._
     try {
       val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
-      if (!java.nio.file.Files.exists(p)) return (Map.empty, 0, Map.empty)
+      if (!java.nio.file.Files.exists(p)) return (Map.empty, 0, Map.empty, Map.empty)
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(p))
       if (node.path("src_stamp").asText("") != stamp)
-        return (Map.empty, 0, Map.empty)
-      val q = node.path("queries")
-      val m = q.fieldNames().asScala.map(k => k -> q.get(k).asDouble(-1.0)).toMap
-      val ec = node.path("entry_canaries")
-      val cs = ec.fieldNames().asScala.map(k => k -> ec.get(k).asDouble(-1.0)).toMap
-      (m, node.path("runs_merged").asInt(1), cs)
-    } catch { case _: Throwable => (Map.empty, 0, Map.empty) }
+        return (Map.empty, 0, Map.empty, Map.empty)
+      def obj(field: String): Map[String, Double] = {
+        val o = node.path(field)
+        o.fieldNames().asScala.map(k => k -> o.get(k).asDouble(-1.0)).toMap
+      }
+      (obj("queries"), node.path("runs_merged").asInt(1),
+        obj("entry_canaries"), obj("entry_ext_cores"))
+    } catch { case _: Throwable => (Map.empty, 0, Map.empty, Map.empty) }
   }
 
   def main(args: Array[String]): Unit = {
@@ -1004,9 +1045,10 @@ object Bench {
     // them the MAX is the honest recorded peak, and a -1 on either side
     // stays a failure.
     def isGauge(k: String) = k.endsWith("_rows") || k.endsWith("_state_mb")
-    val (prevQ, prevRuns, prevCanaries) =
+    val (prevQ, prevRuns, prevCanaries, prevExtLoads) =
       if (only.isEmpty) previousLocal(stamp)
-      else (Map.empty[String, Double], 0, Map.empty[String, Double])
+      else (Map.empty[String, Double], 0,
+        Map.empty[String, Double], Map.empty[String, Double])
     val runsMerged = prevRuns + 1
     // per-HEADLINE-entry single-thread canaries, taken immediately before
     // each timed entry: the startup canary cannot see MID-RUN contention
@@ -1016,6 +1058,11 @@ object Bench {
     // On merge, the canary that rode the WINNING wall is kept, so every
     // committed min documents the host window it was measured in.
     val entryCanaries = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-HEADLINE-entry EXTERNAL load (avg cores other processes burned
+    // during exactly this entry's wall, from jiffy accounting): the gauge
+    // the start-of-entry canary cannot provide — contention that arrives
+    // MID-entry shows up here and nowhere else
+    val entryExtLoads = scala.collection.mutable.LinkedHashMap[String, Double]()
     def merged(k: String, v: Double): Double = prevQ.get(k) match {
       case Some(pv) if pv >= 0 && v >= 0 =>
         if (isGauge(k)) math.max(pv, v) else math.min(pv, v)
@@ -1048,20 +1095,23 @@ object Bench {
     // finding: results.size vs the carried-over map misstated coverage)
     // the canary that rode each merged headline wall: this run's canary
     // where this run's value won the merge, the prior artifact's otherwise
-    def mergedEntryCanaries(): Seq[(String, Double)] =
+    def mergedEntryGauge(thisRun: collection.Map[String, Double],
+        prev: Map[String, Double]): Seq[(String, Double)] =
       headlineKeys.flatMap { k =>
         val wonThisRun = results.get(k).exists(v =>
-          entryCanaries.contains(k) && merged(k, v) == v)
-        if (wonThisRun) Some(k -> entryCanaries(k))
-        else prevCanaries.get(k).map(k -> _)
+          thisRun.contains(k) && merged(k, v) == v)
+        if (wonThisRun) Some(k -> thisRun(k))
+        else prev.get(k).map(k -> _)
       }
     def fullLine(): String = {
       val (suite, headline, total) = snapshot()
       val qs = (suite ++ headline)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      val ecs = mergedEntryCanaries()
+      val ecs = mergedEntryGauge(entryCanaries, prevCanaries)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      s"""{"queries":$qs,"entry_canaries":$ecs,"src_stamp":"$stamp","canary_sec":${fmt(canarySec)},"canary_mc_sec":${fmt(canaryMcSec)},"runs_merged":$runsMerged,"sf":"$sfDir","n_queries":${suite.size + headline.size},"n_measured":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
+      val exts = mergedEntryGauge(entryExtLoads, prevExtLoads)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      s"""{"queries":$qs,"entry_canaries":$ecs,"entry_ext_cores":$exts,"src_stamp":"$stamp","canary_sec":${fmt(canarySec)},"canary_mc_sec":${fmt(canaryMcSec)},"runs_merged":$runsMerged,"sf":"$sfDir","n_queries":${suite.size + headline.size},"n_measured":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
     }
     def compactLine(): String = {
       val (suite, headline, total) = snapshot()
@@ -1132,9 +1182,17 @@ object Bench {
           System.err.println(s"[bench] WARNING: $name timed while " +
             s"'${capStraggler.getName}' was still unwinding — wall suspect")
         // canary FIRST, so the recorded host window is the one the wall
-        // ran in (gauges are rows/MB — no host window to document)
+        // ran in (gauges are rows/MB — no host window to document);
+        // jiffy samples BRACKET the body so entry_ext_cores covers the
+        // exact window the wall was measured in, mid-entry bursts included
         if (!isGauge(name)) entryCanaries(name) = hostCanarySec()
-        results(name) = v; emit()
+        val jBefore = if (isGauge(name)) None else cpuJiffies()
+        val t0 = System.nanoTime()
+        val value = v
+        if (!isGauge(name))
+          entryExtLoads(name) =
+            extCores(jBefore, cpuJiffies(), (System.nanoTime() - t0) / 1e9)
+        results(name) = value; emit()
       }
 
     // interactive predict: collect, like the API would (top-50 included).
@@ -1256,9 +1314,10 @@ object Bench {
       // never reported (crash/timeout before reaching it); the child's
       // per-entry canaries ride along so the merged artifact documents
       // the host window of EVERY headline min, gate entries included
-      val (gateResults, gateCanaries) =
-        runIsolated(scaleKeys, sfDir, cpus, (partial, canaries) => {
+      val (gateResults, gateCanaries, gateExtLoads) =
+        runIsolated(scaleKeys, sfDir, cpus, (partial, canaries, extLoads) => {
           entryCanaries ++= canaries
+          entryExtLoads ++= extLoads
           results ++= partial
           // reprint + persist on every child update: the parent's compact
           // line (the one the driver's tail window sees) always carries the
@@ -1266,6 +1325,7 @@ object Bench {
           println(compactLine()); persistLocal()
         })
       entryCanaries ++= gateCanaries
+      entryExtLoads ++= gateExtLoads
       results ++= gateResults
       emit()
     } else {
