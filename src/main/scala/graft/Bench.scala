@@ -380,9 +380,11 @@ object Bench {
     * artifact always reflects everything measured up to the moment a
     * timeout strikes.
     */
+  private type Gauges = Map[String, Map[String, Double]]
+
   private def runIsolated(keys: Seq[String], sfDir: String, cpus: String,
-      onUpdate: (Map[String, Double], Map[String, Double], Map[String, Double]) => Unit)
-      : (Map[String, Double], Map[String, Double], Map[String, Double]) =
+      onUpdate: (Map[String, Double], Gauges) => Unit)
+      : (Map[String, Double], Gauges) =
     try {
       val javaBin = java.nio.file.Paths.get(
         System.getProperty("java.home"), "bin", "java").toString
@@ -397,9 +399,10 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val p = pb.start()
+      val gaugeFields = Seq("entry_canaries", "entry_ext_cores", "entry_own_cores")
       val harvested = scala.collection.mutable.LinkedHashMap[String, Double]()
-      val harvestedCanaries = scala.collection.mutable.LinkedHashMap[String, Double]()
-      val harvestedExtLoads = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val harvestedGauges = gaugeFields.map(f =>
+        f -> scala.collection.mutable.LinkedHashMap[String, Double]()).toMap
       // the child prints ONE JSON object per completed entry (fullLine());
       // parse it properly — a key like "kernel_batch_10x" appears in BOTH
       // the "queries" and "entry_canaries" payloads, so a flat per-key
@@ -420,10 +423,10 @@ object Bench {
           }
         }
         pull("queries", harvested)
-        pull("entry_canaries", harvestedCanaries)
-        pull("entry_ext_cores", harvestedExtLoads)
+        gaugeFields.foreach(f => pull(f, harvestedGauges(f)))
         if (changed)
-          onUpdate(harvested.toMap, harvestedCanaries.toMap, harvestedExtLoads.toMap)
+          onUpdate(harvested.toMap,
+            harvestedGauges.map { case (f, m) => f -> m.toMap })
       } catch { case _: Throwable => () } // partial/garbled line: skip, next flush re-carries it
       // stream stdout line-by-line BEFORE waitFor — the child blocks on a
       // full pipe, and line-wise reads are what make partial harvest work
@@ -437,11 +440,11 @@ object Bench {
       val rc = p.waitFor()
       if (rc != 0) System.err.println(s"[bench] isolated gate JVM exited rc=$rc")
       (keys.map(k => k -> harvested.getOrElse(k, -1.0)).toMap,
-        harvestedCanaries.toMap, harvestedExtLoads.toMap)
+        harvestedGauges.map { case (f, m) => f -> m.toMap })
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] gate isolation failed: ${e.getMessage}")
-        (keys.map(_ -> -1.0).toMap, Map.empty, Map.empty)
+        (keys.map(_ -> -1.0).toMap, Map.empty)
     }
 
   /** The documents corpus blown up 10× with a planted hot term: replica r
@@ -840,16 +843,22 @@ object Bench {
       Some((busy, mine))
     } catch { case _: Throwable => None }
 
-  /** Average EXTERNAL cores consumed between two [[cpuJiffies]] samples
-    * spanning `elapsedSec` (USER_HZ = 100 on linux). -1 when /proc is
-    * unavailable or the window is degenerate.
+  /** Average (EXTERNAL cores, OWN cores) consumed between two
+    * [[cpuJiffies]] samples spanning `elapsedSec` (USER_HZ = 100 on
+    * linux). Own cores is the parallelism witness: a wall that inflates
+    * at own_cores ≈ machine width is per-core throughput (host silicon /
+    * memory under sustained load — measured round 13: 31/32 cores busy,
+    * ext 0, steal 0, wall 1.8× the round-10 host); one that inflates at
+    * LOW own_cores is a straggler/scheduling/plan problem and is ours.
+    * (-1, -1) when /proc is unavailable or the window is degenerate.
     */
   private def extCores(before: Option[(Long, Long)], after: Option[(Long, Long)],
-      elapsedSec: Double): Double =
+      elapsedSec: Double): (Double, Double) =
     (before, after) match {
       case (Some((b0, m0)), Some((b1, m1))) if elapsedSec > 0.05 =>
-        math.max(0.0, ((b1 - b0) - (m1 - m0)) / 100.0 / elapsedSec)
-      case _ => -1.0
+        (math.max(0.0, ((b1 - b0) - (m1 - m0)) / 100.0 / elapsedSec),
+          (m1 - m0) / 100.0 / elapsedSec)
+      case _ => (-1.0, -1.0)
     }
 
   /** Content hash of src/main/scala — the identity of the CODE being
@@ -884,22 +893,24 @@ object Bench {
     * Third element: the per-entry canaries recorded when each min landed.
     */
   private def previousLocal(stamp: String)
-      : (Map[String, Double], Int, Map[String, Double], Map[String, Double]) = {
+      : (Map[String, Double], Int, Map[String, Double], Map[String, Double],
+         Map[String, Double]) = {
     import scala.jdk.CollectionConverters._
+    val none = (Map.empty[String, Double], 0, Map.empty[String, Double],
+      Map.empty[String, Double], Map.empty[String, Double])
     try {
       val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
-      if (!java.nio.file.Files.exists(p)) return (Map.empty, 0, Map.empty, Map.empty)
+      if (!java.nio.file.Files.exists(p)) return none
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(p))
-      if (node.path("src_stamp").asText("") != stamp)
-        return (Map.empty, 0, Map.empty, Map.empty)
+      if (node.path("src_stamp").asText("") != stamp) return none
       def obj(field: String): Map[String, Double] = {
         val o = node.path(field)
         o.fieldNames().asScala.map(k => k -> o.get(k).asDouble(-1.0)).toMap
       }
       (obj("queries"), node.path("runs_merged").asInt(1),
-        obj("entry_canaries"), obj("entry_ext_cores"))
-    } catch { case _: Throwable => (Map.empty, 0, Map.empty, Map.empty) }
+        obj("entry_canaries"), obj("entry_ext_cores"), obj("entry_own_cores"))
+    } catch { case _: Throwable => none }
   }
 
   def main(args: Array[String]): Unit = {
@@ -1045,9 +1056,9 @@ object Bench {
     // them the MAX is the honest recorded peak, and a -1 on either side
     // stays a failure.
     def isGauge(k: String) = k.endsWith("_rows") || k.endsWith("_state_mb")
-    val (prevQ, prevRuns, prevCanaries, prevExtLoads) =
+    val (prevQ, prevRuns, prevCanaries, prevExtLoads, prevOwnCores) =
       if (only.isEmpty) previousLocal(stamp)
-      else (Map.empty[String, Double], 0,
+      else (Map.empty[String, Double], 0, Map.empty[String, Double],
         Map.empty[String, Double], Map.empty[String, Double])
     val runsMerged = prevRuns + 1
     // per-HEADLINE-entry single-thread canaries, taken immediately before
@@ -1063,6 +1074,8 @@ object Bench {
     // the start-of-entry canary cannot provide — contention that arrives
     // MID-entry shows up here and nowhere else
     val entryExtLoads = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // ... and OWN cores over the same window: the parallelism witness
+    val entryOwnCores = scala.collection.mutable.LinkedHashMap[String, Double]()
     def merged(k: String, v: Double): Double = prevQ.get(k) match {
       case Some(pv) if pv >= 0 && v >= 0 =>
         if (isGauge(k)) math.max(pv, v) else math.min(pv, v)
@@ -1111,7 +1124,9 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val exts = mergedEntryGauge(entryExtLoads, prevExtLoads)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      s"""{"queries":$qs,"entry_canaries":$ecs,"entry_ext_cores":$exts,"src_stamp":"$stamp","canary_sec":${fmt(canarySec)},"canary_mc_sec":${fmt(canaryMcSec)},"runs_merged":$runsMerged,"sf":"$sfDir","n_queries":${suite.size + headline.size},"n_measured":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
+      val owns = mergedEntryGauge(entryOwnCores, prevOwnCores)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      s"""{"queries":$qs,"entry_canaries":$ecs,"entry_ext_cores":$exts,"entry_own_cores":$owns,"src_stamp":"$stamp","canary_sec":${fmt(canarySec)},"canary_mc_sec":${fmt(canaryMcSec)},"runs_merged":$runsMerged,"sf":"$sfDir","n_queries":${suite.size + headline.size},"n_measured":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
     }
     def compactLine(): String = {
       val (suite, headline, total) = snapshot()
@@ -1189,9 +1204,12 @@ object Bench {
         val jBefore = if (isGauge(name)) None else cpuJiffies()
         val t0 = System.nanoTime()
         val value = v
-        if (!isGauge(name))
-          entryExtLoads(name) =
+        if (!isGauge(name)) {
+          val (ext, own) =
             extCores(jBefore, cpuJiffies(), (System.nanoTime() - t0) / 1e9)
+          entryExtLoads(name) = ext
+          entryOwnCores(name) = own
+        }
         results(name) = value; emit()
       }
 
@@ -1314,18 +1332,21 @@ object Bench {
       // never reported (crash/timeout before reaching it); the child's
       // per-entry canaries ride along so the merged artifact documents
       // the host window of EVERY headline min, gate entries included
-      val (gateResults, gateCanaries, gateExtLoads) =
-        runIsolated(scaleKeys, sfDir, cpus, (partial, canaries, extLoads) => {
-          entryCanaries ++= canaries
-          entryExtLoads ++= extLoads
+      def absorbGauges(g: Gauges): Unit = {
+        g.getOrElse("entry_canaries", Map.empty).foreach { case (k, v) => entryCanaries(k) = v }
+        g.getOrElse("entry_ext_cores", Map.empty).foreach { case (k, v) => entryExtLoads(k) = v }
+        g.getOrElse("entry_own_cores", Map.empty).foreach { case (k, v) => entryOwnCores(k) = v }
+      }
+      val (gateResults, gateGauges) =
+        runIsolated(scaleKeys, sfDir, cpus, (partial, gauges) => {
+          absorbGauges(gauges)
           results ++= partial
           // reprint + persist on every child update: the parent's compact
           // line (the one the driver's tail window sees) always carries the
           // freshest gate numbers
           println(compactLine()); persistLocal()
         })
-      entryCanaries ++= gateCanaries
-      entryExtLoads ++= gateExtLoads
+      absorbGauges(gateGauges)
       results ++= gateResults
       emit()
     } else {
