@@ -399,7 +399,8 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val p = pb.start()
-      val gaugeFields = Seq("entry_canaries", "entry_ext_cores", "entry_own_cores")
+      val gaugeFields = Seq("entry_canaries", "entry_mc_canaries",
+        "entry_ext_cores", "entry_own_cores")
       val harvested = scala.collection.mutable.LinkedHashMap[String, Double]()
       val harvestedGauges = gaugeFields.map(f =>
         f -> scala.collection.mutable.LinkedHashMap[String, Double]()).toMap
@@ -894,10 +895,11 @@ object Bench {
     */
   private def previousLocal(stamp: String)
       : (Map[String, Double], Int, Map[String, Double], Map[String, Double],
-         Map[String, Double]) = {
+         Map[String, Double], Map[String, Double]) = {
     import scala.jdk.CollectionConverters._
     val none = (Map.empty[String, Double], 0, Map.empty[String, Double],
-      Map.empty[String, Double], Map.empty[String, Double])
+      Map.empty[String, Double], Map.empty[String, Double],
+      Map.empty[String, Double])
     try {
       val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
       if (!java.nio.file.Files.exists(p)) return none
@@ -909,9 +911,27 @@ object Bench {
         o.fieldNames().asScala.map(k => k -> o.get(k).asDouble(-1.0)).toMap
       }
       (obj("queries"), node.path("runs_merged").asInt(1),
-        obj("entry_canaries"), obj("entry_ext_cores"), obj("entry_own_cores"))
+        obj("entry_canaries"), obj("entry_ext_cores"), obj("entry_own_cores"),
+        obj("entry_mc_canaries"))
     } catch { case _: Throwable => none }
   }
+
+  /** Reference point for the committed canary-normalized walls: the
+    * quietest 32-thread canary window measured across the round-13
+    * 12-run campaign (mc canaries 0.94–1.34 on that host era). The
+    * normalized column answers "what would this wall read in the
+    * quietest measured window of the era" — so min-merged raw walls
+    * from different host eras become comparable inside the artifact
+    * itself instead of via prose. Formula committed next to the data
+    * (norm_formula in BENCH_LOCAL.json).
+    */
+  private val McRefSec = 0.94
+  private[graft] val NormFormula: String =
+    "norm_sec = wall_sec * 0.94 / entry_mc_canary_sec; 0.94 = quietest " +
+    "32-thread canary window of the round-13 host era; entry_mc_canary_sec " +
+    "= wall of the SAME fixed ALU spin on 32 simultaneous threads, taken " +
+    "immediately before the winning entry (min-merge keeps the canary " +
+    "that rode the winning wall)"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -1056,10 +1076,12 @@ object Bench {
     // them the MAX is the honest recorded peak, and a -1 on either side
     // stays a failure.
     def isGauge(k: String) = k.endsWith("_rows") || k.endsWith("_state_mb")
-    val (prevQ, prevRuns, prevCanaries, prevExtLoads, prevOwnCores) =
+    val (prevQ, prevRuns, prevCanaries, prevExtLoads, prevOwnCores,
+      prevMcCanaries) =
       if (only.isEmpty) previousLocal(stamp)
       else (Map.empty[String, Double], 0, Map.empty[String, Double],
-        Map.empty[String, Double], Map.empty[String, Double])
+        Map.empty[String, Double], Map.empty[String, Double],
+        Map.empty[String, Double])
     val runsMerged = prevRuns + 1
     // per-HEADLINE-entry single-thread canaries, taken immediately before
     // each timed entry: the startup canary cannot see MID-RUN contention
@@ -1076,6 +1098,12 @@ object Bench {
     val entryExtLoads = scala.collection.mutable.LinkedHashMap[String, Double]()
     // ... and OWN cores over the same window: the parallelism witness
     val entryOwnCores = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-HEADLINE-entry MULTICORE canaries (32-thread spin immediately
+    // before the entry): the single-thread canary is blind to sustained
+    // all-core throughput — the dimension that actually moved across the
+    // round-10→13 host eras (mc 0.78-era vs 0.94–1.34) — so the committed
+    // artifact carries the gauge the normalized column divides by
+    val entryMcCanaries = scala.collection.mutable.LinkedHashMap[String, Double]()
     def merged(k: String, v: Double): Double = prevQ.get(k) match {
       case Some(pv) if pv >= 0 && v >= 0 =>
         if (isGauge(k)) math.max(pv, v) else math.min(pv, v)
@@ -1116,26 +1144,47 @@ object Bench {
         if (wonThisRun) Some(k -> thisRun(k))
         else prev.get(k).map(k -> _)
       }
+    // the canary-normalized walls: headline entries whose merged min has
+    // a multicore-canary record get wall × McRef/mc — the era-corrected
+    // series the artifact itself carries (formula in norm_formula)
+    def normalized(headline: Seq[(String, Double)],
+        mcMap: Map[String, Double]): Seq[(String, Double)] =
+      headline.collect {
+        case (k, v) if v >= 0 && !isGauge(k) && mcMap.getOrElse(k, -1.0) > 0 =>
+          k -> v * (McRefSec / mcMap(k))
+      }
     def fullLine(): String = {
       val (suite, headline, total) = snapshot()
       val qs = (suite ++ headline)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val ecs = mergedEntryGauge(entryCanaries, prevCanaries)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val mcsSeq = mergedEntryGauge(entryMcCanaries, prevMcCanaries)
+      val mcs = mcsSeq
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val norms = normalized(headline, mcsSeq.toMap)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val exts = mergedEntryGauge(entryExtLoads, prevExtLoads)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val owns = mergedEntryGauge(entryOwnCores, prevOwnCores)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      s"""{"queries":$qs,"entry_canaries":$ecs,"entry_ext_cores":$exts,"entry_own_cores":$owns,"src_stamp":"$stamp","canary_sec":${fmt(canarySec)},"canary_mc_sec":${fmt(canaryMcSec)},"runs_merged":$runsMerged,"sf":"$sfDir","n_queries":${suite.size + headline.size},"n_measured":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
+      s"""{"queries":$qs,"entry_canaries":$ecs,"entry_mc_canaries":$mcs,"queries_norm":$norms,"norm_formula":"$NormFormula","entry_ext_cores":$exts,"entry_own_cores":$owns,"src_stamp":"$stamp","canary_sec":${fmt(canarySec)},"canary_mc_sec":${fmt(canaryMcSec)},"runs_merged":$runsMerged,"sf":"$sfDir","n_queries":${suite.size + headline.size},"n_measured":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
     }
     def compactLine(): String = {
       val (suite, headline, total) = snapshot()
       val hqs = headline.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+      // the compact line (the driver's tail window) carries the normalized
+      // kernel arms only — the host-sensitive minutes-scale entries the
+      // era question is actually about; the full map lives in BENCH_LOCAL
+      val mcMap = mergedEntryGauge(entryMcCanaries, prevMcCanaries).toMap
+      val norms = normalized(headline, mcMap)
+        .filter(_._1.startsWith("kernel_batch"))
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val suiteTotal = suite.map(_._2).filter(_ >= 0).sum
       val nFailed = (suite ++ headline).count(_._2 < 0)
       val nFailedThisRun = results.count(_._2 < 0)
-      s"""{"queries":$hqs,"suite_n":${suite.size},"suite_sec":${fmt(suiteTotal)},"n_failed":$nFailed,"n_failed_this_run":$nFailedThisRun,"canary_sec":${fmt(canarySec)},"canary_mc_sec":${fmt(canaryMcSec)},"runs_merged":$runsMerged,"full":"BENCH_LOCAL.json","sf":"$sfDir","n_queries":${suite.size + headline.size},"n_measured":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
+      s"""{"queries":$hqs,"queries_norm":$norms,"norm_formula":"wall*0.94/entry_mc_canary (see BENCH_LOCAL.json)","suite_n":${suite.size},"suite_sec":${fmt(suiteTotal)},"n_failed":$nFailed,"n_failed_this_run":$nFailedThisRun,"canary_sec":${fmt(canarySec)},"canary_mc_sec":${fmt(canaryMcSec)},"runs_merged":$runsMerged,"full":"BENCH_LOCAL.json","sf":"$sfDir","n_queries":${suite.size + headline.size},"n_measured":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
     }
     def persistLocal(): Unit =
       try {
@@ -1196,11 +1245,16 @@ object Bench {
         if (capStraggler != null)
           System.err.println(s"[bench] WARNING: $name timed while " +
             s"'${capStraggler.getName}' was still unwinding — wall suspect")
-        // canary FIRST, so the recorded host window is the one the wall
-        // ran in (gauges are rows/MB — no host window to document);
-        // jiffy samples BRACKET the body so entry_ext_cores covers the
-        // exact window the wall was measured in, mid-entry bursts included
-        if (!isGauge(name)) entryCanaries(name) = hostCanarySec()
+        // canaries FIRST (single-thread, then the 32-thread spin the
+        // normalized column divides by), so the recorded host window is
+        // the one the wall ran in (gauges are rows/MB — no host window to
+        // document); jiffy samples BRACKET the body so entry_ext_cores
+        // covers the exact window the wall was measured in, mid-entry
+        // bursts included
+        if (!isGauge(name)) {
+          entryCanaries(name) = hostCanarySec()
+          entryMcCanaries(name) = hostCanaryMcSec(cpus.toInt)
+        }
         val jBefore = if (isGauge(name)) None else cpuJiffies()
         val t0 = System.nanoTime()
         val value = v
@@ -1212,6 +1266,24 @@ object Bench {
         }
         results(name) = value; emit()
       }
+
+    // multi-key entries (the streaming soaks return wall + state gauges in
+    // ONE map): instrument the WALL key with the same canary/jiffy gauges
+    // record() gives single-key entries — round-13's known instrumentation
+    // gap was exactly this path bypassing record(), leaving streaming_1m
+    // the only headline wall with no host-window evidence
+    def recordMulti(wallKey: String)(body: => Map[String, Double]): Unit = {
+      entryCanaries(wallKey) = hostCanarySec()
+      entryMcCanaries(wallKey) = hostCanaryMcSec(cpus.toInt)
+      val jBefore = cpuJiffies()
+      val t0 = System.nanoTime()
+      val m = body
+      val (ext, own) =
+        extCores(jBefore, cpuJiffies(), (System.nanoTime() - t0) / 1e9)
+      entryExtLoads(wallKey) = ext
+      entryOwnCores(wallKey) = own
+      results ++= m; emit()
+    }
 
     // interactive predict: collect, like the API would (top-50 included).
     // The contributor collect takes the API-shaped 10-column breakdown —
@@ -1334,6 +1406,7 @@ object Bench {
       // the host window of EVERY headline min, gate entries included
       def absorbGauges(g: Gauges): Unit = {
         g.getOrElse("entry_canaries", Map.empty).foreach { case (k, v) => entryCanaries(k) = v }
+        g.getOrElse("entry_mc_canaries", Map.empty).foreach { case (k, v) => entryMcCanaries(k) = v }
         g.getOrElse("entry_ext_cores", Map.empty).foreach { case (k, v) => entryExtLoads(k) = v }
         g.getOrElse("entry_own_cores", Map.empty).foreach { case (k, v) => entryOwnCores(k) = v }
       }
@@ -1379,9 +1452,10 @@ object Bench {
       record("ann_pq_1m") { capped("ann_pq_1m", 240, -1.0)(time(annPq1m(spark))) }
       record("cluster_10x") { capped("cluster_10x", 240, -1.0)(time(cluster10x(spark))) }
       if (want("streaming_1m")) {
-        results ++= capped("streaming_1m", 450, Map("streaming_1m" -> -1.0))(
-          streaming1m(spark))
-        emit()
+        recordMulti("streaming_1m") {
+          capped("streaming_1m", 450, Map("streaming_1m" -> -1.0))(
+            streaming1m(spark))
+        }
       }
       record("kernel_batch_10x") { capped("kernel_batch_10x", 600, -1.0)(time(kernelBatch10x(spark))) }
       record("kernel_batch_10x_skew") { capped("kernel_batch_10x_skew", 600, -1.0)(time(kernelBatch10xSkew(spark))) }
@@ -1392,9 +1466,10 @@ object Bench {
         record("kernel_batch_100x") { time(kernelBatch100x(spark)) }
       // second-decade streaming soak, opt-in by explicit name only
       if (only.exists(_.contains("streaming_10m"))) {
-        results ++= capped("streaming_10m", 900,
-          Map("streaming_10m" -> -1.0))(streaming10m(spark))
-        emit()
+        recordMulti("streaming_10m") {
+          capped("streaming_10m", 900,
+            Map("streaming_10m" -> -1.0))(streaming10m(spark))
+        }
       }
     }
 

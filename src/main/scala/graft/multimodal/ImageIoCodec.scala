@@ -30,9 +30,13 @@ import org.apache.spark.sql.types._
   * the WHOLE encode→PNG→decode round trip; the decoder's channel order
   * and row orientation are additionally grounded against a HAND-CRAFTED
   * golden PNG (built byte-by-byte from the PNG spec with `Deflater` +
-  * `CRC32`, independent of ImageIO) in `ImageIoCodecSpec`. JPEG is lossy,
-  * so it gets no exact oracle: the spec bounds its mean reconstruction
-  * error on a smooth gradient and pins dimensions + format detection.
+  * `CRC32`, independent of ImageIO) in `ImageIoCodecSpec`. JPEG at
+  * default quality is lossy (m06 pins its structural outputs exactly and
+  * ImageIoCodecSpec bounds its gradient reconstruction error), but
+  * per-block-UNIFORM grayscale content at writer quality 1.0 is
+  * bit-exact — DC-only blocks against all-ones quantization tables, no
+  * chroma conversion — which is what [[plantJpegQ100]] exploits to give
+  * the JPEG decode a full first-principles oracle (m06b).
   */
 object ImageIoCodec {
 
@@ -72,6 +76,49 @@ object ImageIoCodec {
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** Exact-JPEG pixel formula: the gray value of every pixel in 8×8 block
+    * `blk` (row-major block index) of media `id` is `(id·31 + blk·7) % 256`,
+    * replicated to R,G,B by the decoder's gray path. Per-block-UNIFORM
+    * content is DC-only after the forward DCT, and at writer quality 1.0
+    * the quantization tables are all ones — so the decode reproduces the
+    * formula bit-exactly (no chroma conversion either: the image is
+    * single-component grayscale). Proven across all 256 values and
+    * multi-block/partial-edge sizes in ImageIoCodecSpec; the m06b oracle
+    * re-derives the aggregates from this same arithmetic in DuckDB.
+    */
+  def jpegExactUnit(id: Long, blk: Int): Int = ((id * 31 + blk * 7) % 256).toInt
+
+  /** Encode one per-block-uniform grayscale image as a quality-1.0
+    * baseline JPEG — the EXACT-roundtrip fixture (see [[jpegExactUnit]]).
+    * Needs the explicit-quality writer path: `ImageIO.write`'s default
+    * quality (0.75) quantizes the DC coefficients and breaks exactness.
+    */
+  def encodeJpegQ100(id: Long, w: Int, h: Int): Array[Byte] = {
+    init
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val bw = (w + 7) / 8
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.getRaster.setSample(x, y, 0, jpegExactUnit(id, (y / 8) * bw + x / 8))
+        x += 1
+      }
+      y += 1
+    }
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val bos = new ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
   }
 
   /** Encode a SMOOTH gradient (not the mod-256 ramp — JPEG quantization
@@ -119,15 +166,25 @@ object ImageIoCodec {
       if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
         w.toLong * h * 3 > (1L << 26)) return None
       val units = new Array[Int](w * h * 3)
+      val gray = img.getRaster.getNumBands == 1
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y) // ARGB regardless of the raster layout
           val p = (y * w + x) * 3
-          units(p) = (rgb >> 16) & 0xff
-          units(p + 1) = (rgb >> 8) & 0xff
-          units(p + 2) = rgb & 0xff
+          if (gray) {
+            // single-component image: the raster sample IS the gray level;
+            // getRGB would instead run the JDK's gray→sRGB ICC conversion
+            // (a gamma curve — raster 1 reads back as RGB 13), destroying
+            // the exact-roundtrip contract the q100 fixture provides
+            val v = img.getRaster.getSample(x, y, 0) & 0xff
+            units(p) = v; units(p + 1) = v; units(p + 2) = v
+          } else {
+            val rgb = img.getRGB(x, y) // ARGB regardless of the raster layout
+            units(p) = (rgb >> 16) & 0xff
+            units(p + 1) = (rgb >> 8) & 0xff
+            units(p + 2) = rgb & 0xff
+          }
           x += 1
         }
         y += 1
@@ -140,7 +197,9 @@ object ImageIoCodec {
     }
   }
 
-  private def plantWith(media: DataFrame)(enc: (Long, Int, Int) => Array[Byte]): DataFrame = {
+  private def plantWith(media: DataFrame,
+      dims: Long => (Int, Int) = id => ((1 + id % 5).toInt, (1 + id % 4).toInt))
+      (enc: (Long, Int, Int) => Array[Byte]): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("kind", StringType, nullable = false),
@@ -152,7 +211,7 @@ object ImageIoCodec {
           val id = r.getAs[Long]("media_id")
           val kind = r.getAs[String]("kind")
           val payload =
-            if (kind == "image") enc(id, (1 + id % 5).toInt, (1 + id % 4).toInt)
+            if (kind == "image") { val (w, h) = dims(id); enc(id, w, h) }
             else r.getAs[Array[Byte]]("payload")
           Row(id, kind, payload)
         }
@@ -176,6 +235,16 @@ object ImageIoCodec {
     */
   def plantJpeg(media: DataFrame): DataFrame =
     plantWith(media)((_, w, h) => encodeJpegGradient(w, h))
+
+  /** Replace image payloads with quality-1.0 per-block-uniform grayscale
+    * JPEGs — the EXACT-roundtrip fixture (see [[encodeJpegQ100]]). Larger
+    * planted dimensions than the other serializers ((1+id%12)×(1+id%10),
+    * up to 4 blocks per image) so multi-block indexing and partial
+    * edge-block padding are on the oracle'd path, not just the spec'd one.
+    */
+  def plantJpegQ100(media: DataFrame): DataFrame =
+    plantWith(media, id => ((1 + id % 12).toInt, (1 + id % 10).toInt))(
+      encodeJpegQ100)
 
   /** Batch ImageIO decode → the same per-payload aggregates as
     * [[MediaCodecs.decodeContent]] (shared [[MediaCodecs.unitAggRow]]).

@@ -519,14 +519,20 @@ object PipelineQueries {
         concat(col("text"), lit(" zzzplantedzzz")).as("text"))
       // signatures are per-doc, so sigs(docs ∪ planted) ≡ sigs(docs) ∪
       // sigs(planted) — reuse the result's corpus signatures and sign only
-      // the ≤300 planted rows, instead of re-running minhash over the
-      // whole corpus a second time (round-12 advisor: the gauge doubled
-      // the query's cost at every scale factor)
-      val caught = Dedup.lshCandidatePairs(
-          sigs.union(Dedup.minhashSignatures(planted, "doc_id", "text", 16, 3)),
+      // the ≤300 planted rows (round-12 advisor: the gauge doubled the
+      // query's cost). Round-13 still re-ran the corpus×corpus banding
+      // SELF-join inside the gauge; a plant is caught iff it shares ≥1
+      // band bucket with its original, which is exactly the asymmetric
+      // corpus×new banding join (the REAL incremental path d25 oracles) —
+      // so probe the ≤300 planted signatures against the corpus postings
+      // and the quadratic self-join never runs a second time. Same catch
+      // set, same gauge value, ~half the entry's wall.
+      val caught = Dedup.lshCandidatePairsAgainst(
+          sigs, Dedup.minhashSignatures(planted, "doc_id", "text", 16, 3),
           "doc_id", 16, 4)
-        .where(col("id_b") === col("id_a") + offset)
-        .join(longDocs.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+        .where(col("new_id") === col("corpus_id") + offset)
+        .join(longDocs.select(col("doc_id").as("corpus_id")),
+          Seq("corpus_id"), "left_semi")
       withFloorGauge(result, ratioGauge(caught, longDocs), "recall_planted", 0.9)
         .orderBy("id_a", "id_b")
     }),
@@ -762,6 +768,20 @@ object PipelineQueries {
       graft.multimodal.ImageIoCodec.decodeImageContent(
         graft.multimodal.ImageIoCodec.plantJpeg(media))
         .select(col("media_id"), col("format"), col("n_units"))
+        .orderBy("media_id")
+    }),
+
+    // --- EXACT JPEG decode: quality-1.0 per-block-uniform grayscale ------
+    // fixtures are bit-exact through the real ImageIO encode→decode round
+    // trip (DC-only blocks × all-ones quantization tables, no chroma), so
+    // unlike m06 the FULL aggregates — sum and the geometry-sensitive
+    // position-weighted sum — are oracle'd from first principles, at
+    // multi-block dimensions with partial edge blocks on the path.
+    "m06b_jpeg_exact" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.deriveMedia(Tables.documents(s, dir))
+        .where(col("kind") === "image")
+      graft.multimodal.ImageIoCodec.decodeImageContent(
+        graft.multimodal.ImageIoCodec.plantJpegQ100(media))
         .orderBy("media_id")
     }),
 
@@ -1766,6 +1786,30 @@ object PipelineQueries {
       """SELECT doc_id AS media_id, 'jpeg' AS format,
         |       CAST((1 + doc_id % 5) * (1 + doc_id % 4) * 3 AS BIGINT) AS n_units
         |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY media_id""".stripMargin,
+
+    // m06b: the exact-JPEG fixture's full first-principles prediction —
+    // unit k of media id is (id·31 + blk·7) % 256 where blk is the 8×8
+    // block index of pixel k/3 at the planted (1+id%12)×(1+id%10)
+    // dimensions; DuckDB never touches image bytes, the Spark side must
+    // reproduce the arithmetic THROUGH the real quality-1.0 JPEG
+    // encode→decode round trip (lossless for per-block-uniform content)
+    "m06b_jpeg_exact" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         1 + doc_id % 12 AS w, 1 + doc_id % 10 AS h
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT media_id, 'jpeg' AS format,
+        |       CAST(w * h * 3 AS BIGINT) AS n_units,
+        |       CAST(list_sum(list_transform(
+        |         generate_series(0, w * h * 3 - 1),
+        |         k -> (media_id * 31 + ((((k // 3) // w) // 8) * ((w + 7) // 8)
+        |               + (((k // 3) % w) // 8)) * 7) % 256)) AS BIGINT) AS sum_units,
+        |       CAST(list_sum(list_transform(
+        |         generate_series(0, w * h * 3 - 1),
+        |         k -> ((media_id * 31 + ((((k // 3) // w) // 8) * ((w + 7) // 8)
+        |               + (((k // 3) % w) // 8)) * 7) % 256) * (k + 1))) AS BIGINT) AS geom_sum
+        |FROM m
         |ORDER BY media_id""".stripMargin,
 
     "d02_token_stats" ->

@@ -21,6 +21,29 @@ import org.apache.spark.sql.functions._
   */
 object QuantLadder {
 
+  /** MD5 over src/main/scala — the same code-identity notion as
+    * Bench.srcStamp and PLANCHECK.json, so the committed ladder carries
+    * the stamp of the code that generated it.
+    */
+  private def srcStamp(): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get("src/main/scala")
+    if (!Files.isDirectory(root)) return "nosrc"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val walk = Files.walk(root)
+    try {
+      walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala") && Files.isRegularFile(p))
+        .toSeq.sortBy(_.toString)
+        .foreach { p =>
+          md.update(p.toString.getBytes("UTF-8"))
+          md.update(Files.readAllBytes(p))
+        }
+    } finally walk.close()
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
   private case class Tier(name: String, bytesPerVec: String, recallFloor: Double,
                           run: () => DataFrame)
 
@@ -132,7 +155,11 @@ object QuantLadder {
     val body = rows.map { case (t, wall, recall) =>
       f"| ${t.name} | ${t.bytesPerVec} | $recall%.3f | $wall%.1f | ≥ ${t.recallFloor}%.2f |"
     }.mkString("\n")
-    val table = header + "\n" + body + "\n"
+    // stamp the generating code state (same MD5-over-src/main identity as
+    // Bench.srcStamp / PLANCHECK.json) so tools/claims_check.py can verify
+    // the committed ladder was generated at HEAD — recall floors are
+    // enforced at generation, so a current stamp IS the regression gate
+    val table = header + "\n" + body + "\n\nsrc_stamp: " + srcStamp() + "\n"
     println(table)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("QUANT_LADDER.md"), table)
 

@@ -476,8 +476,14 @@ object Similarity {
                normalize: Boolean = false): DataFrame = {
     val q = broadcast(
       int8Quantized(queries, idCol, vecCol, "query_id", "q_codes", "q_scale", normalize))
-    val c = int8Quantized(graft.Partitioning.balanced(corpus), idCol, vecCol,
-      "neighbor_id", "c_codes", "c_scale", normalize)
+    // encode BEFORE balancing: the round-robin exchange that spreads the
+    // scan for the scoring join then carries 64 B codes + one scale, not
+    // 512 B of raw doubles — at corpus scale the balance shuffle is the
+    // only place vectors could ride the wire, and now they don't
+    // (PLANCHECK `ann_codes_only_shuffles_s05_s09`). Encode parallelism
+    // follows scan partitioning, which maxPartitionBytes bounds at scale.
+    val c = graft.Partitioning.balanced(int8Quantized(corpus, idCol, vecCol,
+      "neighbor_id", "c_codes", "c_scale", normalize))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     q.crossJoin(c)
@@ -575,9 +581,11 @@ object Similarity {
     */
   def pqTopKADC(queries: DataFrame, corpus: DataFrame,
                 idCol: String, vecCol: String, cb: PqCodebooks, k: Int): DataFrame = {
-    val c = graft.Partitioning.balanced(corpus).select(
+    // encode before balancing — the balance exchange ships numSub small
+    // ints per row, never the raw vector (see int8TopK's note)
+    val c = graft.Partitioning.balanced(corpus.select(
       col(idCol).as("neighbor_id"),
-      pqEncode(col(vecCol).cast("array<double>"), cb).as("codes"))
+      pqEncode(col(vecCol).cast("array<double>"), cb).as("codes")))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       pqAdcLut(col(vecCol).cast("array<double>"), cb).as("lut")))
     val score = aggregate(sequence(lit(0), lit(cb.numSub - 1)), lit(0.0), (acc, m) =>
@@ -628,7 +636,8 @@ object Similarity {
     def coded(df: DataFrame, outId: String) = df.select(col(idCol).as(outId),
       signCode63(col(vecCol).cast("array<double>")).as(s"${outId}_code"))
     val q = broadcast(coded(queries, "query_id"))
-    val c = coded(graft.Partitioning.balanced(corpus), "neighbor_id")
+    // encode before balancing — 8 B/row through the exchange, not 512
+    val c = graft.Partitioning.balanced(coded(corpus, "neighbor_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("hamming").asc, col("neighbor_id").asc)
     q.crossJoin(c)
@@ -702,27 +711,36 @@ object Similarity {
     import spark.implicits._
     val cdf = broadcast(centroids.toSeq.toDF("cell", "c_vec"))
 
-    // one corpus scan: map-side assignment + encoding, codes-only output
-    val assigned = graft.Partitioning.balanced(corpus)
+    // one corpus scan: map-side assignment + encoding, codes-only output —
+    // encoded BEFORE the balance exchange, so the shuffle that spreads the
+    // probe join carries (cell, id, codes), never the raw doubles
+    val assigned = graft.Partitioning.balanced(corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull) // null vector: no cell, no codes — excluded
       .select(nearestCell(col("v"), centroids).as("cell"),
-        col("neighbor_id"), pqEncode(col("v"), cb).as("codes"))
+        col("neighbor_id"), pqEncode(col("v"), cb).as("codes")))
 
     // probe ranking on the raw dot: centroids are unit-normalized, the
     // query's own norm is a positive per-query constant, so the nprobe
     // order equals the cosine order without a division (and stays exactly
     // replayable for one-hot centroids: sim = a coordinate read)
     val wProbe = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell").asc)
+    // the LUT lives in its OWN per-query broadcast frame, joined back in
+    // AFTER the nprobe cut: the window's hash exchange then carries only
+    // (query_id, cell, sim) scalars — no vector array rides ANY shuffle in
+    // this plan (one LUT copy per query, better than nprobe copies)
+    val qlut = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .where(col("qv").isNotNull)
+      .select(col("query_id"), pqAdcLut(col("qv"), cb).as("lut")))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .where(col("qv").isNotNull)
       .crossJoin(cdf)
       .withColumn("sim", VectorExprs.dot(col("qv"), col("c_vec")))
+      .select("query_id", "cell", "sim")
       .withColumn("rk", row_number().over(wProbe)).where(col("rk") <= nprobe)
-      // LUT materialized AFTER the nprobe cut: nprobe copies per query
-      // ride the broadcast, not nlist
-      .withColumn("lut", pqAdcLut(col("qv"), cb))
+      .join(qlut, "query_id")
       .select("query_id", "lut", "cell")
 
     val score = aggregate(sequence(lit(0), lit(cb.numSub - 1)), lit(0.0), (acc, m) =>
@@ -773,8 +791,9 @@ object Similarity {
     val cdf = broadcast(centroids.toSeq.toDF("cell", "c_vec"))
 
     // one corpus scan: assignment, centroid fetch (broadcast), residual,
-    // encode — codes-only output, the doubles never leave the map side
-    val assigned = graft.Partitioning.balanced(corpus)
+    // encode — codes-only output; encoded BEFORE the balance exchange, so
+    // the doubles never leave the map side OR ride the balance shuffle
+    val assigned = graft.Partitioning.balanced(corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull)
       .select(nearestCell(col("v"), centroids).as("cell"), col("neighbor_id"), col("v"))
@@ -787,18 +806,25 @@ object Similarity {
       // materialized once per row.
       .select(col("cell"), col("neighbor_id"),
         zip_with(col("v"), col("c_vec"), (a, b) => a - b).as("rv"))
-      .select(col("cell"), col("neighbor_id"), pqEncode(col("rv"), cb).as("codes"))
+      .select(col("cell"), col("neighbor_id"), pqEncode(col("rv"), cb).as("codes")))
 
     val wProbe = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell").asc)
+    // RAW-query LUT (not the residual's): dot(q, r̂) is what the ADC sum
+    // reconstructs; dot(q, c) arrives exactly via `sim`. Same shape as the
+    // non-residual form: the LUT joins in from a per-query broadcast after
+    // the nprobe cut, so the probe window's shuffle carries scalars only
+    val qlut = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .where(col("qv").isNotNull)
+      .select(col("query_id"), pqAdcLut(col("qv"), cb).as("lut")))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .where(col("qv").isNotNull)
       .crossJoin(cdf)
       .withColumn("sim", VectorExprs.dot(col("qv"), col("c_vec")))
+      .select("query_id", "cell", "sim")
       .withColumn("rk", row_number().over(wProbe)).where(col("rk") <= nprobe)
-      // RAW-query LUT (not the residual's): dot(q, r̂) is what the ADC sum
-      // reconstructs; dot(q, c) arrives exactly via `sim`
-      .withColumn("lut", pqAdcLut(col("qv"), cb))
+      .join(qlut, "query_id")
       .select("query_id", "lut", "cell", "sim")
 
     // seed the fold with sim: ((sim + t0) + t1) + … — the association the

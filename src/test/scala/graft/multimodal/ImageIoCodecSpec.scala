@@ -115,6 +115,43 @@ class ImageIoCodecSpec extends SparkSpec {
     assert(mean < 15.0, s"mean abs channel error $mean")
   }
 
+  test("exact JPEG: every gray value round-trips bit-exactly at quality 1.0") {
+    // the exactness claim m06b rests on, exhaustively: all 256 gray levels
+    // (single-block), plus every planted (1+id%12)×(1+id%10) geometry with
+    // per-block-varying values — multi-block indexing and partial
+    // edge-block padding included. Uniform blocks are DC-only after the
+    // FDCT and quality 1.0 means all-ones quantization tables, so any
+    // mismatch here is a real codec-contract regression, not noise.
+    (0 until 256).foreach { v =>
+      // id=8v ⇒ jpegExactUnit(8v, 0) = (8v·31) % 256 = (248v) % 256 walks
+      // the even residues; cover ALL values via the block formula instead:
+      // craft a 1×1 image directly through the encoder's own formula path
+      // by picking the id whose block-0 value is v — (id·31) % 256 = v has
+      // a unique solution mod 256 because gcd(31,256)=1
+      val id = (0 until 256).find(i => (i * 31) % 256 == v).get.toLong
+      val Some((fmt, units)) =
+        ImageIoCodec.decodeImageUnits(ImageIoCodec.encodeJpegQ100(id, 1, 1))
+      assert(fmt === "jpeg")
+      assert(units.toSeq === Seq(v, v, v), s"gray $v (id $id)")
+    }
+    (0L until 40L).foreach { id =>
+      val (w, h) = ((1 + id % 12).toInt, (1 + id % 10).toInt)
+      val bw = (w + 7) / 8
+      val Some((fmt, units)) =
+        ImageIoCodec.decodeImageUnits(ImageIoCodec.encodeJpegQ100(id, w, h))
+      assert(fmt === "jpeg")
+      assert(units.length === w * h * 3)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val exp = ImageIoCodec.jpegExactUnit(id, (y / 8) * bw + x / 8)
+          val p = (y * w + x) * 3
+          assert(units(p) === exp, s"id=$id ($x,$y)")
+          assert(units(p + 1) === exp && units(p + 2) === exp, s"id=$id ($x,$y)")
+        }
+      }
+    }
+  }
+
   test("malformed input is a null row, never an exception") {
     assert(ImageIoCodec.decodeImageUnits(null).isEmpty)
     assert(ImageIoCodec.decodeImageUnits(Array[Byte](1, 2, 3)).isEmpty)

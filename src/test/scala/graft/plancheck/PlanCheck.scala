@@ -258,6 +258,59 @@ object PlanCheck {
         "cursor_pushed_to_scan" -> pushed.toString))
     }
 
+    // 13. quantized ANN paths ship CODES through shuffles, never the raw
+    //     float/double vector arrays — the sub-linear-bytes-per-query
+    //     100 TB claim (2–64 B codes vs 512 B vectors through every
+    //     Exchange). Checked structurally: no ShuffleExchangeExec in any
+    //     s05–s09 physical plan outputs an array<float|double> attribute.
+    //     (BroadcastExchange of the ≤10-row query side is allowed — tiny
+    //     by construction; the contract is about corpus-scaling shuffles.)
+    contract("ann_codes_only_shuffles_s05_s09") {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+      def vectorShuffles(name: String): Int =
+        graft.SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.collect {
+            case e: ShuffleExchangeExec if e.output.exists(a => a.dataType match {
+              case ArrayType(DoubleType | FloatType, _) => true
+              case _ => false
+            }) => e
+          }.size
+      val perQuery = Seq("s05_ann_int8", "s06_ann_pq", "s07_ann_binary",
+        "s08_ann_ivfpq", "s09_ann_ivfpq_res").map(n => n -> vectorShuffles(n))
+      (perQuery.forall(_._2 == 0),
+        perQuery.map { case (n, c) => s"vector_shuffles_$n" -> c.toString })
+    }
+
+    // 14. streaming LSH dedup is EXACTLY ONE stateful operator (the
+    //     flatMapGroupsWithState posting-list op) — the bounded-state
+    //     claim is per-bucket inside that one operator; a second stateful
+    //     op slipping into the prelude (an accidental dropDuplicates or
+    //     streaming agg) would add an unbounded state store the 34 MB
+    //     gauge never measures. Needs a real micro-batch: state operator
+    //     inventory only exists in execution progress.
+    contract("streaming_lsh_single_state_op") {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingOps.streamingLshCandidates(
+          mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+        .writeStream.format("memory").queryName("pc_lsh")
+        .outputMode("append").start()
+      try {
+        mem.addData((1L, "the quick brown fox jumps over the lazy dog again"),
+          (2L, "the quick brown fox jumps over the lazy dog again"))
+        q.processAllAvailable()
+        val stateOps = q.recentProgress.map(_.stateOperators.length).max
+        val names = q.recentProgress.flatMap(_.stateOperators.map(_.operatorName))
+          .distinct.sorted
+        (stateOps == 1 && names.sameElements(Array("flatMapGroupsWithState")),
+          Seq("n_state_operators" -> stateOps.toString,
+            "operator_names" -> names.mkString("|")))
+      } finally q.stop()
+    }
+
     // ---- emit -------------------------------------------------------------
     val nFail = contracts.count(!_.pass)
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")

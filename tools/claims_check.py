@@ -163,6 +163,59 @@ def check_bench_claims(doc, bench):
     return errs
 
 
+def current_src_stamp():
+    """MD5 over src/main/scala (relative path string + bytes, sorted by
+    path), byte-identical to Bench.srcStamp / PlanCheck.srcStamp /
+    QuantLadder.srcStamp — all four walk the same tree the same way."""
+    import hashlib
+    md = hashlib.md5()
+    root = os.path.join(ROOT, "src/main/scala")
+    if not os.path.isdir(root):
+        return "nosrc"
+    files = []
+    for dirpath, _, names in os.walk(root):
+        for n in names:
+            if n.endswith(".scala"):
+                p = os.path.join(dirpath, n)
+                files.append(os.path.relpath(p, ROOT))
+    for rel in sorted(files):
+        md.update(rel.encode("utf-8"))
+        with open(os.path.join(ROOT, rel), "rb") as f:
+            md.update(f.read())
+    return md.hexdigest()
+
+
+def check_generated_stamps():
+    """Generated-at-HEAD gate: PLANCHECK.json and QUANT_LADDER.md each
+    carry the src_stamp of the code state they were generated from; a
+    stale stamp means the committed plan contracts / recall-floor table
+    describe some OTHER code than HEAD — regenerate, don't narrate."""
+    errs = []
+    cur = current_src_stamp()
+    pc = os.path.join(ROOT, "PLANCHECK.json")
+    if os.path.exists(pc):
+        try:
+            stamp = json.load(open(pc)).get("src_stamp", "")
+        except Exception:
+            stamp = ""
+        if stamp != cur:
+            errs.append(
+                f"PLANCHECK.json src_stamp {stamp[:12]}… != HEAD {cur[:12]}… — "
+                "regenerate: sbt 'Test/runMain graft.plancheck.PlanCheck'")
+    ql = os.path.join(ROOT, "QUANT_LADDER.md")
+    if os.path.exists(ql):
+        m = re.search(r"^src_stamp:\s*([0-9a-f]{32})\s*$",
+                      open(ql).read(), re.M)
+        # a ladder with no stamp line predates the gate — require the
+        # stamp once the generator emits it (round 14+)
+        if not m or m.group(1) != cur:
+            got = m.group(1)[:12] + "…" if m else "missing"
+            errs.append(
+                f"QUANT_LADDER.md src_stamp {got} != HEAD {cur[:12]}… — "
+                "regenerate: sbt 'runMain graft.sim.QuantLadder'")
+    return errs
+
+
 def check_doc(doc, total, n_pass, n_rows_only, n_fail, red_queries,
               graded_round):
     errs = []
@@ -227,6 +280,7 @@ def main():
         errs.extend(check_doc(doc, total, n_pass, n_rows_only, n_fail,
                               red_queries, graded_round))
         errs.extend(check_bench_claims(doc, bench))
+    errs.extend(check_generated_stamps())
     if errs:
         for e in errs:
             print(f"CLAIM-MISMATCH  {e}")
