@@ -383,6 +383,7 @@ object Bench {
   private type Gauges = Map[String, Map[String, Double]]
 
   private def runIsolated(keys: Seq[String], sfDir: String, cpus: String,
+      extraEnv: Map[String, String],
       onUpdate: (Map[String, Double], Gauges) => Unit)
       : (Map[String, Double], Gauges) =
     try {
@@ -397,10 +398,10 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_BENCH_ONLY", keys.mkString(","))
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val p = pb.start()
-      val gaugeFields = Seq("entry_canaries", "entry_mc_canaries",
-        "entry_ext_cores", "entry_own_cores")
+      val gaugeFields = GaugeFields
       val harvested = scala.collection.mutable.LinkedHashMap[String, Double]()
       val harvestedGauges = gaugeFields.map(f =>
         f -> scala.collection.mutable.LinkedHashMap[String, Double]()).toMap
@@ -549,20 +550,22 @@ object Bench {
 
   /** The wall-vs-work accounting pair: SAME query count (40) on a 1M
     * corpus, plain ADC vs IVFADC at nprobe/nlist = 4/16. Scan work: 40M
-    * scored pairs vs 10M; both pay the same 1M-row encode, measured in
-    * isolation by ann_pq_encode_1m. The wall decomposes as E + S
-    * (measured on this host, CPUS=32, warm): ann_pq_1m 19.8 s =
-    * E 9.8 s + 10.0 s scanning 40M pairs; ann_ivfpq_1m 12.2 s =
-    * E 9.8 s + ~2.3 s scanning 10M pairs — a SCAN ratio of ~4.3× ≈
-    * nlist/nprobe, i.e. the coarse quantizer delivers exactly the work
-    * cut the model predicts. The end-to-end ratio (1.6×) is smaller only
-    * because both entries rebuild the index per run; in the production
-    * serving regime the corpus is encoded ONCE and the scan is the
-    * recurring cost, so per-query ratios converge to nlist/nprobe as
-    * queries amortize E → the "missing" 4× was never scan overhead.
-    * The 200K pair stays as the throughput point (4× queries, equal
-    * wall), with ann_pq_encode_200k isolating its shared E ≈ 2.0 s of
-    * the ~4.2 s walls.
+    * scored pairs vs 10M; both pay a 1M-row encode measured in isolation
+    * by ann_pq_encode_1m (IVFADC's encode additionally pays the 16-cell
+    * assignment argmax, so its E term is strictly larger). Work model:
+    * per-query SCAN cost ∝ nprobe/nlist, so with E amortized (the
+    * production serving regime encodes the corpus ONCE) per-query ratios
+    * converge to nlist/nprobe; end-to-end walls here rebuild the index
+    * per run, so the measured gap is smaller. The round-13 stamp's
+    * 12-run campaign measured the predicted order — IVFADC's isolated
+    * scan term ~4.3× cheaper (≈ nlist/nprobe), end-to-end ~1.6× — while
+    * the round-14 stamp's 3-run merge committed an INVERTED order whose
+    * ivfpq min rode the campaign's most contended window
+    * (entry_ext_cores 0.361 vs 0.0 for the pq arm). The committed
+    * BENCH_LOCAL.json is always the authoritative number; this comment
+    * states the work model, not the measurement. The 200K pair stays as
+    * the throughput point (4× queries, equal wall), with
+    * ann_pq_encode_200k isolating its shared encode term.
     */
   def annPq1m(spark: SparkSession): DataFrame = {
     val e = syntheticEmbeddings(spark, 1000000L)
@@ -862,57 +865,50 @@ object Bench {
       case _ => (-1.0, -1.0)
     }
 
-  /** Content hash of src/main/scala — the identity of the CODE being
-    * benchmarked, independent of git HEAD (committing BENCH_LOCAL.json
-    * itself moves HEAD, so a commit hash could never match across the
-    * write-then-commit cycle). BENCH_LOCAL min-merge only folds runs with
-    * the same stamp: same code, different host weather → keep the min;
-    * changed code → start fresh so a true regression is never masked by a
-    * stale fast entry.
+  /** BENCH_LOCAL min-merge only folds runs with the same [[SrcStamp]]:
+    * same code, different host weather → keep the min; changed code →
+    * start fresh so a true regression is never masked by a stale fast
+    * entry.
     */
-  private def srcStamp(): String = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get("src/main/scala")
-    if (!Files.isDirectory(root)) return "nosrc"
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val walk = Files.walk(root)
-    try {
-      walk.iterator().asScala
-        .filter(p => p.toString.endsWith(".scala") && Files.isRegularFile(p))
-        .toSeq.sortBy(_.toString)
-        .foreach { p =>
-          md.update(p.toString.getBytes("UTF-8"))
-          md.update(Files.readAllBytes(p))
-        }
-    } finally walk.close()
-    md.digest().map(b => f"$b%02x").mkString
-  }
+  private def srcStamp(): String = SrcStamp.srcStamp()
+
+  /** The per-entry host-window gauge families the artifact carries next
+    * to each merged min: single-thread + multicore canaries, external/own
+    * CPU cores over the entry's exact wall window, and (for the three 10×
+    * kernel arms) the position the arm ran at inside the gate child —
+    * the committed evidence for/against the arm-ORDERING hypothesis on
+    * the accskew inversion (round-14 watch item: accskew always ran last,
+    * deepest into the child JVM's heap/codegen history).
+    */
+  private val GaugeFields = Seq("entry_canaries", "entry_mc_canaries",
+    "entry_ext_cores", "entry_own_cores", "entry_arm_pos")
 
   /** Previous BENCH_LOCAL entries, iff recorded against the same src
-    * stamp (Jackson rides in on Spark's classpath). Empty map otherwise.
-    * Third element: the per-entry canaries recorded when each min landed.
+    * stamp AND the same mc-canary thread count (Jackson rides in on
+    * Spark's classpath). Empty otherwise — a 4-thread canary merged into
+    * a 32-thread series would falsely label the normalized column
+    * (round-14 advisor), so differing `mc_threads` refuses to merge just
+    * like differing code. Third element: the per-entry gauges recorded
+    * when each min landed, keyed by [[GaugeFields]].
     */
-  private def previousLocal(stamp: String)
-      : (Map[String, Double], Int, Map[String, Double], Map[String, Double],
-         Map[String, Double], Map[String, Double]) = {
+  private def previousLocal(stamp: String, mcThreads: Int)
+      : (Map[String, Double], Int, Map[String, Map[String, Double]]) = {
     import scala.jdk.CollectionConverters._
-    val none = (Map.empty[String, Double], 0, Map.empty[String, Double],
-      Map.empty[String, Double], Map.empty[String, Double],
-      Map.empty[String, Double])
+    val none = (Map.empty[String, Double], 0,
+      GaugeFields.map(_ -> Map.empty[String, Double]).toMap)
     try {
       val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
       if (!java.nio.file.Files.exists(p)) return none
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(p))
       if (node.path("src_stamp").asText("") != stamp) return none
+      if (node.path("mc_threads").asInt(-1) != mcThreads) return none
       def obj(field: String): Map[String, Double] = {
         val o = node.path(field)
         o.fieldNames().asScala.map(k => k -> o.get(k).asDouble(-1.0)).toMap
       }
       (obj("queries"), node.path("runs_merged").asInt(1),
-        obj("entry_canaries"), obj("entry_ext_cores"), obj("entry_own_cores"),
-        obj("entry_mc_canaries"))
+        GaugeFields.map(f => f -> obj(f)).toMap)
     } catch { case _: Throwable => none }
   }
 
@@ -926,12 +922,15 @@ object Bench {
     * (norm_formula in BENCH_LOCAL.json).
     */
   private val McRefSec = 0.94
+  private val McRefThreads = 32
   private[graft] val NormFormula: String =
     "norm_sec = wall_sec * 0.94 / entry_mc_canary_sec; 0.94 = quietest " +
     "32-thread canary window of the round-13 host era; entry_mc_canary_sec " +
-    "= wall of the SAME fixed ALU spin on 32 simultaneous threads, taken " +
-    "immediately before the winning entry (min-merge keeps the canary " +
-    "that rode the winning wall)"
+    "= wall of the SAME fixed ALU spin on mc_threads simultaneous threads, " +
+    "taken immediately before the winning entry (min-merge keeps the canary " +
+    "that rode the winning wall); emitted only when mc_threads=32, the " +
+    "reference constant's thread count, without which the division is " +
+    "meaningless"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -1076,34 +1075,34 @@ object Bench {
     // them the MAX is the honest recorded peak, and a -1 on either side
     // stays a failure.
     def isGauge(k: String) = k.endsWith("_rows") || k.endsWith("_state_mb")
-    val (prevQ, prevRuns, prevCanaries, prevExtLoads, prevOwnCores,
-      prevMcCanaries) =
-      if (only.isEmpty) previousLocal(stamp)
-      else (Map.empty[String, Double], 0, Map.empty[String, Double],
-        Map.empty[String, Double], Map.empty[String, Double],
-        Map.empty[String, Double])
+    val (prevQ, prevRuns, prevGauges) =
+      if (only.isEmpty) previousLocal(stamp, cpus.toInt)
+      else (Map.empty[String, Double], 0,
+        GaugeFields.map(_ -> Map.empty[String, Double]).toMap)
     val runsMerged = prevRuns + 1
-    // per-HEADLINE-entry single-thread canaries, taken immediately before
-    // each timed entry: the startup canary cannot see MID-RUN contention
-    // (round-12's min landed in a run whose startup canary was quiet but
-    // whose 10x window was contended 3x; round-13 run 2 measured the 10x
-    // arm at 239 s and the adjacent skew arm at 110 s in the SAME run).
-    // On merge, the canary that rode the WINNING wall is kept, so every
-    // committed min documents the host window it was measured in.
-    val entryCanaries = scala.collection.mutable.LinkedHashMap[String, Double]()
-    // per-HEADLINE-entry EXTERNAL load (avg cores other processes burned
-    // during exactly this entry's wall, from jiffy accounting): the gauge
-    // the start-of-entry canary cannot provide — contention that arrives
-    // MID-entry shows up here and nowhere else
-    val entryExtLoads = scala.collection.mutable.LinkedHashMap[String, Double]()
-    // ... and OWN cores over the same window: the parallelism witness
-    val entryOwnCores = scala.collection.mutable.LinkedHashMap[String, Double]()
-    // per-HEADLINE-entry MULTICORE canaries (32-thread spin immediately
-    // before the entry): the single-thread canary is blind to sustained
-    // all-core throughput — the dimension that actually moved across the
-    // round-10→13 host eras (mc 0.78-era vs 0.94–1.34) — so the committed
-    // artifact carries the gauge the normalized column divides by
-    val entryMcCanaries = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-HEADLINE-entry gauge maps (one per GaugeFields family), taken
+    // immediately before/around each timed entry. The startup canary
+    // cannot see MID-RUN contention (round-12's min landed in a run whose
+    // startup canary was quiet but whose 10x window was contended 3x;
+    // round-13 run 2 measured the 10x arm at 239 s and the adjacent skew
+    // arm at 110 s in the SAME run). On merge, the gauge that rode the
+    // WINNING wall is kept, so every committed min documents the host
+    // window it was measured in:
+    //  - entry_canaries: single-thread spin before the entry
+    //  - entry_mc_canaries: the mc-thread spin the normalized column
+    //    divides by (sustained all-core throughput — the dimension that
+    //    actually moved across the round-10→13 host eras)
+    //  - entry_ext_cores / entry_own_cores: jiffy-bracketed external load
+    //    and own parallelism over the entry's exact wall window
+    //  - entry_arm_pos: execution position of the three 10× kernel arms
+    //    inside the gate child (the arm-ordering evidence)
+    val entryGauges: Map[String, scala.collection.mutable.LinkedHashMap[String, Double]] =
+      GaugeFields.map(f => f -> scala.collection.mutable.LinkedHashMap[String, Double]()).toMap
+    val entryCanaries = entryGauges("entry_canaries")
+    val entryExtLoads = entryGauges("entry_ext_cores")
+    val entryOwnCores = entryGauges("entry_own_cores")
+    val entryMcCanaries = entryGauges("entry_mc_canaries")
+    val entryArmPos = entryGauges("entry_arm_pos")
     def merged(k: String, v: Double): Double = prevQ.get(k) match {
       case Some(pv) if pv >= 0 && v >= 0 =>
         if (isGauge(k)) math.max(pv, v) else math.min(pv, v)
@@ -1146,45 +1145,47 @@ object Bench {
       }
     // the canary-normalized walls: headline entries whose merged min has
     // a multicore-canary record get wall × McRef/mc — the era-corrected
-    // series the artifact itself carries (formula in norm_formula)
+    // series the artifact itself carries (formula in norm_formula). Only
+    // meaningful when the canary spun McRefThreads threads: at any other
+    // cpus setting the column is OMITTED rather than mislabeled
+    // (round-14 advisor).
     def normalized(headline: Seq[(String, Double)],
         mcMap: Map[String, Double]): Seq[(String, Double)] =
-      headline.collect {
+      if (cpus.toInt != McRefThreads) Seq.empty
+      else headline.collect {
         case (k, v) if v >= 0 && !isGauge(k) && mcMap.getOrElse(k, -1.0) > 0 =>
           k -> v * (McRefSec / mcMap(k))
       }
+    def jmap(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     def fullLine(): String = {
       val (suite, headline, total) = snapshot()
-      val qs = (suite ++ headline)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      val ecs = mergedEntryGauge(entryCanaries, prevCanaries)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      val mcsSeq = mergedEntryGauge(entryMcCanaries, prevMcCanaries)
-      val mcs = mcsSeq
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      val norms = normalized(headline, mcsSeq.toMap)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      val exts = mergedEntryGauge(entryExtLoads, prevExtLoads)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      val owns = mergedEntryGauge(entryOwnCores, prevOwnCores)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      s"""{"queries":$qs,"entry_canaries":$ecs,"entry_mc_canaries":$mcs,"queries_norm":$norms,"norm_formula":"$NormFormula","entry_ext_cores":$exts,"entry_own_cores":$owns,"src_stamp":"$stamp","canary_sec":${fmt(canarySec)},"canary_mc_sec":${fmt(canaryMcSec)},"runs_merged":$runsMerged,"sf":"$sfDir","n_queries":${suite.size + headline.size},"n_measured":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
+      val qs = jmap(suite ++ headline)
+      val gaugeMerged: Map[String, Seq[(String, Double)]] =
+        GaugeFields.map(f => f -> mergedEntryGauge(entryGauges(f), prevGauges(f))).toMap
+      val norms = normalized(headline, gaugeMerged("entry_mc_canaries").toMap)
+      val gs = GaugeFields.map(f => "\"" + f + "\":" + jmap(gaugeMerged(f))).mkString(",")
+      s"""{"queries":$qs,$gs,"queries_norm":${jmap(norms)},"norm_formula":"$NormFormula","mc_threads":${cpus.toInt},"src_stamp":"$stamp","canary_sec":${fmt(canarySec)},"canary_mc_sec":${fmt(canaryMcSec)},"runs_merged":$runsMerged,"sf":"$sfDir","n_queries":${suite.size + headline.size},"n_measured":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
     }
     def compactLine(): String = {
       val (suite, headline, total) = snapshot()
-      val hqs = headline.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
+      val hqs = jmap(headline)
       // the compact line (the driver's tail window) carries the normalized
-      // kernel arms only — the host-sensitive minutes-scale entries the
-      // era question is actually about; the full map lives in BENCH_LOCAL
-      val mcMap = mergedEntryGauge(entryMcCanaries, prevMcCanaries).toMap
-      val norms = normalized(headline, mcMap)
-        .filter(_._1.startsWith("kernel_batch"))
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      // values for the host-sensitive contested arms — the kernel batches
+      // plus the ANN/streaming/nightly/predict headliners (round-14's two
+      // contested numbers were both outside the kernel-only set); the full
+      // map lives in BENCH_LOCAL. Gauge-suffixed keys never normalize, so
+      // this stays well inside the driver's ~2000-char tail window.
+      val mcMap = mergedEntryGauge(entryMcCanaries, prevGauges("entry_mc_canaries")).toMap
+      def compactNorm(k: String): Boolean =
+        k.startsWith("kernel_batch") || k.startsWith("ann_") ||
+        k.startsWith("streaming") || k.startsWith("predict") ||
+        k == "nightly_3dates"
+      val norms = normalized(headline, mcMap).filter(kv => compactNorm(kv._1))
       val suiteTotal = suite.map(_._2).filter(_ >= 0).sum
       val nFailed = (suite ++ headline).count(_._2 < 0)
       val nFailedThisRun = results.count(_._2 < 0)
-      s"""{"queries":$hqs,"queries_norm":$norms,"norm_formula":"wall*0.94/entry_mc_canary (see BENCH_LOCAL.json)","suite_n":${suite.size},"suite_sec":${fmt(suiteTotal)},"n_failed":$nFailed,"n_failed_this_run":$nFailedThisRun,"canary_sec":${fmt(canarySec)},"canary_mc_sec":${fmt(canaryMcSec)},"runs_merged":$runsMerged,"full":"BENCH_LOCAL.json","sf":"$sfDir","n_queries":${suite.size + headline.size},"n_measured":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
+      s"""{"queries":$hqs,"queries_norm":${jmap(norms)},"norm_formula":"wall*0.94/entry_mc_canary (see BENCH_LOCAL.json)","mc_threads":${cpus.toInt},"suite_n":${suite.size},"suite_sec":${fmt(suiteTotal)},"n_failed":$nFailed,"n_failed_this_run":$nFailedThisRun,"canary_sec":${fmt(canarySec)},"canary_mc_sec":${fmt(canaryMcSec)},"runs_merged":$runsMerged,"full":"BENCH_LOCAL.json","sf":"$sfDir","n_queries":${suite.size + headline.size},"n_measured":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
     }
     def persistLocal(): Unit =
       try {
@@ -1239,40 +1240,22 @@ object Bench {
     // A capped() straggler still alive means this entry shared the
     // executor pool with leftover work: say so loudly (min-merge across
     // runs is what corrects the inflated wall).
-    def record(name: String)(v: => Double): Unit =
-      if (want(name)) {
-        if (capStraggler != null && !capStraggler.isAlive) capStraggler = null
-        if (capStraggler != null)
-          System.err.println(s"[bench] WARNING: $name timed while " +
-            s"'${capStraggler.getName}' was still unwinding — wall suspect")
-        // canaries FIRST (single-thread, then the 32-thread spin the
-        // normalized column divides by), so the recorded host window is
-        // the one the wall ran in (gauges are rows/MB — no host window to
-        // document); jiffy samples BRACKET the body so entry_ext_cores
-        // covers the exact window the wall was measured in, mid-entry
-        // bursts included
-        if (!isGauge(name)) {
-          entryCanaries(name) = hostCanarySec()
-          entryMcCanaries(name) = hostCanaryMcSec(cpus.toInt)
-        }
-        val jBefore = if (isGauge(name)) None else cpuJiffies()
-        val t0 = System.nanoTime()
-        val value = v
-        if (!isGauge(name)) {
-          val (ext, own) =
-            extCores(jBefore, cpuJiffies(), (System.nanoTime() - t0) / 1e9)
-          entryExtLoads(name) = ext
-          entryOwnCores(name) = own
-        }
-        results(name) = value; emit()
-      }
-
     // multi-key entries (the streaming soaks return wall + state gauges in
-    // ONE map): instrument the WALL key with the same canary/jiffy gauges
-    // record() gives single-key entries — round-13's known instrumentation
-    // gap was exactly this path bypassing record(), leaving streaming_1m
-    // the only headline wall with no host-window evidence
+    // ONE map): instrument the WALL key with the full gauge family —
+    // straggler check (a capped() body that outlived its cancel grace
+    // window shares the executor pool, so this wall is suspect), canaries
+    // FIRST (single-thread, then the mc-thread spin the normalized column
+    // divides by) so the recorded host window is the one the wall ran in,
+    // and jiffy samples BRACKETING the body so entry_ext_cores covers the
+    // exact window the wall was measured in, mid-entry bursts included.
+    // record() delegates here so single- and multi-key walls get
+    // IDENTICAL instrumentation (round-14 advisor: recordMulti lacked the
+    // straggler check record() had).
     def recordMulti(wallKey: String)(body: => Map[String, Double]): Unit = {
+      if (capStraggler != null && !capStraggler.isAlive) capStraggler = null
+      if (capStraggler != null)
+        System.err.println(s"[bench] WARNING: $wallKey timed while " +
+          s"'${capStraggler.getName}' was still unwinding — wall suspect")
       entryCanaries(wallKey) = hostCanarySec()
       entryMcCanaries(wallKey) = hostCanaryMcSec(cpus.toInt)
       val jBefore = cpuJiffies()
@@ -1284,6 +1267,14 @@ object Bench {
       entryOwnCores(wallKey) = own
       results ++= m; emit()
     }
+
+    def record(name: String)(v: => Double): Unit =
+      if (want(name)) {
+        // gauges are rows/MB — no host window to document, no
+        // canary/jiffy bracket
+        if (isGauge(name)) { results(name) = v; emit() }
+        else recordMulti(name)(Map(name -> v))
+      }
 
     // interactive predict: collect, like the API would (top-50 included).
     // The contributor collect takes the API-shaped 10-column breakdown —
@@ -1404,14 +1395,20 @@ object Bench {
       // never reported (crash/timeout before reaching it); the child's
       // per-entry canaries ride along so the merged artifact documents
       // the host window of EVERY headline min, gate entries included
-      def absorbGauges(g: Gauges): Unit = {
-        g.getOrElse("entry_canaries", Map.empty).foreach { case (k, v) => entryCanaries(k) = v }
-        g.getOrElse("entry_mc_canaries", Map.empty).foreach { case (k, v) => entryMcCanaries(k) = v }
-        g.getOrElse("entry_ext_cores", Map.empty).foreach { case (k, v) => entryExtLoads(k) = v }
-        g.getOrElse("entry_own_cores", Map.empty).foreach { case (k, v) => entryOwnCores(k) = v }
-      }
+      def absorbGauges(g: Gauges): Unit =
+        GaugeFields.foreach { f =>
+          g.getOrElse(f, Map.empty).foreach { case (k, v) => entryGauges(f)(k) = v }
+        }
+      // rotate the three 10× kernel arms' execution order per campaign
+      // run (rot = runs already merged, mod 3): if the accskew-above-
+      // uniform inversion is an ordering artifact (accskew historically
+      // ran LAST, deepest into the child JVM's heap/codegen history), the
+      // rotation surfaces it — entry_arm_pos records the position each
+      // committed min rode at
+      val armRot = (runsMerged - 1) % 3
       val (gateResults, gateGauges) =
-        runIsolated(scaleKeys, sfDir, cpus, (partial, gauges) => {
+        runIsolated(scaleKeys, sfDir, cpus,
+          Map("SPARK_GRAFT_ARM_ROT" -> armRot.toString), (partial, gauges) => {
           absorbGauges(gauges)
           results ++= partial
           // reprint + persist on every child update: the parent's compact
@@ -1457,9 +1454,23 @@ object Bench {
             streaming1m(spark))
         }
       }
-      record("kernel_batch_10x") { capped("kernel_batch_10x", 600, -1.0)(time(kernelBatch10x(spark))) }
-      record("kernel_batch_10x_skew") { capped("kernel_batch_10x_skew", 600, -1.0)(time(kernelBatch10xSkew(spark))) }
-      record("kernel_batch_10x_accskew") { capped("kernel_batch_10x_accskew", 600, -1.0)(time(kernelBatch10xAccSkew(spark))) }
+      // the three 10× arms run in an order ROTATED by SPARK_GRAFT_ARM_ROT
+      // (set by the parent from its runs_merged counter): the fixed
+      // uniform→skew→accskew order left accskew always last — deepest
+      // into this JVM's heap/codegen history — which is the standing
+      // hypothesis for the round-14 accskew-above-uniform inversion.
+      // entry_arm_pos commits the position each arm actually ran at, so
+      // the merged artifact documents which position its min rode.
+      val tenXArms: Seq[(String, () => DataFrame)] = Seq(
+        "kernel_batch_10x" -> (() => kernelBatch10x(spark)),
+        "kernel_batch_10x_skew" -> (() => kernelBatch10xSkew(spark)),
+        "kernel_batch_10x_accskew" -> (() => kernelBatch10xAccSkew(spark)))
+      val armRot = sys.env.getOrElse("SPARK_GRAFT_ARM_ROT", "0").toInt % 3
+      (tenXArms.drop(armRot) ++ tenXArms.take(armRot)).zipWithIndex
+        .foreach { case ((name, mk), pos) =>
+          if (want(name)) entryArmPos(name) = pos.toDouble
+          record(name) { capped(name, 600, -1.0)(time(mk())) }
+        }
       record("bloom_10m") { capped("bloom_10m", 420, -1.0)(time(bloom10m(spark))) }
       // linearity evidence, opt-in by explicit name only (~30 min)
       if (only.exists(_.contains("kernel_batch_100x")))

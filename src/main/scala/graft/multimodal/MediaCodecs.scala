@@ -9,8 +9,11 @@ import org.apache.spark.sql.types._
 /** REAL byte-format decode for the codec-free slice of the multimodal
   * contract: container/header parsing (PNG dimensions, WAV audio format,
   * AVI video header) needs no image/audio codec — just byte arithmetic —
-  * so unlike the pixel/sample decode (still `Multimodal.decodeStub`, the
-  * container has no codecs) this path is fully real and oracle-checked.
+  * fully real and oracle-checked. Pixel/sample decode is ALSO real for
+  * BMP, 16-bit PCM WAV, and PPM here (byte-exact, m03/m04) and for
+  * PNG/JPEG via the JDK's built-in ImageIO ([[ImageIoCodec]], m05/m06/
+  * m06b); `Multimodal.decodeStub` remains only for formats this
+  * container ships no JDK codec for (MP3, H.264-class video).
   *
   * Two halves, deliberately independent:
   *

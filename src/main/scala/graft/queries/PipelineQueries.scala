@@ -510,7 +510,16 @@ object PipelineQueries {
     // green rows-only row.
     "d05_minhash_lsh" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
+      // localCheckpoint: the signature frame feeds BOTH plan branches
+      // (result pairs + the recall gauge below); without it Catalyst
+      // evaluates the explode+agg signature computation once per branch —
+      // at suite scale (5K docs) signing dominates the entry's wall, so
+      // the double-eval was the remaining ~2× after round 14 removed the
+      // gauge's self-join. Materializing once keeps values bit-identical
+      // (signatures are deterministic) and the checkpoint blocks are
+      // per-doc-sized, released on GC like connectedComponents' rounds.
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16, 3)
+        .localCheckpoint()
       val result = Dedup.lshCandidatePairs(sigs, "doc_id", 16, 4)
       val offset = 10000000L
       val longDocs = docs
@@ -526,7 +535,10 @@ object PipelineQueries {
       // corpus×new banding join (the REAL incremental path d25 oracles) —
       // so probe the ≤300 planted signatures against the corpus postings
       // and the quadratic self-join never runs a second time. Same catch
-      // set, same gauge value, ~half the entry's wall.
+      // set, same gauge value; measured cut at sf0.1 suite scale was ~20%
+      // era-adjusted (signing dominates there — hence the checkpoint
+      // above), approaching the asymptotic ~2× only at corpus scale where
+      // candidate pairs outgrow signature computation.
       val caught = Dedup.lshCandidatePairsAgainst(
           sigs, Dedup.minhashSignatures(planted, "doc_id", "text", 16, 3),
           "doc_id", 16, 4)
@@ -598,7 +610,12 @@ object PipelineQueries {
     // neardup_close_frac rides every row, raise_error'ing below 0.9)
     "d06_simhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // localCheckpoint for the same reason as d05's signature frame: the
+      // simhash signatures feed the result branch AND the gauge's h_orig
+      // side, and the per-token sign-vote aggregation is the entry's
+      // dominant cost — evaluate it once, not once per plan branch
       val allSigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+        .localCheckpoint()
       val result = allSigs
         .join(docs.select(col("doc_id"),
           TextExprs.fingerprint(col("text")).as("fingerprint")), "doc_id")

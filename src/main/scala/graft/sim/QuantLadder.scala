@@ -21,28 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object QuantLadder {
 
-  /** MD5 over src/main/scala — the same code-identity notion as
-    * Bench.srcStamp and PLANCHECK.json, so the committed ladder carries
-    * the stamp of the code that generated it.
+  /** Same code-identity notion as Bench and PLANCHECK.json, so the
+    * committed ladder carries the stamp of the code that generated it
+    * (single shared impl: [[graft.SrcStamp]]).
     */
-  private def srcStamp(): String = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get("src/main/scala")
-    if (!Files.isDirectory(root)) return "nosrc"
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val walk = Files.walk(root)
-    try {
-      walk.iterator().asScala
-        .filter(p => p.toString.endsWith(".scala") && Files.isRegularFile(p))
-        .toSeq.sortBy(_.toString)
-        .foreach { p =>
-          md.update(p.toString.getBytes("UTF-8"))
-          md.update(Files.readAllBytes(p))
-        }
-    } finally walk.close()
-    md.digest().map(b => f"$b%02x").mkString
-  }
+  private def srcStamp(): String = graft.SrcStamp.srcStamp()
 
   private case class Tier(name: String, bytesPerVec: String, recallFloor: Double,
                           run: () => DataFrame)

@@ -18,12 +18,13 @@ class ImageIoCodecSpec extends SparkSpec {
 
   import spark.implicits._
 
-  /** A truecolor 8-bit PNG written from the spec: signature, IHDR, one
-    * IDAT holding the zlib-deflated scanlines (each row = filter byte 0 +
-    * w·3 RGB bytes), IEND. No ImageIO involvement — this is the ground
-    * truth ImageIO must agree with.
+  /** An 8-bit PNG written from the spec: signature, IHDR (the given
+    * color type), one IDAT holding the zlib-deflated scanlines (each row
+    * = filter byte 0 + the per-pixel samples), IEND. No ImageIO
+    * involvement — this is the ground truth ImageIO must agree with.
     */
-  private def handCraftedPng(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+  private def handCraftedPngBytes(w: Int, h: Int, colorType: Int,
+      pixel: (Int, Int) => Array[Int]): Array[Byte] = {
     def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
       val out = new ByteArrayOutputStream()
       def be32(v: Long): Unit =
@@ -41,14 +42,13 @@ class ImageIoCodecSpec extends SparkSpec {
     ihdr.write(Array[Byte]((w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte), 0, 4)
     ihdr.write(Array[Byte]((h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte), 0, 4)
     ihdr.write(8)  // bit depth
-    ihdr.write(2)  // color type: truecolor RGB
+    ihdr.write(colorType) // 2 = truecolor RGB, 0 = grayscale
     ihdr.write(0); ihdr.write(0); ihdr.write(0) // compression, filter, interlace
     val raw = new ByteArrayOutputStream()
     (0 until h).foreach { y =>
       raw.write(0) // filter type None for this scanline
       (0 until w).foreach { x =>
-        val (r, g, b) = rgb(x, y)
-        raw.write(r); raw.write(g); raw.write(b)
+        pixel(x, y).foreach(raw.write)
       }
     }
     // drain in a LOOP: a single deflate() call has no guarantee of
@@ -73,6 +73,22 @@ class ImageIoCodecSpec extends SparkSpec {
     png.toByteArray
   }
 
+  private def handCraftedPng(w: Int, h: Int,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    handCraftedPngBytes(w, h, colorType = 2,
+      (x, y) => { val (r, g, b) = rgb(x, y); Array(r, g, b) })
+
+  /** Grayscale twin (color type 0) — the golden for the 1-band raster
+    * fast path: since the q100-JPEG exactness work, [[ImageIoCodec
+    * .decodeImageUnits]] reads ALL single-band images' raw raster
+    * samples instead of `getRGB` (whose gray→sRGB ICC gamma LUT maps raw
+    * 1 to RGB 13). This pins the raw-sample contract for PNG content
+    * too, not only the JPEG fixture.
+    */
+  private def handCraftedGrayPng(w: Int, h: Int,
+      gray: (Int, Int) => Int): Array[Byte] =
+    handCraftedPngBytes(w, h, colorType = 0, (x, y) => Array(gray(x, y)))
+
   test("golden PNG: hand-crafted spec bytes decode to exact R,G,B row-major units") {
     // 2×2, every channel value distinct — any channel swap, row flip, or
     // column/row transpose lands a wrong value at some k
@@ -82,6 +98,27 @@ class ImageIoCodecSpec extends SparkSpec {
     val Some((fmt, units)) = ImageIoCodec.decodeImageUnits(bytes)
     assert(fmt === "png")
     assert(units.toSeq === Seq(200, 10, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120))
+  }
+
+  test("golden grayscale PNG: 1-band raster decodes to RAW samples, not sRGB-gamma values") {
+    // low values are where the gamma LUT bites hardest (raw 1 → RGB 13);
+    // 0/128/255 pin the anchors, distinct positions pin row-major order
+    val px = Map((0, 0) -> 0, (1, 0) -> 1, (2, 0) -> 2,
+      (0, 1) -> 64, (1, 1) -> 128, (2, 1) -> 255)
+    val bytes = handCraftedGrayPng(3, 2, (x, y) => px((x, y)))
+    val Some((fmt, units)) = ImageIoCodec.decodeImageUnits(bytes)
+    assert(fmt === "png")
+    assert(units.toSeq === Seq(0, 0, 0, 1, 1, 1, 2, 2, 2,
+      64, 64, 64, 128, 128, 128, 255, 255, 255))
+    // discrimination check: on this JDK the getRGB path must actually
+    // DIFFER somewhere on these samples, or the golden no longer
+    // distinguishes raw-sample from gamma reads and the plant needs
+    // re-choosing
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val gammaDiffers = px.exists { case ((x, y), v) =>
+      ((img.getRGB(x, y) >> 16) & 0xff) != v
+    }
+    assert(gammaDiffers, "getRGB agreed with raw samples everywhere — golden lost its teeth")
   }
 
   test("lossless round trip: encodePng units reproduce the formula exactly") {

@@ -39,27 +39,11 @@ object PlanCheck {
   private def countLines(plan: String, needle: String): Int =
     plan.linesIterator.count(_.contains(needle))
 
-  /** MD5 of src/main/scala — same identity notion as Bench.srcStamp, so a
-    * PLANCHECK row is checkable against the code state it was taken from.
+  /** Same code-identity notion as Bench and QUANT_LADDER.md, so a
+    * PLANCHECK row is checkable against the code state it was taken from
+    * (single shared impl: [[graft.SrcStamp]]).
     */
-  private def srcStamp(): String = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get("src/main/scala")
-    if (!Files.isDirectory(root)) return "nosrc"
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val walk = Files.walk(root)
-    try {
-      walk.iterator().asScala
-        .filter(p => p.toString.endsWith(".scala") && Files.isRegularFile(p))
-        .toSeq.sortBy(_.toString)
-        .foreach { p =>
-          md.update(p.toString.getBytes("UTF-8"))
-          md.update(Files.readAllBytes(p))
-        }
-    } finally walk.close()
-    md.digest().map(b => f"$b%02x").mkString
-  }
+  private def srcStamp(): String = graft.SrcStamp.srcStamp()
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

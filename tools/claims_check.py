@@ -114,19 +114,50 @@ def bench_local_queries():
         return {}
 
 
+def _bench_exempt(k):
+    # gauges (rows / MB) aren't seconds; suite-query ids (q02_…, d28_…)
+    # appear in prose as ORACLE-QUERY names far more often than as bench
+    # claims — restrict the rule to headline/gate entry names, where a
+    # citation + seconds on one line is reliably a measurement claim
+    return (k.endswith("_rows") or k.endswith("_state_mb")
+            or QUERY_NAME_RE.fullmatch(k))
+
+
+def _line_bench_errors(line, keys, bench, where):
+    """Shared core of the seconds-claim drift rule: `keys` are the
+    (position, key) citations found on the line; every key that some
+    seconds SPAN claims as its nearest citation must be covered by SOME
+    span on the line within ±15% (round-12 advisor: requiring every key
+    on the line to be covered spurious-fails prose that cites two entries
+    while stating seconds for only one). Lines marked '(historical)' are
+    exempt at the call sites."""
+    errs = []
+    spans = [(m.start(), float(m.group(1)),
+              float(m.group(2) or m.group(1)))
+             for m in SECONDS_RE.finditer(line)]
+    if not keys or not spans:
+        return errs
+    claimed = {min(keys, key=lambda kk: abs(kk[0] - spos))[1]
+               for spos, _, _ in spans}
+    for k in sorted(claimed):
+        v = bench[k]
+        if not any(lo * (1 - BENCH_TOL) <= v <= hi * (1 + BENCH_TOL)
+                   for _, lo, hi in spans):
+            errs.append(
+                f"{where} cites bench entry `{k}` with a seconds "
+                f"claim, but no claimed value/range on the line covers the "
+                f"committed {v:.3g} s within ±{int(BENCH_TOL*100)}% "
+                f"(BENCH_LOCAL.json) — refresh the claim or mark it "
+                f"'(historical)'")
+    return errs
+
+
 def check_bench_claims(doc, bench):
     """Lines citing a BENCH_LOCAL key + claiming seconds must be current."""
     errs = []
     path = os.path.join(ROOT, doc)
     if not os.path.exists(path) or not bench:
         return errs
-    # gauges (rows / MB) aren't seconds; suite-query ids (q02_…, d28_…)
-    # appear in prose as ORACLE-QUERY names far more often than as bench
-    # claims — restrict the rule to headline/gate entry names, where a
-    # citation + seconds on one line is reliably a measurement claim
-    def is_exempt(k):
-        return (k.endswith("_rows") or k.endswith("_state_mb")
-                or QUERY_NAME_RE.fullmatch(k))
     for lineno, line in enumerate(open(path).read().splitlines(), 1):
         # same escape hatch as artifact citations: a line narrating an
         # OLD round's number as history is exempt when marked
@@ -134,32 +165,42 @@ def check_bench_claims(doc, bench):
             continue
         keys = [(m.start(), m.group(1))
                 for m in BENCH_KEY_RE.finditer(line)
-                if m.group(1) in bench and not is_exempt(m.group(1))]
-        if not keys:
-            continue
-        spans = [(m.start(), float(m.group(1)),
-                  float(m.group(2) or m.group(1)))
-                 for m in SECONDS_RE.finditer(line)]
-        if not spans:
-            continue
-        # only check keys that some SECONDS SPAN claims as its nearest
-        # citation (round-12 advisor: requiring every key on the line to be
-        # covered by some span spurious-fails prose that cites two headline
-        # entries while stating seconds for only one of them). A claimed
-        # key must still be covered by SOME span on the line — i.e. this is
-        # the old rule restricted to keys that actually carry a seconds
-        # claim, strictly fewer false positives, no new failure modes.
-        claimed = {min(keys, key=lambda kk: abs(kk[0] - spos))[1]
-                   for spos, _, _ in spans}
-        for k in sorted(claimed):
-            v = bench[k]
-            if not any(lo * (1 - BENCH_TOL) <= v <= hi * (1 + BENCH_TOL)
-                       for _, lo, hi in spans):
-                errs.append(
-                    f"{doc}:{lineno} cites bench entry `{k}` with a seconds "
-                    f"claim, but no claimed value/range on the line covers the "
-                    f"committed {v:.3g} s within ±{int(BENCH_TOL*100)}% "
-                    f"(BENCH_LOCAL.json) — refresh the claim")
+                if m.group(1) in bench and not _bench_exempt(m.group(1))]
+        errs.extend(_line_bench_errors(line, keys, bench, f"{doc}:{lineno}"))
+    return errs
+
+
+# src/main doc comments narrate measurements too, and they rot the same
+# way prose does (the round-14 Bench.scala decomposition comment carried a
+# stale wall the .md-only gate could not see). Scan COMMENT lines of
+# src/main/scala for a headline-entry name + a seconds claim; keys appear
+# BARE in Scala comments, so the citation regex is the key names
+# themselves, word-bounded. Code lines are never scanned (a literal like
+# capped("x", 600, …) is a cap, not a claim).
+SRC_COMMENT_RE = re.compile(r"^\s*(//|\*|/\*\*?)")
+
+
+def check_src_comment_bench_claims(bench):
+    errs = []
+    src_root = os.path.join(ROOT, "src/main/scala")
+    if not bench or not os.path.isdir(src_root):
+        return errs
+    headline = sorted(k for k in bench if not _bench_exempt(k))
+    if not headline:
+        return errs
+    key_re = re.compile(r"\b(" + "|".join(map(re.escape, headline)) + r")\b")
+    for dirpath, _, names in os.walk(src_root):
+        for n in sorted(names):
+            if not n.endswith(".scala"):
+                continue
+            p = os.path.join(dirpath, n)
+            rel = os.path.relpath(p, ROOT)
+            for lineno, line in enumerate(open(p).read().splitlines(), 1):
+                if not SRC_COMMENT_RE.match(line) or HISTORY_MARK in line:
+                    continue
+                keys = [(m.start(), m.group(1)) for m in key_re.finditer(line)]
+                errs.extend(_line_bench_errors(
+                    line, keys, bench, f"{rel}:{lineno} (doc comment)"))
     return errs
 
 
@@ -280,6 +321,7 @@ def main():
         errs.extend(check_doc(doc, total, n_pass, n_rows_only, n_fail,
                               red_queries, graded_round))
         errs.extend(check_bench_claims(doc, bench))
+    errs.extend(check_src_comment_bench_claims(bench))
     errs.extend(check_generated_stamps())
     if errs:
         for e in errs:
