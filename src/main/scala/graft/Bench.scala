@@ -14,7 +14,8 @@ import graft.sim.Similarity
   * reference's published baselines (BASELINE.md):
   *
   *  - `predict_single_route`: the interactive predict path — 1 route ×
-  *    6.9K accidents, top-50 contributors collected (reference: <2s avg)
+  *    6.9K accidents, top-50 contributors collected (reference target:
+  *    under two seconds average, BASELINE.md)
   *  - `kernel_batch_168k`: the nightly batch at production scale — 168K
   *    routes × 6.9K accidents ≈ 1.16B kernel evaluations (reference:
   *    5-15 min per date, single node)
@@ -883,21 +884,64 @@ object Bench {
   private val GaugeFields = Seq("entry_canaries", "entry_mc_canaries",
     "entry_ext_cores", "entry_own_cores", "entry_arm_pos")
 
-  /** Previous BENCH_LOCAL entries, iff recorded against the same src
+  /** The three 10× kernel arms whose PER-RUN walls the artifact persists
+    * (`arm_runs` in BENCH_LOCAL.json): min-merge keeps only each arm's
+    * best window, so the accskew-vs-uniform question could previously be
+    * answered only by cross-window normalization — the merged mins rode
+    * DIFFERENT host windows. Every full run now appends one record per
+    * arm — `{run, arm, wall, mc, pos, ext, own}` (this run's wall, the
+    * mc-canary immediately before it, its rotated execution position,
+    * and the jiffy-bracketed external/own cores over its exact window) —
+    * so the committed artifact carries PAIRED same-window comparisons:
+    * within one record-triple the host era is shared, and a quiet run
+    * (ext ≈ 0, mc low) adjudicates the arm order by measurement.
+    */
+  private val ArmRunKeys = Seq("kernel_batch_10x", "kernel_batch_10x_skew",
+    "kernel_batch_10x_accskew")
+
+  /** Which file this run's series lives in. A single run at a different
+    * SPARK_GRAFT_CPUS used to silently CLOBBER the merged same-stamp
+    * series (previousLocal refuses to merge on mc_threads mismatch, so
+    * the overwrite restarted at runs_merged=1 — recoverable via git,
+    * easy to commit by accident). Now a same-stamp/different-threads run
+    * writes to a CPUS-suffixed file instead, with a loud warning, and
+    * the 32-thread merged artifact survives untouched.
+    */
+  private def localFileFor(stamp: String, mcThreads: Int): String =
+    try {
+      val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      if (!java.nio.file.Files.exists(p)) return "BENCH_LOCAL.json"
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(p))
+      val prevThreads = node.path("mc_threads").asInt(-1)
+      if (node.path("src_stamp").asText("") == stamp &&
+          prevThreads != -1 && prevThreads != mcThreads) {
+        val alt = s"BENCH_LOCAL.cpus$mcThreads.json"
+        System.err.println(s"[bench] WARNING: BENCH_LOCAL.json holds a " +
+          s"same-stamp series at mc_threads=$prevThreads but this run uses " +
+          s"$mcThreads — persisting to $alt instead of clobbering the " +
+          "merged series")
+        alt
+      } else "BENCH_LOCAL.json"
+    } catch { case _: Throwable => "BENCH_LOCAL.json" }
+
+  /** Previous entries from `file`, iff recorded against the same src
     * stamp AND the same mc-canary thread count (Jackson rides in on
     * Spark's classpath). Empty otherwise — a 4-thread canary merged into
     * a 32-thread series would falsely label the normalized column
     * (round-14 advisor), so differing `mc_threads` refuses to merge just
     * like differing code. Third element: the per-entry gauges recorded
-    * when each min landed, keyed by [[GaugeFields]].
+    * when each min landed, keyed by [[GaugeFields]]. Fourth: the
+    * accumulated per-run arm-wall records ([[ArmRunKeys]]), carried
+    * verbatim so the series survives every merge.
     */
-  private def previousLocal(stamp: String, mcThreads: Int)
-      : (Map[String, Double], Int, Map[String, Map[String, Double]]) = {
+  private def previousLocal(file: String, stamp: String, mcThreads: Int)
+      : (Map[String, Double], Int, Map[String, Map[String, Double]], Seq[String]) = {
     import scala.jdk.CollectionConverters._
     val none = (Map.empty[String, Double], 0,
-      GaugeFields.map(_ -> Map.empty[String, Double]).toMap)
+      GaugeFields.map(_ -> Map.empty[String, Double]).toMap, Seq.empty[String])
     try {
-      val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      val p = java.nio.file.Paths.get(file)
       if (!java.nio.file.Files.exists(p)) return none
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(p))
@@ -907,8 +951,12 @@ object Bench {
         val o = node.path(field)
         o.fieldNames().asScala.map(k => k -> o.get(k).asDouble(-1.0)).toMap
       }
+      val armRuns = node.path("arm_runs") match {
+        case a if a.isArray => a.elements().asScala.map(_.toString).toSeq
+        case _ => Seq.empty[String]
+      }
       (obj("queries"), node.path("runs_merged").asInt(1),
-        GaugeFields.map(f => f -> obj(f)).toMap)
+        GaugeFields.map(f => f -> obj(f)).toMap, armRuns)
     } catch { case _: Throwable => none }
   }
 
@@ -1075,10 +1123,11 @@ object Bench {
     // them the MAX is the honest recorded peak, and a -1 on either side
     // stays a failure.
     def isGauge(k: String) = k.endsWith("_rows") || k.endsWith("_state_mb")
-    val (prevQ, prevRuns, prevGauges) =
-      if (only.isEmpty) previousLocal(stamp, cpus.toInt)
+    val localFile = localFileFor(stamp, cpus.toInt)
+    val (prevQ, prevRuns, prevGauges, prevArmRuns) =
+      if (only.isEmpty) previousLocal(localFile, stamp, cpus.toInt)
       else (Map.empty[String, Double], 0,
-        GaugeFields.map(_ -> Map.empty[String, Double]).toMap)
+        GaugeFields.map(_ -> Map.empty[String, Double]).toMap, Seq.empty[String])
     val runsMerged = prevRuns + 1
     // per-HEADLINE-entry gauge maps (one per GaugeFields family), taken
     // immediately before/around each timed entry. The startup canary
@@ -1158,6 +1207,23 @@ object Bench {
       }
     def jmap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // THIS run's per-arm records (see ArmRunKeys): computed dynamically at
+    // every emit so mid-gate flushes stay idempotent — an arm appears the
+    // moment its wall lands, with the gauges that rode it. -1 walls are
+    // recorded too: a capped/failed arm documents its window rather than
+    // vanishing from the series.
+    def armRunsJson(): String = {
+      val thisRun = ArmRunKeys.flatMap { k =>
+        results.get(k).map { wall =>
+          s"""{"run":$runsMerged,"arm":"$k","wall":${fmt(wall)}""" +
+            s""","mc":${fmt(entryMcCanaries.getOrElse(k, -1.0))}""" +
+            s""","pos":${fmt(entryArmPos.getOrElse(k, -1.0))}""" +
+            s""","ext":${fmt(entryExtLoads.getOrElse(k, -1.0))}""" +
+            s""","own":${fmt(entryOwnCores.getOrElse(k, -1.0))}}"""
+        }
+      }
+      (prevArmRuns ++ thisRun).mkString("[", ",", "]")
+    }
     def fullLine(): String = {
       val (suite, headline, total) = snapshot()
       val qs = jmap(suite ++ headline)
@@ -1165,7 +1231,7 @@ object Bench {
         GaugeFields.map(f => f -> mergedEntryGauge(entryGauges(f), prevGauges(f))).toMap
       val norms = normalized(headline, gaugeMerged("entry_mc_canaries").toMap)
       val gs = GaugeFields.map(f => "\"" + f + "\":" + jmap(gaugeMerged(f))).mkString(",")
-      s"""{"queries":$qs,$gs,"queries_norm":${jmap(norms)},"norm_formula":"$NormFormula","mc_threads":${cpus.toInt},"src_stamp":"$stamp","canary_sec":${fmt(canarySec)},"canary_mc_sec":${fmt(canaryMcSec)},"runs_merged":$runsMerged,"sf":"$sfDir","n_queries":${suite.size + headline.size},"n_measured":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
+      s"""{"queries":$qs,$gs,"queries_norm":${jmap(norms)},"norm_formula":"$NormFormula","arm_runs":${armRunsJson()},"mc_threads":${cpus.toInt},"src_stamp":"$stamp","canary_sec":${fmt(canarySec)},"canary_mc_sec":${fmt(canaryMcSec)},"runs_merged":$runsMerged,"sf":"$sfDir","n_queries":${suite.size + headline.size},"n_measured":${results.size},"metric":"total","value":${fmt(total)},"unit":"sec"}"""
     }
     def compactLine(): String = {
       val (suite, headline, total) = snapshot()
@@ -1189,13 +1255,13 @@ object Bench {
     }
     def persistLocal(): Unit =
       try {
-        val tmp = java.nio.file.Paths.get("BENCH_LOCAL.json.tmp")
+        val tmp = java.nio.file.Paths.get(localFile + ".tmp")
         java.nio.file.Files.writeString(tmp, fullLine() + "\n")
-        java.nio.file.Files.move(tmp, java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(localFile),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] BENCH_LOCAL write: ${e.getMessage}") }
+        System.err.println(s"[bench] $localFile write: ${e.getMessage}") }
     // FULL runs print the compact line (fits the tail window) and persist
     // the complete line to BENCH_LOCAL.json; subset runs (dev re-timing
     // and the forked gate child) print the full cumulative line after

@@ -12,10 +12,20 @@ package graft
   * file bytes).
   */
 object SrcStamp {
-  def srcStamp(): String = {
+  def srcStamp(): String = stampOf("src/main/scala")
+
+  /** The same walk + digest over an arbitrary root — the generalization
+    * exists for the MIRROR-DRIFT self-test: `tools/stamp_fixture/` is a
+    * tiny committed tree both implementations hash (SrcStampSpec pins
+    * this side, `tools/claims_check.py` pins the Python mirror against
+    * the committed `tools/stamp_fixture.expected`), so a divergence in
+    * walk order / filtering / digest input surfaces as a named
+    * mirror-drift failure instead of a confusing stale-artifact error.
+    */
+  def stampOf(rootDir: String): String = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    val root = Paths.get("src/main/scala")
+    val root = Paths.get(rootDir)
     if (!Files.isDirectory(root)) return "nosrc"
     val md = java.security.MessageDigest.getInstance("MD5")
     val walk = Files.walk(root)

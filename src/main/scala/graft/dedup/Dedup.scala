@@ -46,10 +46,11 @@ object Dedup {
   }
 
   /** MinHash signature column: `numHashes` minima over seeded xxhash64 of
-    * w-token shingles. Column form for composability; for bulk signature
-    * computation prefer [[minhashSignatures]] — higher-order functions are
-    * CodegenFallback (interpreted per element), the exploded aggregate is
-    * codegen'd with map-side partial aggregation.
+    * w-token shingles. The HOF REFERENCE form (CodegenFallback —
+    * interpreted per element): kept as the independently-derived
+    * semantics the native fused expression is spec-pinned against. For
+    * bulk signature computation prefer [[minhashSignatures]] (the
+    * codegen'd single-pass [[graft.expr.MinHashSigs]]).
     */
   def minhashSignature(text: Column, numHashes: Int, shingleWidth: Int): Column = {
     val shingles = TextExprs.shingleHashes(text, shingleWidth)
@@ -65,14 +66,33 @@ object Dedup {
         i => array_min(transform(shingles, sh => xxhash64(i, sh)))))
   }
 
-  /** Bulk MinHash signatures as explode → hash-aggregate: one row per
-    * (doc, shingle), then `numHashes` codegen'd `min(xxhash64(i, sh))`
-    * aggregates reassembled into a signature array. The only shuffle is the
-    * final aggregation keyed by `idCol` (partial min computed map-side), so
-    * at corpus scale this runs at scan throughput.
+  /** Bulk MinHash signatures via the native codegen'd expression
+    * ([[graft.expr.MinHashSigs]]): one fused map-side pass per document —
+    * all `numHashes` minima in one scan over the token array, no explode,
+    * no aggregate, NO shuffle. Agrees bit-for-bit with the column form
+    * ([[minhashSignature]], the HOF reference) and with the staged
+    * explode→min-aggregate twin ([[minhashSignaturesStaged]]) — DedupSpec
+    * asserts both. Null-text docs are dropped, exactly as the staged
+    * form's explode-of-NULL-array emitted no rows for them.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int, shingleWidth: Int): DataFrame = {
+                        numHashes: Int, shingleWidth: Int): DataFrame =
+    graft.Partitioning.balanced(df)
+      .where(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.expr.MinHashExpr.minhashSigs(
+          TextExprs.tokens(col(textCol)), numHashes, shingleWidth).as("sig"))
+
+  /** The staged explode → hash-aggregate form [[minhashSignatures]]
+    * replaced as the hot path: one row per (doc, shingle), then
+    * `numHashes` codegen'd `min(xxhash64(i, sh))` aggregates reassembled
+    * into a signature array. Kept as the independent derivation the
+    * parity spec pins the native expression against (its only shuffle is
+    * the `idCol`-keyed aggregation with map-side partial mins — already
+    * scale-safe, just strictly more work than the fused scan).
+    */
+  private[graft] def minhashSignaturesStaged(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, shingleWidth: Int): DataFrame = {
     val exploded = graft.Partitioning.balanced(df).select(col(idCol),
       explode(TextExprs.shingleHashes(col(textCol), shingleWidth)).as("sh"))
     val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i"))

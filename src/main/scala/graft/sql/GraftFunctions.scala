@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash63].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash63(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[graft.expr.MinHashSigs].getName, "minhash_sigs"),
+      (exprs: Seq[Expression]) => graft.expr.MinHashExpr.fromSql(exprs)))
+    ext.injectFunction((
       FunctionIdentifier("weather_similarity"),
       new ExpressionInfo(classOf[WeatherPatternSimilarity].getName, "weather_similarity"),
       (exprs: Seq[Expression]) => WeatherPatternSimilarity(exprs.head, exprs(1))))
@@ -85,6 +89,8 @@ object GraftFunctions {
       exprs => DotProductD(exprs.head, exprs(1)))
     bridge.registerFunction(spark, "simhash64",
       exprs => SimHash63(exprs.head))
+    bridge.registerFunction(spark, "minhash_sigs",
+      exprs => graft.expr.MinHashExpr.fromSql(exprs))
     bridge.registerFunction(spark, "weather_similarity",
       exprs => WeatherPatternSimilarity(exprs.head, exprs(1)))
     bridge.registerFunction(spark, "geo_within_km",

@@ -261,9 +261,15 @@ object StreamingOps {
       s"signature length $numHashes not divisible by $bands bands")
     import docs.sparkSession.implicits._
     val r = numHashes / bands
+    // native fused signature expression — bit-identical to the HOF column
+    // form (Dedup.minhashSignature) and the batch bulk path, so
+    // stream≡batch parity is by construction; null-text docs yield a NULL
+    // signature (null tokens array → unary null propagation) and are
+    // dropped here exactly as the batch path drops them
     val signed = docs.select(
         col(idCol).cast("long").as("id"),
-        graft.dedup.Dedup.minhashSignature(col(textCol), numHashes, shingleWidth).as("sig"))
+        graft.expr.MinHashExpr.minhashSigs(
+          graft.text.TextExprs.tokens(col(textCol)), numHashes, shingleWidth).as("sig"))
       .where(col("sig").isNotNull)
     val banded = signed.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),

@@ -49,6 +49,18 @@ class DedupSpec extends SparkSpec {
     assert(bulk == colForm)
   }
 
+  test("native bulk signatures agree with the staged explode→aggregate twin") {
+    // three independent derivations of the same signature (HOF column
+    // form above, staged aggregate here, native fused expression as the
+    // shipped bulk path) — a hash/windowing bug would have to hit all
+    // three identically to pass
+    val native = Dedup.minhashSignatures(docs, "doc_id", "text", 16, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val staged = Dedup.minhashSignaturesStaged(docs, "doc_id", "text", 16, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == staged)
+  }
+
   test("maxShingleDf drops boilerplate shingles: pair blow-up bounded, survivors kept") {
     // 100 docs: unique body + a boilerplate sentence shared by ALL of them;
     // docs 0 and 1 additionally share a real phrase. Uncapped, the

@@ -89,6 +89,42 @@ class ExprParitySpec extends SparkSpec {
     }
   }
 
+  test("minhash_sigs: parity on empty array, short docs, null element, null array, unicode") {
+    assertParity {
+      spark.sql(
+        """SELECT id, minhash_sigs(toks, 4, 3) AS sig FROM VALUES
+          |  (0, array('the', 'quick', 'brown', 'fox', 'jumps')),
+          |  (1, array()),
+          |  (2, array('one')),
+          |  (3, array('a', 'b')),
+          |  (4, CAST(NULL AS ARRAY<STRING>)),
+          |  (5, array('x', CAST(NULL AS STRING), 'y', 'z')),
+          |  (6, array('über', '山', '☃', 'über', '山', '☃', 'über')),
+          |  (7, array(''))
+          |  AS t(id, toks)
+          |ORDER BY id""".stripMargin)
+    }
+  }
+
+  test("minhash_sigs agrees bit-for-bit with the HOF column form on edge texts") {
+    import spark.implicits._
+    // multi-space text (empty tokens), single token, empty string, unicode,
+    // repeated shingles — every edge the shingle windowing has; null text
+    // is excluded on both sides (the bulk contract drops null docs)
+    val df = Seq((0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, ""), (2L, "one"), (3L, "a  b"), (4L, "ü 山 ☃ ü 山 ☃ ü"),
+      (5L, "x y"), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").where($"text".isNotNull)
+    def rows(frame: org.apache.spark.sql.DataFrame): Seq[String] =
+      frame.orderBy("doc_id").collect().toSeq.map(r =>
+        s"${r.getLong(0)}:${r.getSeq[Long](1).mkString(",")}")
+    val native = df.select($"doc_id", graft.expr.MinHashExpr.minhashSigs(
+      graft.text.TextExprs.tokens($"text"), 8, 3).as("sig"))
+    val hof = df.select($"doc_id",
+      graft.dedup.Dedup.minhashSignature($"text", 8, 3).as("sig"))
+    assert(rows(native) == rows(hof))
+  }
+
   test("dot_f64: parity on empty, mismatched-length, negative, null-array inputs") {
     assertParity {
       spark.sql(

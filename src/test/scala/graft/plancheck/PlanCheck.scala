@@ -295,6 +295,37 @@ object PlanCheck {
       } finally q.stop()
     }
 
+    // 15. d05/d06 signature single-evaluation: the signature frame feeds
+    //     BOTH plan branches (result + in-query recall gauge), and the
+    //     round-15 localCheckpoint is what keeps the signature computation
+    //     evaluated ONCE — values stay bit-identical without it while the
+    //     corpus signing silently doubles, so nothing else fails when it
+    //     is deleted. Structurally: the corpus branches must scan the
+    //     checkpoint RDD ("Scan ExistingRDD"), leaving AT MOST ONE
+    //     signature-expression occurrence in the executed plan (the ≤300-
+    //     row PLANTED side, deliberately unchekpointed). Removing either
+    //     checkpoint re-inlines the signature subtree into every branch
+    //     (≥2 occurrences) and flips this contract (plant recorded in
+    //     MUTATION_RUN.md).
+    contract("dedup_sig_single_eval_d05_d06") {
+      def countOcc(hay: String, needle: String): Int = {
+        var n = 0; var i = hay.indexOf(needle)
+        while (i >= 0) { n += 1; i = hay.indexOf(needle, i + needle.length) }
+        n
+      }
+      val d05 = planOf("d05_minhash_lsh")
+      val d06 = planOf("d06_simhash")
+      val d05Sigs = countOcc(d05, "minhash_sigs(")
+      val d06Sigs = countOcc(d06, "simhash63(")
+      val d05Rdd = countOcc(d05, "Scan ExistingRDD")
+      val d06Rdd = countOcc(d06, "Scan ExistingRDD")
+      (d05Sigs <= 1 && d06Sigs <= 1 && d05Rdd >= 1 && d06Rdd >= 1, Seq(
+        "d05_minhash_sig_exprs" -> d05Sigs.toString,
+        "d06_simhash_sig_exprs" -> d06Sigs.toString,
+        "d05_checkpoint_scans" -> d05Rdd.toString,
+        "d06_checkpoint_scans" -> d06Rdd.toString))
+    }
+
     // ---- emit -------------------------------------------------------------
     val nFail = contracts.count(!_.pass)
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")

@@ -170,47 +170,71 @@ def check_bench_claims(doc, bench):
     return errs
 
 
-# src/main doc comments narrate measurements too, and they rot the same
-# way prose does (the round-14 Bench.scala decomposition comment carried a
+# Scala doc comments narrate measurements too, and they rot the same way
+# prose does (the round-14 Bench.scala decomposition comment carried a
 # stale wall the .md-only gate could not see). Scan COMMENT lines of
-# src/main/scala for a headline-entry name + a seconds claim; keys appear
-# BARE in Scala comments, so the citation regex is the key names
-# themselves, word-bounded. Code lines are never scanned (a literal like
-# capped("x", 600, …) is a cap, not a claim).
+# src/main/scala AND src/test/scala (specs narrate recall/wall numbers
+# just like main-tree comments) for a headline-entry name + a seconds
+# claim; keys appear BARE in Scala comments, so the citation regex is the
+# key names themselves, word-bounded. Code lines are never scanned (a
+# literal like capped("x", 600, …) is a cap, not a claim). Each comment
+# line is ALSO matched joined with its successor comment line: a Scaladoc
+# sentence that wraps so the entry name and its seconds value land on
+# adjacent lines used to escape the strictly line-based scan entirely
+# (round-15 advisor false negative).
 SRC_COMMENT_RE = re.compile(r"^\s*(//|\*|/\*\*?)")
+SRC_COMMENT_LEAD_RE = re.compile(r"^\s*(//|/\*\*?|\*+/?)\s?")
+SRC_SCAN_ROOTS = ("src/main/scala", "src/test/scala")
 
 
 def check_src_comment_bench_claims(bench):
-    errs = []
-    src_root = os.path.join(ROOT, "src/main/scala")
-    if not bench or not os.path.isdir(src_root):
-        return errs
+    errs, seen = [], set()
     headline = sorted(k for k in bench if not _bench_exempt(k))
     if not headline:
         return errs
     key_re = re.compile(r"\b(" + "|".join(map(re.escape, headline)) + r")\b")
-    for dirpath, _, names in os.walk(src_root):
-        for n in sorted(names):
-            if not n.endswith(".scala"):
-                continue
-            p = os.path.join(dirpath, n)
-            rel = os.path.relpath(p, ROOT)
-            for lineno, line in enumerate(open(p).read().splitlines(), 1):
-                if not SRC_COMMENT_RE.match(line) or HISTORY_MARK in line:
+    for root in SRC_SCAN_ROOTS:
+        src_root = os.path.join(ROOT, root)
+        if not os.path.isdir(src_root):
+            continue
+        for dirpath, _, names in os.walk(src_root):
+            for n in sorted(names):
+                if not n.endswith(".scala"):
                     continue
-                keys = [(m.start(), m.group(1)) for m in key_re.finditer(line)]
-                errs.extend(_line_bench_errors(
-                    line, keys, bench, f"{rel}:{lineno} (doc comment)"))
+                p = os.path.join(dirpath, n)
+                rel = os.path.relpath(p, ROOT)
+                lines = open(p).read().splitlines()
+                is_c = [bool(SRC_COMMENT_RE.match(l)) for l in lines]
+                for i, line in enumerate(lines):
+                    if not is_c[i] or HISTORY_MARK in line:
+                        continue
+                    windows = [line]
+                    if i + 1 < len(lines) and is_c[i + 1] \
+                            and HISTORY_MARK not in lines[i + 1]:
+                        windows.append(
+                            line + " " +
+                            SRC_COMMENT_LEAD_RE.sub("", lines[i + 1]))
+                    for text in windows:
+                        keys = [(m.start(), m.group(1))
+                                for m in key_re.finditer(text)]
+                        for e in _line_bench_errors(
+                                text, keys, bench,
+                                f"{rel}:{i + 1} (doc comment)"):
+                            if e not in seen:
+                                seen.add(e)
+                                errs.append(e)
     return errs
 
 
-def current_src_stamp():
-    """MD5 over src/main/scala (relative path string + bytes, sorted by
-    path), byte-identical to Bench.srcStamp / PlanCheck.srcStamp /
-    QuantLadder.srcStamp — all four walk the same tree the same way."""
+def src_stamp_of(rel_root):
+    """MD5 over a tree (repo-relative path string + bytes, every regular
+    *.scala file, sorted by path) — byte-identical to graft.SrcStamp
+    .stampOf, the Scala side all stamp-carrying artifacts use. The
+    fixture self-test below is what keeps the two implementations
+    provably in lockstep."""
     import hashlib
     md = hashlib.md5()
-    root = os.path.join(ROOT, "src/main/scala")
+    root = os.path.join(ROOT, rel_root)
     if not os.path.isdir(root):
         return "nosrc"
     files = []
@@ -224,6 +248,38 @@ def current_src_stamp():
         with open(os.path.join(ROOT, rel), "rb") as f:
             md.update(f.read())
     return md.hexdigest()
+
+
+def current_src_stamp():
+    """The artifact-facing stamp: src/main/scala, same as Bench.srcStamp /
+    PlanCheck.srcStamp / QuantLadder.srcStamp."""
+    return src_stamp_of("src/main/scala")
+
+
+def check_stamp_mirror():
+    """Mirror-drift self-test: this file carries the one sanctioned Python
+    mirror of graft.SrcStamp, and before this check a drift between the
+    two surfaced only as a confusing 'stale artifact' stamp-mismatch.
+    Both implementations hash the committed tools/stamp_fixture/ tree;
+    tools/stamp_fixture.expected pins the agreed digest (SrcStampSpec
+    asserts the Scala side against the same file). A mismatch HERE is by
+    construction a walk/filter/digest divergence in THIS mirror — named
+    as such, checked before any stamp-based staleness verdict."""
+    fx_rel = "tools/stamp_fixture"
+    exp_path = os.path.join(ROOT, fx_rel + ".expected")
+    if not (os.path.isdir(os.path.join(ROOT, fx_rel))
+            and os.path.exists(exp_path)):
+        return []  # fixture not present (pre-round-16 tree): nothing to pin
+    expected = open(exp_path).read().split()[0].strip()
+    got = src_stamp_of(fx_rel)
+    if got != expected:
+        return [
+            f"SrcStamp MIRROR DRIFT: the Python mirror computes {got[:12]}… "
+            f"over {fx_rel}/ but the committed Scala-agreed digest is "
+            f"{expected[:12]}… ({fx_rel}.expected) — claims_check's walk no "
+            "longer matches graft.SrcStamp; fix the mirror before trusting "
+            "any stale-artifact verdict below"]
+    return []
 
 
 def check_generated_stamps():
@@ -322,6 +378,9 @@ def main():
                               red_queries, graded_round))
         errs.extend(check_bench_claims(doc, bench))
     errs.extend(check_src_comment_bench_claims(bench))
+    # mirror self-test FIRST in the stamp family: a drifted mirror would
+    # make the generated-stamp verdicts below read as false staleness
+    errs.extend(check_stamp_mirror())
     errs.extend(check_generated_stamps())
     if errs:
         for e in errs:
