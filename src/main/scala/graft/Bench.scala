@@ -192,22 +192,33 @@ object Bench {
     * lengthen the candidate list of every route whose probe window covers
     * the hot cell, and they all hash to ONE broadcast-map key.
     *
-    * Why this should still not blow up the plan, stated as a checkable
-    * prediction: the hot key concentrates the broadcast map (read-only,
-    * replicated — no shuffle partition inherits it), and the EXTRA pair
-    * output is (routes whose window covers the hot cell) × n/2. Routes
-    * are uniform here, so that population is ≈ Σ_tiers |routes_t| ×
-    * window_area_t / lattice_area — low thousands against a 20°×30°
-    * lattice even for the widest tier — i.e. tens of millions of extra
-    * pairs against the uniform arm's ~3.8G, while the uniform half's
-    * pairs HALVE. Prediction: `kernel_batch_10x_accskew` lands at or
-    * below `kernel_batch_10x`; per-task balance holds because the
-    * round-robin route scan spreads hot-window routes across all tasks.
-    * If it ever exceeds ~2× uniform, the fix is salting the hot grid key
-    * (split the cell's accident list across s sub-keys and probe all s).
-    * Bit-equality under a planted hot accident cell is spec-pinned
-    * (KernelPruningSpec "10x density + planted hot cell" and the
-    * accident-skew generator spec).
+    * Measured work model (round 16 — this corrects an earlier prediction
+    * here that the extra pairs were "tens of millions" and the arm would
+    * land at or below uniform; the window-area arithmetic behind that was
+    * wrong): each tier's 25-cell probe window covers 3–19% of the 20°×30°
+    * lattice — (5·tierRadius/2)² against ~5.2M km² — so ~160K uniform
+    * routes iterate the 34.5K hot candidates, and the gate genuinely
+    * admits MORE pairs than the uniform arm: 4.658G vs 3.785G gated pairs
+    * (ratio 1.230, measured by `graft.bench.ArmWork`; the uniform count
+    * also reconfirms the 3.79G funnel figure in [[kernelBatch10x]]'s doc).
+    * Every extra pair is above the 1e-6 floor and owed exact influence
+    * math (bit-equality is spec-pinned: KernelPruningSpec "10x density +
+    * planted hot cell" and the accident-skew generator spec), so the arm
+    * SHOULD run above uniform — the paired per-run walls in BENCH_LOCAL's
+    * `arm_runs` put accskew/uniform at ~1.1–1.2× across rotated positions,
+    * BELOW the 1.230× pair ratio, and ArmWork's count-only walls (join +
+    * prefilters + haversine gate, influence math pruned) are equal across
+    * the two arms: candidate volume is a wash (the uniform half's
+    * candidates halve, the hot cell's add a like amount), per-task balance
+    * holds (round-robin probe side, read-only replicated broadcast map —
+    * no shuffle partition inherits the hot key), and the wall tracks
+    * gated-pair volume. That is the design's actual guarantee: work is
+    * accident-density-bound — proportional to pairs within the gate
+    * radius, which skew genuinely increases — never route-count-bound or
+    * partition-skew-bound. (An earlier note here suggested salting the
+    * hot grid key as a remedy; salting redistributes SHUFFLE partitions
+    * and is a no-op for a balanced broadcast probe — it would neither cut
+    * candidates nor pairs.)
     */
   def syntheticAccidentsSkewed(spark: SparkSession, n: Long): DataFrame = {
     val (latDeg, lonDeg) = KernelPruning.tier0CellDegrees()
@@ -877,9 +888,11 @@ object Bench {
     * to each merged min: single-thread + multicore canaries, external/own
     * CPU cores over the entry's exact wall window, and (for the three 10×
     * kernel arms) the position the arm ran at inside the gate child —
-    * the committed evidence for/against the arm-ORDERING hypothesis on
-    * the accskew inversion (round-14 watch item: accskew always ran last,
-    * deepest into the child JVM's heap/codegen history).
+    * the committed evidence that settled the arm-ORDERING hypothesis on
+    * the accskew gap (round-14 watch item: accskew always ran last,
+    * deepest into the child JVM's heap/codegen history — ruled out in
+    * round 16 by the paired `arm_runs` series; the gap is genuine
+    * gated-pair volume, see syntheticAccidentsSkewed's doc).
     */
   private val GaugeFields = Seq("entry_canaries", "entry_mc_canaries",
     "entry_ext_cores", "entry_own_cores", "entry_arm_pos")
@@ -894,7 +907,10 @@ object Bench {
     * and the jiffy-bracketed external/own cores over its exact window) —
     * so the committed artifact carries PAIRED same-window comparisons:
     * within one record-triple the host era is shared, and a quiet run
-    * (ext ≈ 0, mc low) adjudicates the arm order by measurement.
+    * (ext ≈ 0, mc low) adjudicates the arm order by measurement — which
+    * round 16 did (`tools/arm_pairs.py` prints the paired series; the
+    * accskew arm runs genuinely above uniform, in proportion to its
+    * measured extra gated pairs).
     */
   private val ArmRunKeys = Seq("kernel_batch_10x", "kernel_batch_10x_skew",
     "kernel_batch_10x_accskew")
@@ -1466,11 +1482,13 @@ object Bench {
           g.getOrElse(f, Map.empty).foreach { case (k, v) => entryGauges(f)(k) = v }
         }
       // rotate the three 10× kernel arms' execution order per campaign
-      // run (rot = runs already merged, mod 3): if the accskew-above-
-      // uniform inversion is an ordering artifact (accskew historically
-      // ran LAST, deepest into the child JVM's heap/codegen history), the
-      // rotation surfaces it — entry_arm_pos records the position each
-      // committed min rode at
+      // run (rot = runs already merged, mod 3) — originally to test the
+      // ordering hypothesis on the accskew-above-uniform gap; the round-16
+      // paired arm_runs settled that (the gap persists at every rotated
+      // position and is genuine gated-pair volume — see
+      // syntheticAccidentsSkewed's doc). Rotation stays as variance
+      // control; entry_arm_pos records the position each committed min
+      // rode at
       val armRot = (runsMerged - 1) % 3
       val (gateResults, gateGauges) =
         runIsolated(scaleKeys, sfDir, cpus,
@@ -1521,12 +1539,15 @@ object Bench {
         }
       }
       // the three 10× arms run in an order ROTATED by SPARK_GRAFT_ARM_ROT
-      // (set by the parent from its runs_merged counter): the fixed
-      // uniform→skew→accskew order left accskew always last — deepest
-      // into this JVM's heap/codegen history — which is the standing
-      // hypothesis for the round-14 accskew-above-uniform inversion.
-      // entry_arm_pos commits the position each arm actually ran at, so
-      // the merged artifact documents which position its min rode.
+      // (set by the parent from its runs_merged counter). The rotation
+      // was built to test whether accskew-above-uniform was an ordering
+      // artifact (the fixed uniform→skew→accskew order left accskew
+      // always last, deepest into this JVM's heap/codegen history); the
+      // round-16 paired arm_runs series ANSWERED it — the gap persists at
+      // every position and matches the measured extra gated-pair volume
+      // (syntheticAccidentsSkewed's doc has the arithmetic). Rotation
+      // stays as variance control; entry_arm_pos commits the position
+      // each arm actually ran at.
       val tenXArms: Seq[(String, () => DataFrame)] = Seq(
         "kernel_batch_10x" -> (() => kernelBatch10x(spark)),
         "kernel_batch_10x_skew" -> (() => kernelBatch10xSkew(spark)),

@@ -1,0 +1,53 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Root-cause instrument for the accskew-vs-uniform paired wall gap
+  * (round-16 arm_runs): counts the GATED pair population (post grid
+  * join, post lat/lon prefilters, post haversine gate — the rows owed
+  * full influence math) for the uniform and accident-skewed 10× arms.
+  * Catalyst prunes the influence columns under count(), so the count
+  * walls also isolate the join+gate phase from the influence math.
+  *
+  * Built to distinguish two explanations of the paired wall gap:
+  *  - gated pairs accskew ≫ uniform → the skew genuinely creates more
+  *    above-gate work (the original arm-doc halve-vs-add arithmetic
+  *    was wrong);
+  *  - gated pairs ≈ or < uniform → the extra wall is probe-side
+  *    iteration: every route whose tier window covers the hot cell scans
+  *    its 34.5K-entry broadcast list and the prefilters reject almost
+  *    all of it — work proportional to CANDIDATES, not gated output.
+  *
+  * Round-16 verdict (recorded in COVERAGE.md and in
+  * `Bench.syntheticAccidentsSkewed`'s corrected doc): the FIRST —
+  * 4.658G vs 3.785G gated pairs (ratio 1.230) with count-only walls
+  * equal across arms, so the paired ~1.1–1.2× wall gap is genuine
+  * above-floor influence math, and the plan itself (candidate volume,
+  * task balance) handles the skew at parity.
+  *
+  * Test-tree main (never moves the src/main stamp):
+  *   SPARK_GRAFT_CPUS=32 sbt 'Test/runMain graft.bench.ArmWork'
+  */
+object ArmWork {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val planDate = to_date(lit("2024-07-15"))
+    val routes = graft.Bench.syntheticRoutes(spark, 1680000)
+    def gatedCount(acc: org.apache.spark.sql.DataFrame): Long =
+      graft.kernel.KernelPruning.pairInfluencePruned(routes, acc, planDate).count()
+    val t0 = System.nanoTime()
+    val uni = gatedCount(graft.Bench.syntheticAccidents(spark, 69000))
+    val t1 = System.nanoTime()
+    val acc = gatedCount(graft.Bench.syntheticAccidentsSkewed(spark, 69000))
+    val t2 = System.nanoTime()
+    println(f"""{"metric":"arm_gated_pairs","uniform":$uni%d,"accskew":$acc%d,"ratio":${acc.toDouble / uni}%.3f,"count_wall_uniform":${(t1 - t0) / 1e9}%.1f,"count_wall_accskew":${(t2 - t1) / 1e9}%.1f}""")
+    spark.stop()
+  }
+}
