@@ -22,9 +22,15 @@ import org.apache.spark.sql.functions._
   * Round-16 verdict (recorded in COVERAGE.md and in
   * `Bench.syntheticAccidentsSkewed`'s corrected doc): the FIRST —
   * 4.658G vs 3.785G gated pairs (ratio 1.230) with count-only walls
-  * equal across arms, so the paired ~1.1–1.2× wall gap is genuine
-  * above-floor influence math, and the plan itself (candidate volume,
-  * task balance) handles the skew at parity.
+  * equal across arms — accskew slightly LOWER (75.8 vs 78.0 s):
+  * scanning one hot 34.5K-entry broadcast list beats scattering probes
+  * across the full 5.2M-entry map. Net: the +23% pairs land only on
+  * the influence-math share of the wall and the probe-locality win
+  * offsets much of that, so the paired ratio centers at ≈1.0–1.1
+  * (pooled median 1.073 over the 20 rotated triples of the two
+  * round-16 campaigns; single windows span 0.93–1.26 with same-run
+  * host noise) — the plan handles the skew at parity and no stable
+  * inversion exists in either direction.
   *
   * Test-tree main (never moves the src/main stamp):
   *   SPARK_GRAFT_CPUS=32 sbt 'Test/runMain graft.bench.ArmWork'
