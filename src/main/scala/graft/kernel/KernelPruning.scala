@@ -21,9 +21,10 @@ import graft.expr.WeightExprs
   * with B the product of those bounds. Bucketing both sides into a
   * lat/lon grid (cell size radius/K, see CellDiv) turns the cross join
   * into an EQUI-join on cell id with a (2K+1)² neighborhood fan-out on
-  * the (small) accidents side: routes shuffle/scan ONCE, join key
-  * cardinality is the grid, and per-route work drops from |accidents| to
-  * |accidents within the window|. Lossless above the floor: any pair
+  * the route (probe) side: routes shuffle/scan ONCE, the broadcast holds
+  * one row per (accident, tier), join key cardinality is the grid, and
+  * per-route work drops from |accidents| to |accidents within the
+  * window|. Lossless above the floor: any pair
   * within the radius sits ≤ K cells apart per axis, so only sub-floor
   * pairs are dropped — total risk error per route is <
   * |accidents|·floor·7 (≈ 0.05 risk points at 6.9K accidents), and
@@ -127,29 +128,57 @@ object KernelPruning {
   /** The pruned pair stream: same columns as SafetyKernel.pairInfluence,
     * containing every pair within the per-route prune radius (superset of
     * all pairs with influence ≥ floor). ONE broadcast equi-join on the
-    * composite key (tier, latCell, lonCell): each route probes with its own
-    * tier's grid; accidents fan out to every tier × the (2K+1)²
-    * neighborhood (75× a small table at K=2 — one broadcast, one codegen
-    * stage). No cross join anywhere in the plan; a route sits in exactly
-    * one tier, so no pair can be produced twice.
+    * composite key (tier, latCell, lonCell): accidents key their own cell
+    * (× one row per tier — the broadcast stays |accidents|·tiers rows,
+    * cache-resident even at 10× accident density); each route probes every
+    * cell of its tier's ±K window, i.e. the (2K+1)² neighborhood fan-out
+    * rides the PROBE side (25 cheap hash lookups per route at K=2), never
+    * the broadcast. No cross join anywhere in the plan; a route sits in
+    * exactly one tier and probes each window cell once, so no pair can be
+    * produced twice.
     *
-    * Candidate → pair funnel, cheapest test first:
+    * Candidate → pair funnel, cheapest test first, each expensive value
+    * computed ONCE (the round-17 restructure; the pre-17 form let the
+    * optimizer inline every gate into the join condition, where the full
+    * asin-haversine ran before the cheap latitude test and was then
+    * re-derived from scratch inside the influence projection — the
+    * committed plans/r17 before/after explains show the two shapes):
     *  1. tier grid membership (the equi-join itself) — K=2 cells shrink
     *     the window area to 6.25r² from the classic 3×3's 9r²;
     *  2. a latitude-only prefilter — true distance ≥ 111.19·|Δlat| km, so
     *     111·|Δlat| > gate ⇒ the pair is out; one subtraction+compare
-    *     for every cell-window candidate;
-    *  3. a longitude prefilter from the haversine identity (see inline
-    *     note) — one sqrt + one |sin| using the hoisted cosines, sound at
-    *     every latitude and across the ±180° seam;
-    *  4. exact haversine against the per-route gate radius
-    *     d ≤ h_route·√(2·ln(B/floor)) — sharper than any grid, since it
-    *     uses the route's own bandwidth, not the tier's.
+    *     for every cell-window candidate (stays in the join condition —
+    *     it references no computed column);
+    *  3. a longitude prefilter from the haversine identity: squaring
+    *     d ≥ 2R·√(cosφ₁cosφ₂)·|sin(Δλ/2)| and d ≤ gate gives
+    *     cosφ₁·cosφ₂·sin²(Δλ/2) ≤ sin²(gate/2R) — ONE sin (whose square
+    *     is exactly the haversine's own Δλ term, kept as a column) against
+    *     the per-route hoisted `__hav_gate`, no sqrt/abs, wrap-correct
+    *     across ±180° for free, sound at every latitude;
+    *  4. the same bound on the FULL haversine argument
+    *     `sin²(Δφ/2) + cosφ₁cosφ₂·sin²(Δλ/2) ≤ __hav_gate` — one more sin,
+    *     still no asin/sqrt; `__hav_gate` carries +1e-9 relative slack so
+    *     fp rounding can only ADMIT a boundary candidate, never drop one
+    *     (steps 2-4 are prefilters: correctness needs only superset-pass);
+    *  5. exact haversine `d = 2R·asin(√hav)` — asin + sqrt paid only by
+    *     near-gate survivors, reusing the step-4 `hav` column — against
+    *     the per-route gate radius d ≤ h_route·√(2·ln(B/floor)), sharper
+    *     than any grid since it uses the route's own bandwidth. This gate
+    *     and `dist_km` itself are bit-identical to `haversineKmHoisted`
+    *     (same ops, same association), so the pruned pair set and every
+    *     pair's influence are unchanged from the pre-17 form.
     *
-    * Measured at the 10× batch (1.68M × 69K, same host/session): 3×3 no
-    * lon-filter 157.6 s → K=2 + both prefilters 133.8 s (−15%); K=3 and
-    * prefilter-less K=2 are both WORSE (fan-out cost / haversine volume),
-    * so (K=2, lat, lon) is the chosen point.
+    * The hav/dist columns are [[graft.expr.EvalOnce]]-pinned: without the
+    * pin the optimizer pushes each gate into the join condition by
+    * inlining the column definition, and the projection re-derives it —
+    * the guide-§4.4 double-evaluation, measured at 2 asin + 5 sin per
+    * gated pair in the pre-17 plan vs 1 asin + 2 sin pinned.
+    *
+    * Measured at the 10× batch (1.68M × 69K, same host/session), round 11:
+    * 3×3 no lon-filter 157.6 s → K=2 + both prefilters 133.8 s (−15%);
+    * K=3 and prefilter-less K=2 are both WORSE (fan-out cost / haversine
+    * volume). Round 17, same K=2 geometry: the compute-once funnel above
+    * (OPTIMIZATION_r17.md has the A/B).
     */
   def pairInfluencePruned(routes: DataFrame, accidents: DataFrame, planDate: Column,
                           floor: Double = SafetyKernel.SignificanceFloor,
@@ -200,60 +229,103 @@ object KernelPruning {
             lit(s" exceeds declared weatherBound=$weatherBound — " +
               "above-floor pairs would be silently lost")))))
       else routes
+    // THE ROUTE SIDE CARRIES THE (2K+1)² NEIGHBORHOOD FAN-OUT, NOT THE
+    // BROADCAST SIDE (round-17 swap): a route probes every cell its ±K
+    // window covers; accidents key only their OWN cell (× one row per
+    // tier). Match condition is unchanged — |Δcell| ≤ K per axis with lon
+    // modulo adjacency — because the offset range is symmetric, so the
+    // candidate set, the gates and every pair's influence are identical
+    // to the accident-fanned form. What changes is WHERE the fan-out
+    // cost lands: the broadcast relation shrinks (2K+1)²-fold (at the 10×
+    // batch: 5.2M rows ≈ 1 GB → 207K rows ≈ tens of MB), so the per-
+    // candidate match iteration — the actual wall at 10× scale, 9G
+    // candidate rows streamed out of the hashed relation — reads a cache-
+    // resident table instead of DRAM, and the relation build/torrent cost
+    // stops scaling with the fan-out. The probe side pays (2K+1)² more
+    // probe rows, but probes are O(1) hash lookups on a narrow row — the
+    // cheap side of the trade (guide §3.1: broadcast the side that fits;
+    // OPTIMIZATION_r17.md has the A/B).
     val routesCelled = SafetyKernel.enrichRoutes(graft.Partitioning.balanced(routesChecked))
       .withColumn("__tier", tierOf(col("__h")))
-      .withColumn("__cell_lat", latCellFor(col("lat"), col("__tier")))
-      .withColumn("__cell_lon", lonCellFor(col("lon"), col("__tier")))
-
-    val accCelled = SafetyKernel.enrichAccidents(accidents, planDate)
-      .withColumn("__tier", explode(array(RadiusTierKm.indices.map(i => lit(i)): _*)))
-      .withColumn("__a_cell_lat", latCellFor(col("a_lat"), col("__tier")))
-      .withColumn("__a_cell_lon", lonCellFor(col("a_lon"), col("__tier")))
+      .withColumn("__r_cell_lat", latCellFor(col("lat"), col("__tier")))
+      .withColumn("__r_cell_lon", lonCellFor(col("lon"), col("__tier")))
+      // per-route gate hoists: the exact gate radius (km) and the squared-
+      // haversine form of the same gate, sin²(gate/2R)·(1+1e-9) — the
+      // slack covers fp rounding of the ~5-op hav computation so the
+      // squared pre-gates can only admit a boundary candidate, never drop
+      // a pair the exact dist gate keeps (gate/2R ≤ ~0.03 rad ≪ π/2, so
+      // sin² is monotone on the whole domain)
+      .withColumn("__gate_km", col("__h") * radiusFactor)
+      .withColumn("__hav_gate",
+        pow(sin(col("__gate_km") / (2.0 * graft.expr.GeoExprs.EarthRadiusKm)), 2) *
+          (1.0 + 1e-9))
       .withColumn("__dlat",
         explode(array((-CellDiv to CellDiv).map(d => lit(d.toLong)): _*)))
       // per-tier offset list, DISTINCT after the modulo: a polar-friendly
       // maxAbsLat can shrink a tier's lon ring to n ≤ 2K cells, where the
       // constant ±K fan-out collapses to duplicate (tier, cell) keys and
-      // every pair in that tier gets multiple influence. A small ring
-      // needs only {0 … n-1} — still full ring coverage, no duplicates.
+      // every pair in that tier would match multiple probe rows. A small
+      // ring needs only {0 … n-1} — still full ring coverage, no
+      // duplicates.
       .withColumn("__dlon", explode(byTier(col("__tier"), nLons.map { n =>
         val offs =
           if (n >= 2L * CellDiv + 1) (-CellDiv.toLong to CellDiv.toLong).toSeq
           else 0L until n
         array(offs.map(lit): _*)
       })))
-      .withColumn("__cell_lat", col("__a_cell_lat") + col("__dlat"))
+      .withColumn("__cell_lat", col("__r_cell_lat") + col("__dlat"))
       // wrap-around: each tier's lon ring is uniform, so modulo adjacency
       // is exact across the ±180° seam
       .withColumn("__cell_lon", byTier(col("__tier"),
-        nLons.map(n => pmod(col("__a_cell_lon") + col("__dlon"), lit(n)))))
-      .drop("__a_cell_lat", "__a_cell_lon", "__dlat", "__dlon")
+        nLons.map(n => pmod(col("__r_cell_lon") + col("__dlon"), lit(n)))))
+      .drop("__r_cell_lat", "__r_cell_lon", "__dlat", "__dlon")
+
+    val accCelled = SafetyKernel.enrichAccidents(accidents, planDate)
+      .withColumn("__tier", explode(array(RadiusTierKm.indices.map(i => lit(i)): _*)))
+      .withColumn("__cell_lat", latCellFor(col("a_lat"), col("__tier")))
+      .withColumn("__cell_lon", lonCellFor(col("a_lon"), col("__tier")))
 
     val joined = routesCelled
       .join(broadcast(accCelled), Seq("__tier", "__cell_lat", "__cell_lon"))
       .drop("__tier", "__cell_lat", "__cell_lon")
 
+    import graft.expr.EvalOnceExpr.evalOnce
     val gated = joined
-      // step 2: latitude prefilter (111.0 < 111.19 km/° keeps it sound)
-      .where(abs(col("lat") - col("a_lat")) * KmPerDegLat <=
-        col("__h") * radiusFactor)
-      // step 2b: LONGITUDE prefilter — a sound great-circle lower bound
+      // step 2: latitude prefilter (111.0 < 111.19 km/° keeps it sound) —
+      // references no computed column, so the optimizer folds it into the
+      // join condition where it short-circuits before any trig
+      .where(abs(col("lat") - col("a_lat")) * KmPerDegLat <= col("__gate_km"))
+      // step 3: LONGITUDE prefilter — a sound great-circle lower bound
       // from the haversine identity: sin²(d/2R) ≥ cosφ₁·cosφ₂·sin²(Δλ/2)
-      // and asin(y) ≥ y on [0,1], hence d ≥ 2R·√(cosφ₁cosφ₂)·|sin(Δλ/2)|.
-      // (The naive 111·Δλ·min(cos) parallel-distance bound is UNSOUND at
-      // high latitude — the over-the-pole great circle undercuts it.)
-      // Both cosines are hoisted by enrichment; |sin| makes the bound
-      // wrap-correct across ±180° for free. One sqrt + one sin kills the
-      // lon-far majority of each cell window before the full haversine.
-      .where(lit(2.0 * graft.expr.GeoExprs.EarthRadiusKm) *
-        sqrt(col("__coslat") * col("__a_coslat")) *
-        abs(sin(radians(col("lon") - col("a_lon")) / 2.0)) <=
-        col("__h") * radiusFactor)
-      // enrichment hoisted both cos(lat)s — bit-identical to the inline form
-      .withColumn("dist_km", graft.expr.GeoExprs.haversineKmHoisted(
-        col("__coslat"), col("lat"), col("lon"),
-        col("__a_coslat"), col("a_lat"), col("a_lon")))
-      .where(col("dist_km") <= col("__h") * radiusFactor)
+      // and asin(y) ≥ y on [0,1]. (The naive 111·Δλ·min(cos)
+      // parallel-distance bound is UNSOUND at high latitude — the
+      // over-the-pole great circle undercuts it.) Compared in SQUARED form
+      // against the hoisted per-route __hav_gate, so the test costs one
+      // sin + two multiplies, and its sin² IS the haversine's own Δλ term
+      // — pinned once (EvalOnce), reused by step 4's hav and step 5's
+      // dist. sin(x)² keeps the exact pow(sin(dLon/2), 2) AST of
+      // haversineKmHoisted so the downstream dist_km stays bit-identical.
+      .withColumn("__s2lon",
+        evalOnce(pow(sin(radians(col("a_lon") - col("lon")) / 2), 2)))
+      .where(col("__coslat") * col("__a_coslat") * col("__s2lon") <=
+        col("__hav_gate"))
+      // step 4: full haversine ARGUMENT against the same squared gate —
+      // one more sin, still no asin/sqrt; association (c1*c2)*s2 matches
+      // haversineKmHoisted exactly
+      .withColumn("__hav",
+        evalOnce(pow(sin(radians(col("a_lat") - col("lat")) / 2), 2) +
+          col("__coslat") * col("__a_coslat") * col("__s2lon")))
+      .where(col("__hav") <= col("__hav_gate"))
+      // step 5: the exact per-route gate on the true distance — asin+sqrt
+      // paid only here, by near-gate survivors; 2R·asin(√hav) is
+      // haversineKmHoisted's own final step over the same hav value, so
+      // dist_km (which the spatial weight consumes downstream) is
+      // bit-identical to the inline form
+      .withColumn("dist_km",
+        evalOnce(lit(2.0 * graft.expr.GeoExprs.EarthRadiusKm) *
+          asin(sqrt(col("__hav")))))
+      .where(col("dist_km") <= col("__gate_km"))
+      .drop("__s2lon", "__hav", "__gate_km", "__hav_gate")
     SafetyKernel.influenceColumns(gated)
   }
 

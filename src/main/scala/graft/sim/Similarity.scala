@@ -532,12 +532,28 @@ object Similarity {
     * same rule `list_position(l, list_min(l))` replays in DuckDB). The
     * fold over dimensions is left-assoc in index order, so the distances
     * are bit-identical across engines. A vector shorter than the model's
-    * `numSub·ds` dims encodes as NULL (one top-level size() guard — ranks
-    * last, never throws INVALID_ARRAY_INDEX under ANSI mode; a per-element
-    * try_element_at guard measured 3× slower across the whole 256-term
-    * tree, so the guard sits OUTSIDE the hot fold).
+    * `numSub·ds` dims encodes as NULL.
+    *
+    * Native codegen'd expression (round 17): the staged HOF form below is
+    * CodegenFallback — all `numSub·ksub·ds` terms ran through interpreted
+    * lambdas per CORPUS ROW, and encoding dominated the 1M-vector ANN
+    * arms (ann_pq_encode_1m ≈ the whole ann_pq_1m wall). Values are
+    * bit-identical (PqExprsSpec pins native ≡ staged and interpreted ≡
+    * codegen; the s06/s08/s09 oracles replay the codes in DuckDB).
     */
-  def pqEncode(vec: Column, cb: PqCodebooks): Column = {
+  def pqEncode(vec: Column, cb: PqCodebooks): Column =
+    graft.expr.PqExprs.pqEncode(vec, cb.numSub, cb.ksub, cb.ds, cb.cb)
+
+  /** The staged higher-order-function form of [[pqEncode]] — the original
+    * hot path, kept as the parity twin PqExprsSpec pins the native
+    * expression against (the MinHashSigs discipline: replacing an
+    * operator's internals keeps the replaced form as a bit-identity
+    * witness). One top-level size() guard so short vectors rank last
+    * instead of throwing INVALID_ARRAY_INDEX under ANSI mode; a
+    * per-element try_element_at guard measured 3× slower across the whole
+    * 256-term tree, so the guard sits OUTSIDE the hot fold.
+    */
+  private[graft] def pqEncodeStaged(vec: Column, cb: PqCodebooks): Column = {
     val cmat = cbLit(cb)
     val enc = transform(sequence(lit(0), lit(cb.numSub - 1)), m => {
       val dists = transform(sequence(lit(0), lit(cb.ksub - 1)), j =>
@@ -572,6 +588,15 @@ object Similarity {
     when(size(qv) >= cb.numSub * cb.ds, lut).otherwise(lit(null).cast("array<double>"))
   }
 
+  /** Staged higher-order-function form of the ADC sum — the parity twin
+    * PqExprsSpec pins the native `pq_adc_score` against (seed variants
+    * cover both the plain 0.0-seeded and the residual sim-seeded folds).
+    */
+  private[graft] def adcScoreStaged(codes: Column, lut: Column, seed: Column,
+                                    cb: PqCodebooks): Column =
+    aggregate(sequence(lit(0), lit(cb.numSub - 1)), seed, (acc, m) =>
+      acc + element_at(lut, m.cast("int") * cb.ksub + element_at(codes, m + 1) + 1))
+
   /** Approximate top-k by PQ/ADC: corpus rows carry only their codes, each
     * pair is scored as Σₘ lut[m·ksub + codeₘ] (≈ the raw dot product),
     * rank ties to the lower neighbor id. `code_key` packs the full code
@@ -588,9 +613,10 @@ object Similarity {
       pqEncode(col(vecCol).cast("array<double>"), cb).as("codes")))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       pqAdcLut(col(vecCol).cast("array<double>"), cb).as("lut")))
-    val score = aggregate(sequence(lit(0), lit(cb.numSub - 1)), lit(0.0), (acc, m) =>
-      acc + element_at(col("lut"),
-        m.cast("int") * cb.ksub + element_at(col("codes"), m + 1) + 1))
+    // native ADC sum — the staged aggregate() fold ran interpreted per
+    // CANDIDATE PAIR (|queries| × corpus); bit-identity spec-pinned
+    val score = graft.expr.PqExprs.adcScore(
+      col("codes"), col("lut"), lit(0.0), cb.numSub, cb.ksub)
     val codeKey = (0 until cb.numSub).map(m =>
       element_at(col("codes"), m + 1).cast("long") *
         lit(math.pow(cb.ksub.toDouble, m.toDouble).toLong))
@@ -743,9 +769,9 @@ object Similarity {
       .join(qlut, "query_id")
       .select("query_id", "lut", "cell")
 
-    val score = aggregate(sequence(lit(0), lit(cb.numSub - 1)), lit(0.0), (acc, m) =>
-      acc + element_at(col("lut"),
-        m.cast("int") * cb.ksub + element_at(col("codes"), m + 1) + 1))
+    // native ADC sum (see pqTopKADC) — per probed-cell candidate
+    val score = graft.expr.PqExprs.adcScore(
+      col("codes"), col("lut"), lit(0.0), cb.numSub, cb.ksub)
     val codeKey = (0 until cb.numSub).map(m =>
       element_at(col("codes"), m + 1).cast("long") *
         lit(math.pow(cb.ksub.toDouble, m.toDouble).toLong))
@@ -827,11 +853,11 @@ object Similarity {
       .join(qlut, "query_id")
       .select("query_id", "lut", "cell", "sim")
 
-    // seed the fold with sim: ((sim + t0) + t1) + … — the association the
-    // generated oracle SQL replays
-    val score = aggregate(sequence(lit(0), lit(cb.numSub - 1)), col("sim"), (acc, m) =>
-      acc + element_at(col("lut"),
-        m.cast("int") * cb.ksub + element_at(col("codes"), m + 1) + 1))
+    // native ADC sum seeded with sim: ((sim + t0) + t1) + … — the
+    // association the generated oracle SQL replays (bit-identical to the
+    // staged fold; spec-pinned)
+    val score = graft.expr.PqExprs.adcScore(
+      col("codes"), col("lut"), col("sim"), cb.numSub, cb.ksub)
     val codeKey = (0 until cb.numSub).map(m =>
       element_at(col("codes"), m + 1).cast("long") *
         lit(math.pow(cb.ksub.toDouble, m.toDouble).toLong))
