@@ -205,8 +205,9 @@ object Bench {
     * math (bit-equality is spec-pinned: KernelPruningSpec "10x density +
     * planted hot cell" and the accident-skew generator spec), so the arm
     * SHOULD run above uniform — the paired per-run walls in BENCH_LOCAL's
-    * `arm_runs` put accskew/uniform at ~1.1–1.2× across rotated positions,
-    * BELOW the 1.230× pair ratio, and ArmWork's count-only walls (join +
+    * `arm_runs` put accskew/uniform at ≈1.0–1.1×, noise-bounded (pooled
+    * paired median 1.073, committed-series median 1.005), across rotated
+    * positions, BELOW the 1.230× pair ratio, and ArmWork's count-only walls (join +
     * prefilters + haversine gate, influence math pruned) are equal across
     * the two arms: candidate volume is a wash (the uniform half's
     * candidates halve, the hot cell's add a like amount), per-task balance

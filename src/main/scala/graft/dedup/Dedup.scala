@@ -59,8 +59,9 @@ object Dedup {
     // null doc got a NON-null array of null minima — it survived into LSH
     // where concat_ws skips NULLs, every band hashed to the same "" bucket,
     // and all null docs emitted O(m²) phantom candidate pairs. The bulk
-    // form ([[minhashSignatures]]) drops null docs via explode; this guard
-    // keeps the column form consistent with it.
+    // form ([[minhashSignatures]]) drops null docs via an explicit
+    // isNotNull filter (the staged twin dropped them via explode); this
+    // guard keeps the column form consistent with both.
     when(text.isNull, lit(null).cast("array<bigint>"))
       .otherwise(transform(sequence(lit(0), lit(numHashes - 1)),
         i => array_min(transform(shingles, sh => xxhash64(i, sh)))))
@@ -221,8 +222,15 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 25): DataFrame = {
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // partition AND sort by dst BEFORE the one-time checkpoint: every
+    // round's neighbor-min join probes edges on dst, and localCheckpoint
+    // preserves outputPartitioning/outputOrdering — so the per-round
+    // exchange and sort on the (biggest) edges side are paid ONCE here
+    // instead of once per pointer-jump round (the labels side already
+    // arrives node-partitioned/sorted out of each round's checkpoint).
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().repartition(col("dst")).sortWithinPartitions("dst")
+      .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     var converged = edges.isEmpty

@@ -159,11 +159,25 @@ object MinHashExpr {
     */
   def fromSql(exprs: Seq[Expression]): MinHashSigs = {
     import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.types.IntegerType
-    def intOf(e: Expression, what: String): Int = e match {
-      case Literal(v: Int, IntegerType) => v
-      case _ => throw new IllegalArgumentException(
-        s"minhash_sigs: $what must be an integer literal, got $e")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    if (exprs.length != 3)
+      throw new IllegalArgumentException(
+        s"minhash_sigs(tokens, numHashes, shingleWidth) takes exactly 3 " +
+          s"arguments, got ${exprs.length}")
+    // any FOLDABLE integral size is safe after folding (BIGINT 4, 2+2, …)
+    // — the values only shape the output arity and the generated code
+    def intOf(e: Expression, what: String): Int = {
+      val folded =
+        if (e.foldable && !e.isInstanceOf[Literal]) Literal.create(e.eval(), e.dataType)
+        else e
+      folded match {
+        case Literal(v: Int, IntegerType) => v
+        case Literal(v: Long, LongType) if v.isValidInt => v.toInt
+        case Literal(v: Short, ShortType) => v.toInt
+        case Literal(v: Byte, ByteType) => v.toInt
+        case _ => throw new IllegalArgumentException(
+          s"minhash_sigs: $what must be an integer literal, got $e")
+      }
     }
     MinHashSigs(exprs(0), intOf(exprs(1), "numHashes"),
       intOf(exprs(2), "shingleWidth"))

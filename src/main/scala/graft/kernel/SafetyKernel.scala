@@ -143,6 +143,30 @@ object SafetyKernel {
       WeightExprs.TemporalLambdaDefault).map(tw): _*)
   }
 
+  // --- the date-INDEPENDENT factor expressions, shared verbatim by the
+  // single-date kernel (influenceColumns) and the multi-date kernel
+  // (scoreRoutesForDates, which evaluates them once per pair below the
+  // date fan-out) — one definition, so the two paths cannot drift ------
+
+  private def spatialExpr(twoH2: Column): Column =
+    exp(-(pow(col("dist_km"), 2)) / twoH2)
+
+  private def elevationExpr: Column = {
+    val elevDiff = abs(col("a_elev") - col("elev"))
+    when(col("elev").isNull || col("a_elev").isNull, lit(1.0))
+      .otherwise(lit(1.0) + lit(WeightExprs.ElevationBonusMax) *
+        exp(-pow(elevDiff / col("__elev_c"), 2)))
+  }
+
+  private def routeTypeExpr: Column =
+    when(col("__rt_idx") >= 0 && col("__acc_idx") >= 0,
+      element_at(array(rtMatrixFlat.map(lit): _*),
+        (col("__rt_idx") * 7 + col("__acc_idx") + 1).cast("int")))
+      .otherwise(WeightExprs.DefaultRouteTypeWeight)
+
+  private def gradeExpr: Column =
+    WeightExprs.gradeWeight(col("difficulty"), col("a_difficulty"))
+
   /** The per-pair kernel over an already-joined (enriched-routes ×
     * enriched-accidents) frame — shared by the exact cross-join path and
     * the grid-pruned equi-join path (KernelPruning).
@@ -158,11 +182,19 @@ object SafetyKernel {
     */
   def influenceColumns(pairs: DataFrame): DataFrame = {
     val amplified = pairs.columns.contains("wmult")
+    // a factor column the caller ALREADY computed is kept, not re-derived
+    // — the multi-date kernel (scoreRoutesForDates) evaluates the
+    // date-independent factors once per pair BELOW the date fan-out, and
+    // re-deriving them here would undo exactly that sharing. Same value
+    // either way: the precomputed columns are built from the builders
+    // below, so this is reuse, not a second definition.
+    def keepOr(name: String, expr: => Column): Column =
+      if (pairs.columns.contains(name)) col(name) else expr
     // spatial: exp(-d²/(2h²)) with per-route bandwidth (2h² hoisted)
     val twoH2 =
       if (pairs.columns.contains("__two_h2")) col("__two_h2")
       else lit(2.0) * pow(col("__h"), 2)
-    val spatial = exp(-(pow(col("dist_km"), 2)) / twoH2)
+    val spatial = spatialExpr(twoH2)
     // temporal: 1 − 0.35·(1 − (λ^days)^1.5), ×1.05 same season — from the
     // per-accident per-type-slot precompute when the enrichment provided it
     val baseWeight =
@@ -178,16 +210,10 @@ object SafetyKernel {
     val temporal = when(col("__same_season"), baseWeight * seasonalMultiplier)
       .otherwise(baseWeight)
     // elevation: bonus-only gaussian with per-route constant
-    val elevDiff = abs(col("a_elev") - col("elev"))
-    val elevW = when(col("elev").isNull || col("a_elev").isNull, lit(1.0))
-      .otherwise(lit(1.0) + lit(WeightExprs.ElevationBonusMax) *
-        exp(-pow(elevDiff / col("__elev_c"), 2)))
+    val elevW = elevationExpr
     // route-type: int-indexed flat 7×7 matrix (same literals as the map form)
-    val rtW = when(col("__rt_idx") >= 0 && col("__acc_idx") >= 0,
-      element_at(array(rtMatrixFlat.map(lit): _*),
-        (col("__rt_idx") * 7 + col("__acc_idx") + 1).cast("int")))
-      .otherwise(WeightExprs.DefaultRouteTypeWeight)
-    val grW = WeightExprs.gradeWeight(col("difficulty"), col("a_difficulty"))
+    val rtW = routeTypeExpr
+    val grW = gradeExpr
 
     // reuse a dist_km the caller already computed (e.g. the pruned path's
     // per-type radius gate) — identical expression, evaluated once
@@ -200,12 +226,12 @@ object SafetyKernel {
       else pairs.withColumn("dist_km",
         GeoExprs.haversineKm(col("lat"), col("lon"), col("a_lat"), col("a_lon")))
     withDist
-      .withColumn("spatial_w", spatial)
+      .withColumn("spatial_w", keepOr("spatial_w", spatial))
       .withColumn("temporal_w", temporal)
-      .withColumn("elevation_w", elevW)
-      .withColumn("route_type_w", rtW)
+      .withColumn("elevation_w", keepOr("elevation_w", elevW))
+      .withColumn("route_type_w", keepOr("route_type_w", rtW))
       .withColumn("severity_w", col("__sev_w"))
-      .withColumn("grade_w", grW)
+      .withColumn("grade_w", keepOr("grade_w", grW))
       // multiplication order mirrors the reference composition exactly
       // (safety_algorithm.py:293-319) — and the DuckDB oracle SQL.
       .withColumn("base_influence",
@@ -242,6 +268,87 @@ object SafetyKernel {
   /** End-to-end: routes × accidents → per-route risk. */
   def scoreRoutes(routes: DataFrame, accidents: DataFrame, planDate: Column): DataFrame =
     scoreRoutes(pairInfluence(routes, accidents, planDate))
+
+  /** Multi-date accident enrichment for [[scoreRoutesForDates]]: the
+    * date-independent scalars exactly as [[enrichAccidents]] hoists them,
+    * plus the two date-DEPENDENT temporal inputs as per-date arrays —
+    * `__tw_by_date(i)` / `__ss_by_date(i)` are the `__tw_arr` /
+    * `__same_season` values [[enrichAccidents]] would compute for
+    * `to_date(lit(dates(i)))`, built from the same expressions.
+    */
+  def enrichAccidentsForDates(accidents: DataFrame, dates: Seq[String]): DataFrame = {
+    require(dates.nonEmpty, "enrichAccidentsForDates: empty dates list")
+    val accBase =
+      if (accidents.columns.contains("wsim")) accidents
+      else accidents.withColumn("wsim", lit(NeutralWeatherSimilarity))
+    def dayCount(d: String): Column =
+      abs(datediff(to_date(lit(d)), col("a_date"))).cast("double")
+    accBase
+      .withColumn("__sev_w", WeightExprs.severityWeightKernel(col("severity_raw")))
+      .withColumn("__acc_idx", typeIdx(lower(col("acc_type"))))
+      .withColumn("__wfactor", WeightExprs.weatherFactor(col("wsim")))
+      .withColumn("__a_coslat", cos(radians(col("a_lat"))))
+      .withColumn("__tw_by_date",
+        array(dates.map(d => temporalSlots(dayCount(d))): _*))
+      .withColumn("__ss_by_date", array(dates.map(d =>
+        WeightExprs.seasonOf(to_date(lit(d))) ===
+          WeightExprs.seasonOf(col("a_date"))): _*))
+  }
+
+  /** Multi-date scoring with SHARED pair geometry — the nightly batch
+    * (ScoringPipeline.computeDailyScores) scores the same routes ×
+    * accidents for several plan dates, and only the TEMPORAL factor
+    * depends on the date. The per-date form re-ran the whole kernel per
+    * date: N × (haversine + spatial/elevation/grade exponentials) for
+    * pairs whose geometry never changes. Here ONE broadcast cross join
+    * evaluates every date-independent factor once per (route, accident)
+    * pair BELOW the date fan-out (the explode is the optimizer barrier
+    * that keeps them from being inlined upward), and only the temporal
+    * pick, the influence products and the aggregation run per
+    * (pair, date).
+    *
+    * Per-(route, date) results are bit-identical to
+    * `scoreRoutes(routes, accidents, to_date(lit(d)))`: the factor
+    * expressions are the same definitions (see the builders above),
+    * `base_influence` multiplies in the same order (temporal is a fresh
+    * per-date value; the date-independent factors are the same doubles),
+    * and each (route, date) group accumulates its accidents in the same
+    * broadcast-iteration order, from exactly one map partition — pinned
+    * by ScoringPipelineSpec's multi-date ≡ per-date arm.
+    *
+    * Returns the scoreRoutes columns + `prediction_date`.
+    */
+  def scoreRoutesForDates(routes: DataFrame, accidents: DataFrame,
+                          dates: Seq[String]): DataFrame = {
+    require(dates.nonEmpty, "scoreRoutesForDates: empty dates list")
+    val pairs = enrichRoutes(balance(routes))
+      .crossJoin(broadcast(enrichAccidentsForDates(accidents, dates)))
+      .withColumn("dist_km", GeoExprs.haversineKmHoisted(
+        col("__coslat"), col("lat"), col("lon"),
+        col("__a_coslat"), col("a_lat"), col("a_lon")))
+      .withColumn("spatial_w", spatialExpr(col("__two_h2")))
+      .withColumn("elevation_w", elevationExpr)
+      .withColumn("route_type_w", routeTypeExpr)
+      .withColumn("grade_w", gradeExpr)
+      // the date fan-out: everything above is per PAIR, computed once;
+      // everything below is per (pair, date)
+      .withColumn("__di", explode(array(dates.indices.map(lit): _*)))
+      .withColumn("__tw_arr", element_at(col("__tw_by_date"), col("__di") + 1))
+      .withColumn("__same_season", element_at(col("__ss_by_date"), col("__di") + 1))
+      .drop("__tw_by_date", "__ss_by_date")
+    val dateLit = array(dates.map(d => to_date(lit(d))): _*)
+    influenceColumns(pairs)
+      .select("route_id", "__di", "influence")
+      .groupBy("route_id", "__di")
+      .agg(
+        sum("influence").as("total_influence"),
+        sum(when(col("influence") > SignificanceFloor, 1L).otherwise(0L))
+          .as("n_contributing"))
+      .withColumn("risk_score", WeightExprs.normalizeRiskScore(col("total_influence")))
+      .withColumn("color_code", WeightExprs.colorCode(col("risk_score")))
+      .withColumn("prediction_date", element_at(dateLit, col("__di") + 1))
+      .drop("__di")
+  }
 
   /** Top-k contributing accidents per route (W1) — rank-filter BEFORE any
     * collect so the shuffle carries ≤ k rows per route, never the full

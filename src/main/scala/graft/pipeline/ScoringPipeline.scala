@@ -13,25 +13,31 @@ import graft.kernel.SafetyKernel
   * Redis TTL cleanup (`safety_computation_optimized.py:827-905`,
   * `cache.py:477-524`).
   *
-  * Scale shape: per date, one broadcast cross join (accidents side tiny) →
-  * map-side kernel → hash agg keyed by route — no shuffle grows with
-  * #accidents; dates are independent jobs. Partition overwrite makes
-  * retries idempotent (the reference needed a distributed lock for that;
-  * Spark's dynamic partition overwrite gives the same safety for free).
+  * Scale shape: ONE broadcast cross join covers every date (accidents
+  * side tiny; the date-independent pair geometry is computed once and
+  * only the temporal factor fans out per date — SafetyKernel.
+  * scoreRoutesForDates) → map-side kernel → hash agg keyed by
+  * (route, date) — no shuffle grows with #accidents. Partition overwrite
+  * makes retries idempotent (the reference needed a distributed lock for
+  * that; Spark's dynamic partition overwrite gives the same safety for
+  * free).
   */
 object ScoringPipeline {
 
-  /** Score all routes for each date; returns the union tagged with
-    * `prediction_date` (the partition column).
+  /** Score all routes for each date; returns the rows tagged with
+    * `prediction_date` (the partition column). One shared-geometry
+    * multi-date kernel (SafetyKernel.scoreRoutesForDates, round 17): the
+    * per-date union re-ran the haversine and every date-independent
+    * factor once PER DATE over the identical pair set; the fused form
+    * computes them once per pair and fans out only the temporal factor —
+    * per-(route, date) values bit-identical to the per-date kernels
+    * (spec-pinned), ~N× less geometry work for N dates.
     */
   def computeDailyScores(routes: DataFrame, accidents: DataFrame,
                          dates: Seq[String]): DataFrame = {
     require(dates.nonEmpty, "computeDailyScores: empty dates list")
-    dates.map { d =>
-      SafetyKernel.scoreRoutes(routes, accidents, to_date(lit(d)))
-        .withColumn("prediction_date", to_date(lit(d)))
-        .withColumn("calculated_at", current_timestamp())
-    }.reduce(_ unionByName _)
+    SafetyKernel.scoreRoutesForDates(routes, accidents, dates)
+      .withColumn("calculated_at", current_timestamp())
   }
 
   /** Write scores with dynamic partition overwrite (upsert-by-partition,

@@ -21,6 +21,49 @@ class ScoringPipelineSpec extends SparkSpec {
     .toDF("accident_id", "a_lat", "a_lon", "a_elev", "acc_type", "severity_raw", "d", "a_difficulty")
     .withColumn("a_date", to_date(col("d"))).drop("d")
 
+  test("multi-date kernel == per-date kernels, bitwise (shared-geometry fusion)") {
+    // the round-17 fusion (SafetyKernel.scoreRoutesForDates) computes the
+    // date-independent pair geometry once below the date fan-out; this arm
+    // pins BIT-equality of every output value against the per-date form it
+    // replaced — on a denser grid than the shared fixtures so several
+    // routes, types, seasons and null windows are all represented
+    val rts = spark.range(200).select(
+      col("id").as("route_id"),
+      (lit(39.0) + (col("id") % 50) / 25.0).as("lat"),
+      (lit(-106.0) + (col("id") % 40) / 20.0).as("lon"),
+      when(col("id") % 7 === 0, lit(null).cast("double"))
+        .otherwise(lit(1500.0) + (col("id") % 2000)).as("elev"),
+      when(col("id") % 4 === 0, "alpine").when(col("id") % 4 === 1, "sport")
+        .when(col("id") % 4 === 2, "trad").otherwise("ice").as("route_type"),
+      when(col("id") % 5 === 0, lit(null).cast("double"))
+        .otherwise(lit(5.0) + (col("id") % 11)).as("difficulty"))
+    val accs = spark.range(300).select(
+      col("id").as("accident_id"),
+      (lit(39.0) + ((col("id") * 37) % 50) / 25.0).as("a_lat"),
+      (lit(-106.0) + ((col("id") * 53) % 40) / 20.0).as("a_lon"),
+      (lit(1400.0) + ((col("id") * 13) % 2200)).as("a_elev"),
+      when(col("id") % 3 === 0, "alpine").when(col("id") % 3 === 1, "sport")
+        .otherwise("trad").as("acc_type"),
+      when(col("id") % 3 === 0, "fatal").when(col("id") % 3 === 1, "serious")
+        .otherwise("minor").as("severity_raw"),
+      date_add(to_date(lit("2023-01-01")), (col("id") % 900).cast("int")).as("a_date"),
+      (lit(4.0) + ((col("id") * 7) % 13)).as("a_difficulty"))
+    // dates spanning a season boundary so __same_season differs per date
+    val dates = Seq("2024-07-15", "2024-09-23", "2024-12-05")
+    def rows(df: DataFrame): Seq[String] =
+      df.select(col("route_id"), col("prediction_date"), col("total_influence"),
+          col("n_contributing"), col("risk_score"), col("color_code"))
+        .orderBy("prediction_date", "route_id")
+        .collect().map(_.toString).toSeq
+    val fused = rows(graft.kernel.SafetyKernel.scoreRoutesForDates(rts, accs, dates))
+    val perDate = rows(dates.map { d =>
+      graft.kernel.SafetyKernel.scoreRoutes(rts, accs, to_date(lit(d)))
+        .withColumn("prediction_date", to_date(lit(d)))
+    }.reduce(_ unionByName _))
+    assert(fused.size == 200 * 3)
+    assert(fused == perDate) // exact string equality = bit-equal doubles
+  }
+
   test("runDaily writes date partitions, invariant holds, rerun is idempotent") {
     val out = Files.createTempDirectory("scores").toString
     val dates = Seq("2024-07-15", "2024-07-16", "2024-07-17")

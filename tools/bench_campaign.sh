@@ -44,6 +44,15 @@ for i in $(seq 1 "$N"); do
   rc=$?
   echo "[campaign] run $i/$N rc=$rc $(date -u +%H:%M:%S)"
   tail -c 2000 "/tmp/bench_campaign_run${i}.log" | tail -2
+  if [ "$rc" -ne 0 ]; then
+    # a non-zero run (timeout kill mid-gate) has already flushed partial
+    # mid-gate merges into BENCH_LOCAL.json, bumping runs_merged — do NOT
+    # commit a truncated run as a normal campaign merge
+    echo "[campaign] ABORT after run $i: bench exited rc=$rc — truncated" \
+      "run left partial merges in BENCH_LOCAL.json; inspect (git checkout" \
+      "-- BENCH_LOCAL.json to discard) before relaunching"
+    exit 1
+  fi
   read -r art_stamp art_runs <<< "$(artifact_state)"
   if [ -z "${art_stamp:-}" ]; then
     echo "[campaign] ABORT after run $i: BENCH_LOCAL.json unreadable"

@@ -242,6 +242,11 @@ def src_stamp_of(rel_root):
         for n in names:
             if n.endswith(".scala"):
                 p = os.path.join(dirpath, n)
+                # mirror the Scala side's Files.isRegularFile guard: a
+                # directory or dangling symlink named *.scala must not
+                # diverge (or crash) this implementation
+                if not os.path.isfile(p):
+                    continue
                 files.append(os.path.relpath(p, ROOT))
     for rel in sorted(files):
         md.update(rel.encode("utf-8"))
