@@ -326,6 +326,64 @@ object PlanCheck {
         "d06_checkpoint_scans" -> d06Rdd.toString))
     }
 
+    // 16. pruned kernel computes the haversine ONCE (round-17 funnel):
+    //     the EvalOnce pins keep the optimizer from inlining the gates
+    //     into the join condition and re-deriving dist in the influence
+    //     projection — the pre-17 plan carried TWO asin-haversines per
+    //     gated pair (join condition + projection). Values are identical
+    //     either way (the specs can't see this), so the contract is the
+    //     only guard: exactly ONE ASIN in the whole pruned plan, the
+    //     asin-free squared pre-gates present (SIN appears in the
+    //     candidate funnel), and the lat prefilter folded into the join
+    //     condition. Plant: dropping the EvalOnce wrappers (or reverting
+    //     to the inline haversineKmHoisted gate) flips asin_count to ≥2.
+    contract("kernel_pruned_single_haversine") {
+      def countOcc(hay: String, needle: String): Int = {
+        var n = 0; var i = hay.indexOf(needle)
+        while (i >= 0) { n += 1; i = hay.indexOf(needle, i + needle.length) }
+        n
+      }
+      val pruned = graft.kernel.KernelPruning.scoreRoutesPruned(
+        graft.queries.Derived.routes(spark, dir),
+        graft.queries.Derived.accidents(spark, dir),
+        to_date(lit("2024-07-15")))
+      val plan = planString(pruned)
+      val asinCount = countOcc(plan, "ASIN(")
+      val latPreInJoin = plan.contains("* 111.0")
+      val pinned = countOcc(plan, "evalonce(") >= 3
+      (asinCount == 1 && latPreInJoin && pinned, Seq(
+        "asin_count" -> asinCount.toString,
+        "lat_prefilter_present" -> latPreInJoin.toString,
+        "evalonce_pins" -> pinned.toString))
+    }
+
+    // 17. nightly multi-date kernel shares pair geometry (round-17
+    //     fusion): ONE cross join + ONE generate fan the dates out ABOVE
+    //     the geometry projection, so the whole 3-date plan carries
+    //     exactly one asin-haversine and one aggregate keyed
+    //     (route, date). Plant: reverting computeDailyScores to the
+    //     per-date union form flips asin_count to one PER DATE (3) and
+    //     re-introduces one aggregate per date.
+    contract("nightly_multidate_shared_geometry") {
+      def countOcc(hay: String, needle: String): Int = {
+        var n = 0; var i = hay.indexOf(needle)
+        while (i >= 0) { n += 1; i = hay.indexOf(needle, i + needle.length) }
+        n
+      }
+      val scores = graft.pipeline.ScoringPipeline.computeDailyScores(
+        graft.queries.Derived.routes(spark, dir),
+        graft.queries.Derived.accidents(spark, dir),
+        Seq("2024-07-14", "2024-07-15", "2024-07-16"))
+      val plan = planString(scores)
+      val asinCount = countOcc(plan, "ASIN(")
+      val generates = countOcc(plan, "Generate explode(")
+      val joins = countOcc(plan, "Join")
+      (asinCount == 1 && generates == 1 && joins == 1, Seq(
+        "asin_count" -> asinCount.toString,
+        "n_generates" -> generates.toString,
+        "n_joins" -> joins.toString))
+    }
+
     // ---- emit -------------------------------------------------------------
     val nFail = contracts.count(!_.pass)
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
