@@ -134,6 +134,10 @@ object Bench {
     * above the floor. Round-11 A/B on one host: 3×3 157.6 s → K=2 + both
     * prefilters 133.8 s (−15%); K=3 and prefilter-less variants measured
     * WORSE, so this is the chosen point (KernelPruning doc has the table).
+    * Round 18: per-bandwidth tiers shrink each route's window to its own
+    * gate radius (count-only join+gate wall 68.6 → 60.7 s; gated pairs
+    * unchanged at 3.785G — the exact gate is bit-identical), and K=3 was
+    * re-measured at the swapped fan-out: still worse (69.3 s count-only).
     */
   def kernelBatch10x(spark: SparkSession): DataFrame =
     KernelPruning.scoreRoutesPruned(
@@ -141,10 +145,13 @@ object Bench {
 
   /** The 10× catalog under REALISTIC geo-clustering: ids < n/2 follow the
     * uniform continental lattice; ids ≥ n/2 — half the catalog — are
-    * planted strictly inside ONE tier-0 grid cell ("half the routes in a
-    * few crags"), as sport routes so they really land in tier 0. The cell
-    * geometry comes from KernelPruning's own constants, so a tier/CellDiv
-    * change moves the plant with it.
+    * planted strictly inside ONE grid cell of the SPORT-bandwidth tier
+    * ("half the routes in a few crags"), as sport routes so the plant
+    * cell is the hot routes' own tier's cell. The cell geometry comes
+    * from KernelPruning's own constants, so a tier/CellDiv change moves
+    * the plant with it (round 18's per-bandwidth tiers did exactly that —
+    * the hot cell is now the 25 km sport tier's, previously the 30 km
+    * tier-0 cell).
     *
     * Why this should NOT blow up the pruned plan, stated so the measured
     * entry has a prediction to check: the pruned kernel is a BROADCAST
@@ -187,8 +194,8 @@ object Bench {
   /** ACCIDENT-side clustering — the direction [[syntheticRoutesSkewed]]'s
     * analysis names as the genuinely dangerous one: ids < n/2 follow the
     * uniform lattice; ids ≥ n/2 — half the accident history — are planted
-    * strictly inside the SAME tier-0 cell the route-skew arm uses ("half
-    * of all accidents at a few famous crags"). Clustered accidents
+    * strictly inside the SAME sport-tier cell the route-skew arm uses
+    * ("half of all accidents at a few famous crags"). Clustered accidents
     * lengthen the candidate list of every route whose probe window covers
     * the hot cell, and they all hash to ONE broadcast-map key.
     *

@@ -88,28 +88,45 @@ object KernelPruning {
   /** Bandwidth TIERS for the grid: every route's bandwidth maps UP to the
     * smallest tier ≥ it, and each tier gets its own (cell size, lon ring)
     * grid — still lossless (the tier radius covers the route's true gate
-    * radius) but a sport route (h=25) now searches ~(30/75)² ≈ 6× less
-    * area than under a uniform h_max grid. Three tiers balance candidate
-    * reduction against plan/broadcast duplication (one 9× accident fan-out
-    * per tier).
+    * radius). Round 18: one tier PER DISTINCT BANDWIDTH (plus the
+    * default), so every canonical route type searches a window sized to
+    * its OWN gate radius — under the round-17 three-tier grid a sport
+    * route (h=25) probed a 30 km-tier window (+44% area) and a trad route
+    * (h=40) a 60 km one (+125%). The fan-out no longer rides the
+    * broadcast side (round-17 swap), so extra tiers cost only
+    * |accidents| rows of broadcast each (~69K at the 10× shape) while
+    * window area — the candidate volume driver — drops ~26% on the bench
+    * type mix. Derived from WeightExprs so a bandwidth change moves the
+    * tier with it.
     */
   private[kernel] val RadiusTierKm: Seq[Double] =
-    Seq(30.0, 60.0, HMaxKm).filter(_ <= HMaxKm).distinct.sorted
+    (WeightExprs.SpatialBandwidth.values.toSet + WeightExprs.SpatialBandwidthDefault)
+      .filter(_ <= HMaxKm).toSeq.sorted
 
   /** Cells-per-gate-radius K: cell size = tierRadius / K, fan-out ±K.
     * K=2 (25-cell windows) measured best at the 10× batch; K=1 is the
     * classic 3×3. Raising K further shaves candidates sublinearly
-    * ((2+1/K)² → 4) while the broadcast fan-out grows as (2K+1)². */
+    * ((2+1/K)² → 4) while the probe fan-out grows as (2K+1)². Round-18
+    * re-measurement AT the probe-side fan-out (round-17 swap) with
+    * per-bandwidth tiers: K=3 count-only uniform 10× wall 69.3 s vs
+    * K=2's 60.7 s — the 49-vs-25 probe-row fan-out costs more than the
+    * 6.25r²→5.44r² candidate cut saves, so K=2 stays the chosen point
+    * (confirming the round-11 measurement on the old fan-out side). */
   private val CellDiv = 2
 
-  /** Tier-0 cell extents in degrees (lat, lon) under the default floor —
-    * the geometry tests and benches need to plant geo-skew STRICTLY
-    * INSIDE one grid cell (the "half the catalog in one crag" workload).
-    * Derived from the same constants as pairInfluencePruned, so a tier
-    * or CellDiv change moves the plant with it.
+  /** Cell extents in degrees (lat, lon) of the SPORT-bandwidth tier under
+    * the default floor — the geometry tests and benches need to plant
+    * geo-skew STRICTLY INSIDE one grid cell of the hot rows' OWN tier
+    * (the "half the catalog in one crag" workload plants `sport` routes/
+    * accidents). Derived from the same constants as pairInfluencePruned,
+    * so a tier or CellDiv change moves the plant with it. (Named
+    * tier0CellDegrees when the sport bandwidth mapped to the lowest tier;
+    * with per-bandwidth tiers it is the sport tier's own cell.)
     */
   private[graft] def tier0CellDegrees(maxAbsLat: Double = 72.0): (Double, Double) = {
-    val cellKm = RadiusTierKm.head *
+    val sportTierKm = RadiusTierKm.find(_ >= WeightExprs.SpatialBandwidth("sport"))
+      .getOrElse(RadiusTierKm.last)
+    val cellKm = sportTierKm *
       radiusFactorFor(SafetyKernel.SignificanceFloor, 1.0) / CellDiv
     (cellKm / KmPerDegLat, 360.0 / lonCells(cellKm, maxAbsLat))
   }
