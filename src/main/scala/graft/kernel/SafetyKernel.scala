@@ -167,6 +167,9 @@ object SafetyKernel {
   private def gradeExpr: Column =
     WeightExprs.gradeWeight(col("difficulty"), col("a_difficulty"))
 
+  private val seasonalMultiplier = lit(1.0 +
+    (WeightExprs.SeasonalBoost - 1.0) * WeightExprs.TemporalSeasonalImpact)
+
   /** The per-pair kernel over an already-joined (enriched-routes ×
     * enriched-accidents) frame — shared by the exact cross-join path and
     * the grid-pruned equi-join path (KernelPruning).
@@ -205,8 +208,6 @@ object SafetyKernel {
       else
         lit(1.0) - lit(WeightExprs.TemporalDecayImpact) *
           (lit(1.0) - pow(pow(col("__lam"), col("__days")), WeightExprs.TemporalDecayShape))
-    val seasonalMultiplier = lit(1.0 +
-      (WeightExprs.SeasonalBoost - 1.0) * WeightExprs.TemporalSeasonalImpact)
     val temporal = when(col("__same_season"), baseWeight * seasonalMultiplier)
       .otherwise(baseWeight)
     // elevation: bonus-only gaussian with per-route constant
@@ -302,10 +303,13 @@ object SafetyKernel {
     * date: N × (haversine + spatial/elevation/grade exponentials) for
     * pairs whose geometry never changes. Here ONE broadcast cross join
     * evaluates every date-independent factor once per (route, accident)
-    * pair BELOW the date fan-out (the explode is the optimizer barrier
-    * that keeps them from being inlined upward), and only the temporal
-    * pick, the influence products and the aggregation run per
-    * (pair, date).
+    * pair (EvalOnce-pinned so the per-date products reference them as
+    * attributes instead of inlining N copies), each date's influence is
+    * one product COLUMN over those attributes, the aggregate stays keyed
+    * by route alone (N sums per route, not N× the pair rows — the
+    * round-17 explode re-keyed the same pair stream through an N×-bigger
+    * aggregation input), and the per-date fan-out runs AFTER the
+    * aggregate, over |routes| rows.
     *
     * Per-(route, date) results are bit-identical to
     * `scoreRoutes(routes, accidents, to_date(lit(d)))`: the factor
@@ -321,29 +325,59 @@ object SafetyKernel {
   def scoreRoutesForDates(routes: DataFrame, accidents: DataFrame,
                           dates: Seq[String]): DataFrame = {
     require(dates.nonEmpty, "scoreRoutesForDates: empty dates list")
+    import graft.expr.EvalOnceExpr.evalOnce
+    // the shared (date-independent) factors, computed once per pair and
+    // EvalOnce-pinned: the per-date influence columns below reference
+    // these as attributes, and without the pin CollapseProject would
+    // inline each factor's definition into every date's product — the
+    // guide-§4.4 duplication, one asin-haversine per date again. The pin
+    // is value-transparent (EvalOnce's generated code IS the child's).
     val pairs = enrichRoutes(balance(routes))
       .crossJoin(broadcast(enrichAccidentsForDates(accidents, dates)))
-      .withColumn("dist_km", GeoExprs.haversineKmHoisted(
+      .withColumn("dist_km", evalOnce(GeoExprs.haversineKmHoisted(
         col("__coslat"), col("lat"), col("lon"),
-        col("__a_coslat"), col("a_lat"), col("a_lon")))
-      .withColumn("spatial_w", spatialExpr(col("__two_h2")))
-      .withColumn("elevation_w", elevationExpr)
-      .withColumn("route_type_w", routeTypeExpr)
-      .withColumn("grade_w", gradeExpr)
-      // the date fan-out: everything above is per PAIR, computed once;
-      // everything below is per (pair, date)
-      .withColumn("__di", explode(array(dates.indices.map(lit): _*)))
-      .withColumn("__tw_arr", element_at(col("__tw_by_date"), col("__di") + 1))
-      .withColumn("__same_season", element_at(col("__ss_by_date"), col("__di") + 1))
-      .drop("__tw_by_date", "__ss_by_date")
+        col("__a_coslat"), col("a_lat"), col("a_lon"))))
+      .withColumn("spatial_w", evalOnce(spatialExpr(col("__two_h2"))))
+      .withColumn("elevation_w", evalOnce(elevationExpr))
+      .withColumn("route_type_w", evalOnce(routeTypeExpr))
+      .withColumn("grade_w", evalOnce(gradeExpr))
+    // per-date influence as COLUMNS over the shared factors (round 18):
+    // the round-17 form exploded the date index per pair, tripling the
+    // aggregation input (3.48B rows at the 168K nightly) to re-key the
+    // SAME pair stream; here each date's influence is one more product
+    // column, the aggregate stays keyed by route alone over 1.16B rows,
+    // and the 3× fan-out happens AFTER the aggregate over 168K rows.
+    // Values are bit-identical to the exploded form: same temporal pick
+    // (the per-accident per-type slot arrays), same multiplication
+    // order (spatial·temporal·elevation·route_type·severity·grade, then
+    // ×weather), and each (route, date) sum accumulates its accidents
+    // in the same broadcast-iteration order from exactly one map
+    // partition — pinned by ScoringPipelineSpec's bitwise arm.
+    def influenceFor(i: Int): Column = {
+      val baseWeight = element_at(element_at(col("__tw_by_date"), i + 1),
+        when(col("__rt_idx") >= 0, col("__rt_idx") + 1)
+          .otherwise(CanonicalTypes.size + 1).cast("int"))
+      val temporal = when(element_at(col("__ss_by_date"), i + 1),
+        baseWeight * seasonalMultiplier).otherwise(baseWeight)
+      col("spatial_w") * temporal * col("elevation_w") *
+        col("route_type_w") * col("__sev_w") * col("grade_w") * col("__wfactor")
+    }
+    val narrow = pairs.select(
+      col("route_id") +: dates.indices.map(i => influenceFor(i).as(s"__infl_$i")): _*)
+    val aggCols = dates.indices.flatMap { i =>
+      Seq(sum(col(s"__infl_$i")).as(s"__tot_$i"),
+        sum(when(col(s"__infl_$i") > SignificanceFloor, 1L).otherwise(0L))
+          .as(s"__n_$i"))
+    }
     val dateLit = array(dates.map(d => to_date(lit(d))): _*)
-    influenceColumns(pairs)
-      .select("route_id", "__di", "influence")
-      .groupBy("route_id", "__di")
-      .agg(
-        sum("influence").as("total_influence"),
-        sum(when(col("influence") > SignificanceFloor, 1L).otherwise(0L))
-          .as("n_contributing"))
+    narrow
+      .groupBy("route_id")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("route_id"), posexplode(array(dates.indices.map(i =>
+        struct(col(s"__tot_$i").as("t"), col(s"__n_$i").as("n"))): _*)))
+      .select(col("route_id"),
+        col("col.t").as("total_influence"), col("col.n").as("n_contributing"),
+        col("pos").as("__di"))
       .withColumn("risk_score", WeightExprs.normalizeRiskScore(col("total_influence")))
       .withColumn("color_code", WeightExprs.colorCode(col("risk_score")))
       .withColumn("prediction_date", element_at(dateLit, col("__di") + 1))

@@ -349,7 +349,12 @@ object PlanCheck {
         to_date(lit("2024-07-15")))
       val plan = planString(pruned)
       val asinCount = countOcc(plan, "ASIN(")
-      val latPreInJoin = plan.contains("* 111.0")
+      // anchored to the Join node's condition (round-18 advisor fix): a
+      // regression that demotes the prefilter to a post-join Filter —
+      // losing the short-circuit before the broadcast row is fetched —
+      // must fail this, not just "* 111.0 appears somewhere in the plan"
+      val latPreInJoin = plan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("* 111.0"))
       val pinned = countOcc(plan, "evalonce(") >= 3
       (asinCount == 1 && latPreInJoin && pinned, Seq(
         "asin_count" -> asinCount.toString,
@@ -358,12 +363,15 @@ object PlanCheck {
     }
 
     // 17. nightly multi-date kernel shares pair geometry (round-17
-    //     fusion): ONE cross join + ONE generate fan the dates out ABOVE
-    //     the geometry projection, so the whole 3-date plan carries
-    //     exactly one asin-haversine and one aggregate keyed
-    //     (route, date). Plant: reverting computeDailyScores to the
-    //     per-date union form flips asin_count to one PER DATE (3) and
-    //     re-introduces one aggregate per date.
+    //     fusion, round-18 column form): ONE cross join, exactly one
+    //     asin-haversine (EvalOnce-pinned shared factors), per-date
+    //     influences as COLUMNS so the aggregate consumes the pair
+    //     stream ONCE keyed by route, and the date fan-out is one
+    //     posexplode ABOVE the aggregate over |routes| rows. Plants:
+    //     reverting to the round-17 pair-grain explode re-introduces
+    //     "Generate explode(" below the aggregate (date_fanout_pre_agg);
+    //     reverting to the per-date union flips asin_count to one PER
+    //     DATE (3).
     contract("nightly_multidate_shared_geometry") {
       def countOcc(hay: String, needle: String): Int = {
         var n = 0; var i = hay.indexOf(needle)
@@ -376,12 +384,15 @@ object PlanCheck {
         Seq("2024-07-14", "2024-07-15", "2024-07-16"))
       val plan = planString(scores)
       val asinCount = countOcc(plan, "ASIN(")
-      val generates = countOcc(plan, "Generate explode(")
+      val postAggFanout = countOcc(plan, "Generate posexplode(")
+      val preAggFanout = countOcc(plan, "Generate explode(")
       val joins = countOcc(plan, "Join")
-      (asinCount == 1 && generates == 1 && joins == 1, Seq(
-        "asin_count" -> asinCount.toString,
-        "n_generates" -> generates.toString,
-        "n_joins" -> joins.toString))
+      (asinCount == 1 && postAggFanout == 1 && preAggFanout == 0 && joins == 1,
+        Seq(
+          "asin_count" -> asinCount.toString,
+          "date_fanout_post_agg" -> postAggFanout.toString,
+          "date_fanout_pre_agg" -> preAggFanout.toString,
+          "n_joins" -> joins.toString))
     }
 
     // ---- emit -------------------------------------------------------------
