@@ -43,10 +43,15 @@ object PlanDump {
       "ann_pq_encode_1m" -> (() => Bench.annEncode(spark, 1000000L)),
       "ann_pq_1m" -> (() => Bench.annPq1m(spark)),
       "ann_ivfpq_1m" -> (() => Bench.annIvfPq1m(spark)),
-      "lsh_skew" -> (() => Bench.lshSkew(spark, sfDir)))
+      "lsh_skew" -> (() => Bench.lshSkew(spark, sfDir)),
+      // NB: constructing this frame builds the bloom filter eagerly
+      // (count + aggregate over the 10M corpus) — slower than the other
+      // explain-only frames, but still minutes-safe
+      "bloom_10m" -> (() => Bench.bloom10m(spark)))
 
     val dir = java.nio.file.Paths.get("plans", tag)
     java.nio.file.Files.createDirectories(dir)
+    var failed = 0
     frames.filter(kv => only.forall(_.contains(kv._1))).foreach { case (name, mk) =>
       try {
         val df = mk()
@@ -56,9 +61,14 @@ object PlanDump {
         java.nio.file.Files.writeString(dir.resolve(s"${name}_$suffix.txt"), txt)
         println(s"[plandump] wrote ${dir.resolve(s"${name}_$suffix.txt")}")
       } catch {
-        case e: Throwable => println(s"[plandump] $name FAILED: ${e.getMessage}")
+        case e: Throwable =>
+          failed += 1
+          println(s"[plandump] $name FAILED: ${e.getMessage}")
       }
     }
     spark.stop()
+    // a scripted before/after capture must not silently produce a partial
+    // plan set (round-18 advisor fix)
+    if (failed > 0) sys.exit(1)
   }
 }

@@ -433,17 +433,31 @@ object Dedup {
     val probe = graft.expr.BloomExprs.mightContain(bfBcast, xxhash64(col(textCol)))
     val flagged = newDocs.select(col(idCol), col(textCol),
       (col(textCol).isNotNull && coalesce(probe, lit(false))).as("bloom_hit"))
-    // exact confirmation: ONLY bloom hits join the corpus digest set.
+    // exact confirmation: ONLY bloom hits join the corpus digest set —
+    // and the CORPUS side is never exchanged (round 18, guide §3.2): the
+    // hit sliver's digest set (≤ true dups + fpp·|new| rows) broadcasts,
+    // the corpus md5 stream is semi-filtered against it MAP-SIDE, and
+    // only the surviving ~|hits| digests pay a distinct. The previous
+    // form shuffled all |corpus| digests through a distinct plus a join
+    // exchange to answer membership for the tiny hit set. Identical
+    // output: id ∈ dupIds ⟺ its digest is a corpus digest (the hit-set
+    // intersection is a no-op for hit rows). Broadcast size scales with
+    // the NEW batch's hit count, never the corpus — the right trade for
+    // snapshot dedup, where corpus ≫ new batch.
     // distinct on idCol: a duplicated id in newDocs (both rows bloom hits)
     // would otherwise multiply through the left join below (2 flagged ×
     // 2 dupIds = 4 output rows) — with the distinct, each flagged row
     // joins at most one dupIds row, so the output has exactly newDocs'
     // cardinality (an id duplicated with DIFFERENT texts is out of
     // contract — idCol is a key, as for every operator here)
-    val dupIds = flagged.where(col("bloom_hit"))
+    val hitDigests = flagged.where(col("bloom_hit"))
       .select(col(idCol), md5(col(textCol)).as("__d"))
-      .join(corpus.where(col(textCol).isNotNull)
-        .select(md5(col(textCol)).as("__d")).distinct(), Seq("__d"), "left_semi")
+    val confirmedDigests = corpus.where(col(textCol).isNotNull)
+      .select(md5(col(textCol)).as("__d"))
+      .join(broadcast(hitDigests.select("__d").distinct()), Seq("__d"), "left_semi")
+      .distinct()
+    val dupIds = hitDigests
+      .join(broadcast(confirmedDigests), Seq("__d"), "left_semi")
       .select(col(idCol)).distinct()
       .withColumn("is_dup", lit(true))
     flagged.join(dupIds, Seq(idCol), "left")
