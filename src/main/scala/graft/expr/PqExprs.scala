@@ -180,11 +180,12 @@ case class PqEncodeCodes(child: Expression, numSub: Int, ksub: Int, ds: Int,
   * `aggregate(sequence(0, numSub−1), seed, (acc, m) ⇒ acc +
   * element_at(lut, m·ksub + codes[m] + 1))` fold: a null seed, a null
   * code, or a null LUT entry nulls the whole sum (null is absorbing in
-  * the fold). Inputs `pq_encode`/`pqAdcLut` cannot produce are handled
-  * defensively rather than replayed exactly: a codes array shorter than
-  * `numSub` yields NULL, and a code indexing outside the LUT fails
-  * loudly (the staged form's ANSI `element_at` threw on both) rather
-  * than reading garbage.
+  * the fold). Inputs `pq_encode`/`pqAdcLut` cannot produce FAIL LOUDLY,
+  * like the staged form's ANSI `element_at` did: a codes array shorter
+  * than `numSub` and a code indexing outside the LUT both throw
+  * (round-18 advisor fix — the short-codes case previously nulled
+  * silently, so a truncated codes column from a future caller would
+  * have scored as NULL instead of failing the job).
   */
 case class PqAdcScore(first: Expression, second: Expression, third: Expression,
                       numSub: Int, ksub: Int)
@@ -213,9 +214,10 @@ case class PqAdcScore(first: Expression, second: Expression, third: Expression,
     val lt = lutAny.asInstanceOf[ArrayData]
     var acc = seedAny.asInstanceOf[Double]
     var m = 0
-    val n = math.min(numSub, cs.numElements())
-    if (n < numSub) return null // short codes: element_at(codes, m+1) was null
-    while (m < n) {
+    if (cs.numElements() < numSub)
+      throw new IllegalStateException(
+        s"pq_adc_score: codes array has ${cs.numElements()} elements, expected $numSub")
+    while (m < numSub) {
       if (cs.isNullAt(m)) return null
       val idx = m * ksub + cs.getInt(m)
       if (idx < 0 || idx >= lt.numElements())
@@ -236,7 +238,9 @@ case class PqAdcScore(first: Expression, second: Expression, third: Expression,
       val bad = ctx.freshName("bad")
       s"""
          |if ($cs.numElements() < $numSub) {
-         |  ${ev.isNull} = true;
+         |  throw new IllegalStateException(
+         |    "pq_adc_score: codes array has " + $cs.numElements() +
+         |    " elements, expected " + $numSub);
          |} else {
          |  double $acc = $seed;
          |  boolean $bad = false;

@@ -191,6 +191,14 @@ object KernelPruning {
     * the guide-§4.4 double-evaluation, measured at 2 asin + 5 sin per
     * gated pair in the pre-17 plan vs 1 asin + 2 sin pinned.
     *
+    * CALLER-VISIBLE side effect of the pins (round-18 advisor note): a
+    * non-deterministic column blocks predicate pushdown and project
+    * collapse THROUGH the gated projection for every downstream consumer
+    * — e.g. a caller filtering on `route_id` above this frame cannot
+    * push that filter toward the routes scan. Callers that pre-filter
+    * should filter the `routes`/`accidents` INPUTS (as
+    * ScoringPipeline.applyAccidentDelta does), not the pair output.
+    *
     * Measured at the 10× batch (1.68M × 69K, same host/session), round 11:
     * 3×3 no lon-filter 157.6 s → K=2 + both prefilters 133.8 s (−15%);
     * K=3 and prefilter-less K=2 are both WORSE (fan-out cost / haversine

@@ -165,6 +165,35 @@ class PqExprsSpec extends SparkSpec {
     assertParity(nat(frame))
   }
 
+  test("pq_adc_score: short codes array fails loudly, both engines") {
+    // a truncated codes column is an input pq_encode cannot produce —
+    // it must fail the job (like the staged ANSI element_at did), never
+    // silently null the score (round-18 advisor fix)
+    def frame: DataFrame = spark.sql(
+      """SELECT id, codes, lut FROM VALUES
+        |  (0, array(1), array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D))
+        |  AS t(id, codes, lut)""".stripMargin)
+      .repartition(2) // defeat ConvertToLocalRelation so codegen runs
+    val conf = spark.conf
+    val prevWs = conf.getOption("spark.sql.codegen.wholeStage")
+    Seq("true", "false").foreach { codegen =>
+      try {
+        conf.set("spark.sql.codegen.wholeStage", codegen)
+        val e = intercept[Exception] {
+          frame.select(
+            PqExprs.adcScore(col("codes"), col("lut"), lit(0.0), 2, 4).as("s"))
+            .collect()
+        }
+        def chain(t: Throwable): Seq[Throwable] =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+        assert(chain(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+          c.getMessage.contains("expected 2")),
+          s"codegen=$codegen threw ${e.getClass}: ${e.getMessage}")
+      } finally prevWs.fold(conf.unset("spark.sql.codegen.wholeStage"))(
+        conf.set("spark.sql.codegen.wholeStage", _))
+    }
+  }
+
   test("evalonce: identity values, both engines, and pins a single evaluation") {
     // value identity: wrapped == unwrapped on nulls and normal values
     def frame: DataFrame = spark.sql(
